@@ -1,38 +1,1224 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark-native engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``     — flagship CDC-sweep dataflow on sf0.001.
+``queries()``        — one callable per implemented operator from SURVEY.md §2
+                       (plus the north-star dedup/similarity/text/multimodal ops).
+``oracle_sql()``     — DuckDB-equivalent ANSI SQL per query.
+
+Conventions shared by every query/oracle pair (hash-stable outputs):
+- computed integers -> BIGINT on both sides; floats rounded and kept DOUBLE;
+- timestamps in outputs -> epoch microseconds (``unix_micros`` / ``epoch_us``)
+  or an explicit identical format string;
+- every computed column aliased identically on both sides;
+- intra-group orderings (collect_list/string_agg) made explicit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+    seeded_hash64,
+    word_shingles,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
+    cosine_sim,
+    l2_norm,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (
+    cdc,
+    dedup,
+    multimodal,
+    relational,
+    vectors as vec_ops,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (
+    text as text_ops,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+    cdc_tick,
+)
+
+# CDC watermark literal used by the incremental-scan queries (mid-range of
+# the events fixture, 2024-01-01 .. 2024-01-30).
+WM = "2024-01-15 00:00:00"
+
+_REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def wrap(fn):
+        _REG[name] = (fn, sql)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-2.8 [EXT] surface)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                              AS sum_qty,
+           round(sum(l_extendedprice), 2)                         AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           round(avg(l_quantity), 4)                              AS avg_qty,
+           round(avg(l_extendedprice), 4)                         AS avg_price,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan -> pushed filter -> hash agg (A4/P3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (dim side broadcast) + top-k (J3/O3)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_region_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join chain, all dims broadcast (J3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@_q(
+    "join_outer_customer_orders",
+    """
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT)        AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_outer_customer_orders(spark, sf_dir):
+    """Left-outer join preserving order-less customers (J4)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@_q(
+    "join_semi_customers_with_open_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def join_semi_customers_with_open_orders(spark, sf_dir):
+    """Left-semi join = EXISTS (J5)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@_q(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    """Left-anti join = NOT EXISTS (J5/J2)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "join_theta_acctbal_band",
+    """
+    SELECT s_suppkey, CAST(count(c_custkey) AS BIGINT) AS n_close
+    FROM supplier LEFT JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+)
+def join_theta_acctbal_band(spark, sf_dir):
+    """Theta/range join (J6): band predicate, BNL with broadcast of the
+    10-row side — the strategy Catalyst picks is the right one here."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    cond = c.c_acctbal.between(s.s_acctbal - 100, s.s_acctbal + 100)
+    return (
+        s.join(c, cond, "left")
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("n_close"))
+    )
+
+
+@_q(
+    "agg_distinct_by_status",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           count(*)                                  AS n_orders,
+           round(avg(o_totalprice), 2)               AS avg_price,
+           round(min(o_totalprice), 2)               AS min_price,
+           round(max(o_totalprice), 2)               AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_by_status(spark, sf_dir):
+    """COUNT DISTINCT + min/max/avg in one hash agg (A4)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@_q(
+    "agg_rollup_region_nation",
+    """
+    SELECT r_name, n_name, round(sum(c_acctbal), 2) AS acctbal, count(*) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_region_nation(spark, sf_dir):
+    """ROLLUP grouping sets (A6) over a broadcast dim chain."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("acctbal"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
+    "window_rank_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) t
+    WHERE rk <= 3
+    """,
+)
+def window_rank_orders_per_customer(spark, sf_dir):
+    """Top-k per group via ranking window (W3)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+@_q(
+    "window_lag_event_gaps",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS gap_us
+    FROM events
+    """,
+)
+def window_lag_event_gaps(spark, sf_dir):
+    """lag analytic (W4): inter-event gap per user in microseconds."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@_q(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spent
+    FROM orders
+    """,
+)
+def window_running_revenue(spark, sf_dir):
+    """Running aggregate with explicit frame (W5)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spent"),
+    )
+
+
+@_q(
+    "sort_topk_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def sort_topk_lineitem(spark, sf_dir):
+    """ORDER BY + LIMIT -> TakeOrderedAndProject, no global sort (O2/O3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@_q(
+    "set_ops_customer_years",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'except'    AS op, count(*) AS n FROM (SELECT * FROM y95 EXCEPT    SELECT * FROM y96)
+    UNION ALL
+    SELECT 'union'     AS op, count(*) AS n FROM (SELECT * FROM y95 UNION     SELECT * FROM y96)
+    """,
+)
+def set_ops_customer_years(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION (§2.7)."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    rows = [
+        ("intersect", y95.intersect(y96)),
+        ("except", y95.subtract(y96)),
+        ("union", y95.union(y96).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@_q(
+    "scalar_string_part",
+    """
+    SELECT p_partkey,
+           lower(p_name)                          AS name_lc,
+           upper(p_brand)                         AS brand_uc,
+           CAST(length(p_name) AS BIGINT)         AS name_len,
+           substr(p_type, 1, 3)                   AS type3,
+           concat_ws('-', p_brand, p_type)        AS brand_type,
+           split_part(p_name, ' ', 2)             AS second_word,
+           regexp_extract(p_name, '(\\w+)$', 1)   AS last_word,
+           replace(p_name, ' ', '_')              AS snake
+    FROM part
+    """,
+)
+def scalar_string_part(spark, sf_dir):
+    """String function surface (F7)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+    )
+
+
+@_q(
+    "scalar_datetime_orders",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate)    AS BIGINT) AS yr,
+           CAST(month(o_orderdate)   AS BIGINT) AS mo,
+           CAST(day(o_orderdate)     AS BIGINT) AS dom,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders
+    """,
+)
+def scalar_datetime_orders(spark, sf_dir):
+    """Date/time function surface (F8)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+@_q(
+    "scalar_json_events",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def scalar_json_events(spark, sf_dir):
+    """JSON extraction from the semi-structured props column (F12)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@_q(
+    "case_pred_orders",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 5000 AND 450000
+      AND o_orderstatus LIKE 'O%'
+    """,
+)
+def case_pred_orders(spark, sf_dir):
+    """CASE WHEN + IN/BETWEEN/LIKE predicate surface (P8/P9)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(5000, 450000)
+            & F.col("o_orderstatus").like("O%")
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 300000, "big")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("small")
+            .alias("bucket"),
+        )
+    )
+
+
+@_q(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_status(spark, sf_dir):
+    """Pivot (wide aggregation)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv
+
+
+# ---------------------------------------------------------------------------
+# CDC operators (SURVEY §2 [REF] core)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cdc_incremental_scan",
+    f"""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, round(value, 3) AS value_r
+    FROM events WHERE ts > TIMESTAMP '{WM}'
+    """,
+)
+def cdc_incremental_scan(spark, sf_dir):
+    """Watermark-predicate scan (S4/P3, ≙ service.py:52-54); the filter
+    is pushed into the parquet scan."""
+    e = _t(spark, sf_dir, "events")
+    return cdc.incremental_scan(e, "ts", WM).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 3).alias("value_r"),
+    )
+
+
+@_q(
+    "cdc_watermark_next",
+    f"""
+    SELECT epoch_us(max(ts)) AS last_updated_us, count(*) AS batch_rows
+    FROM events WHERE ts > TIMESTAMP '{WM}'
+    """,
+)
+def cdc_watermark_next(spark, sf_dir):
+    """New high-watermark of a delta batch (A1, ≙ service.py:73)."""
+    e = _t(spark, sf_dir, "events")
+    delta = cdc.incremental_scan(e, "ts", WM)
+    return cdc.next_watermark(delta, "ts").select(
+        F.unix_micros("last_updated").alias("last_updated_us"), "batch_rows"
+    )
+
+
+@_q(
+    "cdc_watermark_upsert",
+    """
+    WITH v1 AS (SELECT event_type AS table_name, max(ts) AS last_updated, 1 AS version
+                FROM events WHERE ts < TIMESTAMP '2024-01-10' GROUP BY 1),
+         v2 AS (SELECT event_type AS table_name, max(ts) AS last_updated, 2 AS version
+                FROM events WHERE ts < TIMESTAMP '2024-01-20'
+                  AND event_type IN ('click', 'view') GROUP BY 1),
+         u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY table_name
+                                            ORDER BY version DESC) AS rn FROM u)
+    SELECT table_name, epoch_us(last_updated) AS last_updated_us, version
+    FROM r WHERE rn = 1
+    """,
+)
+def cdc_watermark_upsert(spark, sf_dir):
+    """Last-writer-wins keyed upsert (S6/W2, ≙ ON DUPLICATE KEY UPDATE
+    service.py:38-42) without Delta: union + one window."""
+    e = _t(spark, sf_dir, "events")
+    v1 = (
+        e.filter(F.col("ts") < F.lit("2024-01-10").cast("timestamp"))
+        .groupBy(F.col("event_type").alias("table_name"))
+        .agg(F.max("ts").alias("last_updated"))
+        .withColumn("version", F.lit(1))
+    )
+    v2 = (
+        e.filter(
+            (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+            & F.col("event_type").isin("click", "view")
+        )
+        .groupBy(F.col("event_type").alias("table_name"))
+        .agg(F.max("ts").alias("last_updated"))
+        .withColumn("version", F.lit(2))
+    )
+    merged = cdc.watermark_upsert(v1, v2)
+    return merged.select(
+        "table_name", F.unix_micros("last_updated").alias("last_updated_us"), "version"
+    )
+
+
+@_q(
+    "cdc_serialize_rows",
+    """
+    SELECT event_id,
+           '{"event_id":' || event_id::VARCHAR ||
+           ',"ts":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S') ||
+           '","user_id":' || user_id::VARCHAR ||
+           ',"event_type":"' || event_type || '"}' AS data_string
+    FROM events
+    """,
+)
+def cdc_serialize_rows(spark, sf_dir):
+    """Canonical row->JSON with the reference's coercions (P6/F1-F3,
+    ≙ service.py:115-117,176-182): ISO timestamps, stable key order."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    return cdc.serialize_rows(e).select("event_id", "data_string")
+
+
+@_q(
+    "cdc_chunk_documents",
+    """
+    WITH numbered AS (
+      SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn FROM documents
+    ), chunks AS (
+      SELECT (rn - 1) // 100 AS chunk_no,
+             string_agg(text, ' ' ORDER BY rn) AS document,
+             count(*) AS n_rows, min(doc_id) AS first_key, max(doc_id) AS last_key
+      FROM numbered GROUP BY 1
+    )
+    SELECT 'documents#' || chunk_no::VARCHAR AS chunk_id,
+           CAST(n_rows AS BIGINT) AS n_rows, first_key, last_key,
+           md5(document) AS doc_md5
+    FROM chunks
+    """,
+)
+def cdc_chunk_documents(spark, sf_dir):
+    """Fixed-size 100-row chunk assembly (W1/A2/A3, ≙ service.py:109-145)
+    with deterministic order + deterministic chunk ids (SURVEY §7)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = cdc.chunk_documents(d, "doc_id", "text", "documents")
+    return chunks.select(
+        "chunk_id", "n_rows", "first_key", "last_key", F.md5("document").alias("doc_md5")
+    )
+
+
+@_q(
+    "cdc_snapshot_latest",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, round(value, 3) AS value_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)
+def cdc_snapshot_latest(spark, sf_dir):
+    """Current-snapshot as-of view: latest row per key (J7/W2,
+    the upsert-by-id semantics of service.py:41,166)."""
+    e = _t(spark, sf_dir, "events")
+    snap = cdc.snapshot_latest(e, ["user_id"], "ts", tiebreak="event_id")
+    return snap.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.round("value", 3).alias("value_r"),
+    )
+
+
+@_q(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
+           epoch_us(c.ts) AS click_ts_us, round(c.value, 3) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_purchase_click(spark, sf_dir):
+    """As-of join (J6/J7): for each purchase, the latest prior click of
+    the same user. Union + one window pass — a single shuffle on the
+    key, no range-join BNL (operators/relational.py::asof_join)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = relational.asof_join(
+        purchases,
+        clicks.withColumnRenamed("ts", "c_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        right_cols=["value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        F.round("value", 3).alias("click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (north star)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         r AS (SELECT doc_id, md5(text) AS fp,
+                      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               FROM u)
+    SELECT doc_id, fp FROM r WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact-content dedup, lowest-id winner (A9). Input is the corpus
+    unioned with a shifted copy of itself so every text has exactly one
+    duplicate — the op must keep the original ids only."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    out = dedup.exact_dedup(doubled, "text", "doc_id")
+    return out.select("doc_id", F.md5("text").alias("fp"))
+
+
+def _duck_shingles(n: int = 3) -> str:
+    """DuckDB expression for word n-gram shingles of column ``text``
+    (mirror of functions.hashing.word_shingles)."""
+    return f"""
+      list_distinct(CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+           ELSE list_transform(generate_series(1, len(t) - {n - 1}),
+                               i -> array_to_string(t[i:i+{n - 1}], ' ')) END)
+    """
+
+
+def _duck_minhash_sql(num_hashes: int) -> str:
+    hash_cols = ",\n           ".join(
+        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5(s || '#seed{i}'), 1, 15))::BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks)
+    SELECT doc_id,
+           {hash_cols}
+    FROM sh
+    """
+
+
+@_q("dedup_minhash_signatures", _duck_minhash_sql(4))
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures over word 3-gram shingles (A9 scale path):
+    k independent portable min-hashes, all codegen'd array exprs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dedup.minhash_signatures(d, "text", "doc_id", num_hashes=4)
+    return sig.select("doc_id", *[F.col("minhash")[i].alias(f"h{i}") for i in range(4)])
+
+
+def _duck_lsh_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_band: int = 4) -> str:
+    hash_cols = ",\n           ".join(
+        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5(s || '#seed{i}'), 1, 15))::BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band))
+        + ")) AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
+         sig AS (SELECT doc_id, {hash_cols} FROM sh),
+         bands AS ({band_rows})
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    """
+
+
+@_q("dedup_lsh_candidates", _duck_lsh_sql())
+def dedup_lsh_candidates(spark, sf_dir):
+    """MinHash-LSH banding: near-dup candidate pairs via per-bucket
+    self-join — no global cross join (A9 scale path)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dedup.minhash_signatures(d, "text", "doc_id", num_hashes=16)
+    return dedup.lsh_candidate_pairs(sig, "doc_id", num_bands=4, rows_per_band=4)
+
+
+def _duck_simhash_sql(bits: int = 16) -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN ((hh >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                  FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hh FROM toks),
+         bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@_q("dedup_simhash", _duck_simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """SimHash signatures (A9): per-token hash, ±1 per bit position,
+    sign -> bit. One explode + one grouped agg."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash(d, "text", "doc_id", bits=16)
+
+
+@_q(
+    "dedup_jaccard_consecutive",
+    """
+    WITH pairs AS (
+      SELECT doc_id, text, lead(text) OVER (ORDER BY doc_id) AS next_text FROM documents
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(list_distinct(list_concat(a, b))) > 0
+                 THEN len(list_intersect(a, b))::DOUBLE
+                      / len(list_distinct(list_concat(a, b)))::DOUBLE
+                 ELSE 0.0 END, 4) AS jaccard
+    FROM (SELECT doc_id,
+                 list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS a,
+                 list_distinct(regexp_split_to_array(trim(next_text), '\\s+')) AS b
+          FROM pairs WHERE next_text IS NOT NULL) t
+    """,
+)
+def dedup_jaccard_consecutive(spark, sf_dir):
+    """Exact token-set Jaccard over blocked candidate pairs (here:
+    consecutive doc ids — candidate generation is LSH's job)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    pairs = d.withColumn("next_text", F.lead("text").over(w)).filter(
+        F.col("next_text").isNotNull()
+    )
+    out = dedup.ngram_jaccard(pairs, None, "text", "next_text", n=1)
+    return out.select("doc_id", F.round("jaccard", 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(ceil(length(text) / 4) AS BIGINT) AS bpe_est
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Token/char counting + BPE-estimate (text-analysis surface)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        text_ops.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        text_ops.bpe_token_estimate(F.col("text")).alias("bpe_est"),
+    )
+
+
+@_q(
+    "text_quality",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+             (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %'  THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %'  THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% is %'  THEN 1 ELSE 0 END) AS stop_hits
+      FROM documents)
+    SELECT doc_id,
+           round(n_nonspace / n_tokens, 4)  AS q_mean_word_len,
+           round(n_punct / n_chars, 4)      AS q_punct_ratio,
+           CAST(stop_hits AS INTEGER)       AS q_stopword_hits,
+           round((CASE WHEN n_tokens >= 5 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+               + (CASE WHEN n_nonspace / n_tokens >= 3 AND n_nonspace / n_tokens <= 12
+                       THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+               + (CASE WHEN n_punct / n_chars <= 0.2 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END)
+               + (CASE WHEN stop_hits > 0 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END), 2) AS q_score
+    FROM f
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring features + composite score (C4/RefinedWeb-style
+    cleaning heuristics)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = text_ops.quality_features(d, "text")
+    return feats.select(
+        "doc_id",
+        "q_mean_word_len",
+        "q_punct_ratio",
+        "q_stopword_hits",
+        "q_score",
+    )
+
+
+@_q(
+    "text_lang_id",
+    """
+    WITH hits AS (
+      SELECT doc_id,
+        (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% to %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% is %' THEN 1 ELSE 0 END) AS h_en,
+        (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% die %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% ist %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% nicht %' THEN 1 ELSE 0 END) AS h_de,
+        (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% la %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% et %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% est %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END) AS h_fr,
+        (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% la %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END + CASE WHEN p LIKE '% de %' THEN 1 ELSE 0 END
+       + CASE WHEN p LIKE '% es %' THEN 1 ELSE 0 END) AS h_es
+      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents) t)
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Heuristic stopword-based language ID (ties -> lexicographically
+    greatest code, matching the argmax-over-struct semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalization-stable document fingerprint (dedup class id)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity (north star)
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = (
+    "list_cosine_similarity(embedding::DOUBLE[], "
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1))"
+)
+
+
+@_q(
+    "vec_knn_bruteforce",
+    f"""
+    SELECT vec_id, round({_DUCK_COS}, 4) AS score
+    FROM embeddings
+    ORDER BY {_DUCK_COS} DESC, vec_id
+    LIMIT 10
+    """,
+)
+def vec_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-k to a query vector (A12): scan + per-partition
+    top-k merge (TakeOrderedAndProject), no global sort."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    out = vec_ops.cosine_topk(e, "vec_id", "embedding", list(qvec), k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@_q(
+    "vec_label_norms",
+    """
+    SELECT label,
+           round(avg(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))), 4)
+             AS avg_norm,
+           count(*) AS n
+    FROM embeddings GROUP BY label
+    """,
+)
+def vec_label_norms(spark, sf_dir):
+    """Vector math as array higher-order fns (F10): per-label L2-norm
+    aggregate — no UDF, fully codegen'd."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_DUCK_PLANES = """
+    planes AS (
+      SELECT b,
+             list_transform(generate_series(0, 63),
+               j -> (('0x' || substr(md5('plane' || b::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT
+                     % 2000001) / 1000000.0 - 1.0) AS plane
+      FROM generate_series(0, 3) t(b)),
+    scored AS (
+      SELECT e.vec_id, e.label, p.b,
+             list_dot_product(e.embedding::DOUBLE[], p.plane) AS d
+      FROM embeddings e CROSS JOIN planes p),
+    buckets AS (
+      SELECT vec_id, CAST(sum(CASE WHEN d >= 0 THEN (1 << b) ELSE 0 END) AS INTEGER) AS bucket
+      FROM scored GROUP BY vec_id)
+"""
+
+
+@_q(
+    "vec_lsh_bucket_histogram",
+    f"""
+    WITH {_DUCK_PLANES}
+    SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket
+    """,
+)
+def vec_lsh_bucket_histogram(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (ANN scale path): deterministic
+    md5-derived planes so the partitioning is oracle-reproducible."""
+    e = _t(spark, sf_dir, "embeddings")
+    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=4)
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "vec_ann_topk",
+    f"""
+    WITH {_DUCK_PLANES}
+    SELECT e.vec_id, round({_DUCK_COS}, 4) AS score
+    FROM embeddings e JOIN buckets bk ON e.vec_id = bk.vec_id
+    WHERE bk.bucket = (SELECT bucket FROM buckets WHERE vec_id = 1)
+    ORDER BY {_DUCK_COS} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def vec_ann_topk(spark, sf_dir):
+    """Approximate top-k: probe only the query's LSH bucket — scanned
+    fraction drops ~2^n_planes while recall stays high for cosine-close
+    vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    out = vec_ops.ann_topk(e, "vec_id", "embedding", list(qvec), dim=64, k=10, n_planes=4)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@_q(
+    "dedup_embedding_neardup",
+    f"""
+    WITH {_DUCK_PLANES}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a
+    JOIN buckets ba ON a.vec_id = ba.vec_id
+    JOIN buckets bb ON bb.bucket = ba.bucket
+    JOIN embeddings b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.6
+    """,
+)
+def dedup_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, candidate set limited to shared
+    LSH buckets — linear-ish, never n² (A9 + A12 composed)."""
+    e = _t(spark, sf_dir, "embeddings")
+    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=4)
+    pairs = dedup.embedding_near_dup(b, "vec_id", "embedding", "bucket", threshold=0.6)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped (batch-expressible) operators
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "stream_tumbling_window",
+    """
+    SELECT epoch_us(ts) - (epoch_us(ts) % 600000000) AS win_start_us,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 3) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregation (T5): 10-minute buckets,
+    epoch-aligned — the batch twin of the streaming windowed agg."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@_q(
+    "stream_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM g
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap): lag + conditional cumsum,
+    one shuffle on the key (the batch twin of session_window)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("_n", new_s)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("session_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (north star; decode kernels stubbed)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "mm_binary_features",
+    """
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def mm_binary_features(spark, sf_dir):
+    """Opaque-binary media plumbing: payload bytes -> mapInPandas
+    feature extraction over Arrow batches (decode kernel stubbed, the
+    Spark-side schema/batching is the real contract)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(d.select("doc_id", "text"), "text")
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "id",
+        "n_bytes",
+        F.col("sha256").alias("sha"),
+        "width",
+        "height",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's CDC sweep as one declarative DAG
+    (incremental scan -> canonical JSON -> chunk -> embed -> sink rows,
+    ≙ controller.py:17-35 + service.py:48-172) on sf0.001 events."""
+    sf_dir = "/root/testdata/sf0.001"
+    e = load_table(spark, sf_dir, "events")
+    sink_rows, _wm = cdc_tick(
+        e,
+        source="events",
+        change_col="ts",
+        order_col="event_id",
+        watermark=WM,
+        with_embeddings=True,
+    )
+    return sink_rows.select(
+        "id",
+        F.size("values").alias("dim"),
+        F.length(F.col("metadata.text")).alias("n_chars"),
+        F.col("metadata.source").alias("source"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _REG.items() if sql is not None}

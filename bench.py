@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once after a warm-up action on the inputs, and
+timed over a full materialization (count of the result) so scan ->
+shuffle -> agg all execute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the
+# shuffle/join-heavy plans that dominate at scale.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_outer_customer_orders",
+    "window_rank_orders_per_customer",
+    "cdc_incremental_scan",
+    "cdc_chunk_documents",
+    "cdc_snapshot_latest",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_simhash",
+    "text_quality",
+    "text_lang_id",
+    "vec_knn_bruteforce",
+    "vec_lsh_bucket_histogram",
+    "stream_tumbling_window",
+    "mm_binary_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # JVM/reader warm-up (not timed): touch each fixture once.
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        TABLES,
+        load_table,
+    )
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

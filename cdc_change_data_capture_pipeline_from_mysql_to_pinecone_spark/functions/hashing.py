@@ -1,0 +1,46 @@
+"""Portable hashing primitives (JVM-side, no Python UDFs).
+
+Dedup/fingerprint operators need 64-bit hashes that an external SQL
+oracle can reproduce exactly. Spark's ``xxhash64``/``hash`` are not
+portable across engines, so the engine defines::
+
+    portable_hash64(x) = int(md5(x)[0:15], 16)      # 60 bits, fits i64
+
+which any engine with ``md5`` can compute (DuckDB:
+``('0x' || substr(md5(x),1,15))::BIGINT``). md5 here is a content
+fingerprint, not a security primitive. All expressions below stay
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def portable_hash64(col: Column) -> Column:
+    """64-bit (60 usable bits) deterministic, engine-portable hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def seeded_hash64(col: Column, seed: int) -> Column:
+    """Independent hash family member: hash of the value salted with
+    the seed. Used for the k minhash permutations."""
+    return portable_hash64(F.concat(col, F.lit(f"#seed{seed}")))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word ``n``-gram shingles of ``text``.
+
+    Whitespace-tokenizes, then slides a window of ``n`` tokens. A text
+    with fewer than ``n`` tokens yields its full token join as the one
+    shingle (so short docs still participate in dedup).
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    k = F.size(toks)
+    full = F.array(F.concat_ws(" ", toks))
+    windows = F.transform(
+        F.sequence(F.lit(1), k - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k < n, full).otherwise(windows)

@@ -1,0 +1,139 @@
+"""CDC operators — the reference's core dataflow as DataFrame ops.
+
+Reference behavior re-expressed (file:line into /root/reference):
+
+- incremental scan with watermark predicate  service_layer/service.py:52-57
+- watermark read / last-writer-wins upsert   service.py:21-46
+- new-watermark computation (max change ts)  service.py:73-74
+- row -> JSON serialization                  service.py:115-117,176-182
+- fixed-size chunk assembly (100 rows/doc)   service.py:109-145
+- upsert-by-id current-snapshot semantics    service.py:41,166
+
+Scale notes: the incremental scan is a pushed-down range predicate on
+the change column (partition/row-group pruning at the source); the
+chunking window partitions by source table so each table's row_number
+sort is independent; snapshot/upsert are windowed dedups that shuffle
+once on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.serialize import canonical_json
+
+CHUNK_SIZE = 100  # rows per document, ≙ service.py:109
+
+
+def incremental_scan(df: DataFrame, change_col: str, watermark) -> DataFrame:
+    """Rows changed since ``watermark`` (strict ``>``, ≙ service.py:53).
+
+    The predicate is declared on the DataFrame; Catalyst pushes it into
+    the source (parquet min/max row-group skipping; JDBC WHERE-clause
+    pushdown) — the hand-inlined SQL of the reference, for free.
+    """
+    return df.filter(F.col(change_col) > F.lit(watermark))
+
+
+def next_watermark(df: DataFrame, change_col: str) -> DataFrame:
+    """New high-watermark = max(change_col) of the processed batch
+    (≙ service.py:73), plus the batch size for commit bookkeeping."""
+    return df.agg(
+        F.max(change_col).alias("last_updated"),
+        F.count(F.lit(1)).alias("batch_rows"),
+    )
+
+
+def watermark_lookup(wm_df: DataFrame, table_name: str) -> DataFrame:
+    """Point lookup of a table's stored offset (≙ service.py:21-33)."""
+    return wm_df.filter(F.col("table_name") == table_name).select("last_updated")
+
+
+def watermark_upsert(wm_df: DataFrame, updates: DataFrame) -> DataFrame:
+    """Keyed last-writer-wins upsert of (table_name, last_updated,
+    version) rows — MERGE semantics of the reference's ``INSERT ... ON
+    DUPLICATE KEY UPDATE`` (service.py:38-42) without requiring Delta:
+    union old+new, keep the highest-version row per key via one window.
+    """
+    unioned = wm_df.unionByName(updates)
+    w = Window.partitionBy("table_name").orderBy(F.col("version").desc())
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def serialize_rows(df: DataFrame, columns: list[str] | None = None, out_col: str = "data_string") -> DataFrame:
+    """Append the canonical JSON rendering of each row
+    (≙ service.py:115-117 with coercions :176-182)."""
+    return df.withColumn(out_col, canonical_json(df, columns))
+
+
+def chunk_documents(
+    df: DataFrame,
+    order_col: str,
+    text_col: str,
+    source: str,
+    chunk_size: int = CHUNK_SIZE,
+) -> DataFrame:
+    """Assemble fixed-size documents: every ``chunk_size`` consecutive
+    rows (ordered by ``order_col``) concatenated with a single space
+    (≙ service.py:109-145: boundary :124, concat :127,141, tail flush
+    :138-145).
+
+    Refinements over the reference, documented in SURVEY §7:
+    - deterministic order (the reference inherits unspecified cursor
+      order) — rows are sorted by ``order_col`` inside the chunk;
+    - deterministic chunk id ``source#chunk_no`` instead of uuid4
+      (service.py:126,140), which makes replays idempotent (the
+      reference's replays duplicate vectors, SURVEY §2.9 T3).
+
+    The global row_number is a single-table sort — at 100 TB scale the
+    chunk id would switch to ``(partition_key, row_number within
+    partition)`` so no global ordering is required; the fixture tables
+    are single-source so the reference's global order is kept for
+    parity.
+    """
+    w = Window.orderBy(order_col)
+    chunked = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("chunk_no", F.floor((F.col("_rn") - 1) / chunk_size))
+    )
+    return (
+        chunked.groupBy("chunk_no")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_rn").alias("k"), F.col(text_col).alias("v")))
+                ).getField("v"),
+            ).alias("document"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(order_col).alias("first_key"),
+            F.max(order_col).alias("last_key"),
+        )
+        .withColumn("chunk_id", F.concat_ws("#", F.lit(source), F.col("chunk_no").cast("string")))
+    )
+
+
+def snapshot_latest(df: DataFrame, key_cols: list[str], change_col: str, tiebreak: str | None = None) -> DataFrame:
+    """Current-snapshot / as-of view: latest row per key by change time
+    (the upsert-by-id semantics of service.py:41,166 expressed as a
+    window dedup; SURVEY §2.3 J7 / §2.5 W2). One shuffle on the key."""
+    order = [F.col(change_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def metadata_struct(source: str, id_col: Column, text_col: Column) -> Column:
+    """Per-vector metadata payload (≙ service.py:133,145
+    ``{"source", "id", "text"}``) as a flat struct (prunable)."""
+    return F.struct(
+        F.lit(source).alias("source"),
+        id_col.cast("string").alias("id"),
+        text_col.alias("text"),
+    )

@@ -1,0 +1,185 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (north star requirement, BASELINE.json):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — each expressed as shuffles on small derived keys so the
+full text/vector payload never fans out in a cross join.
+
+Scale design:
+- exact dedup groups on a 64-bit content hash (tiny shuffle keys);
+- MinHash/LSH candidate generation is `O(n·bands)` rows exploded into
+  buckets, then a self-join *per bucket* — the classic way pairwise
+  similarity survives 100 TB;
+- SimHash reduces each doc to one 16-bit signature; near-dup = small
+  hamming distance, joinable on signature bands;
+- embedding near-dup reuses the LSH bucketing from `vectors`.
+All hashing is the engine's portable md5-based family
+(functions.hashing) so an external SQL oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, seeded_hash64, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-content dedup: keep the lowest-id row per distinct text.
+
+    Hash-groupBy on md5(text) — the shuffle moves only (hash, id),
+    never the document bodies, and each duplicate class collapses
+    map-side first.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: k independent min-hashes over
+    the word n-gram shingle set. All array exprs, codegen'd."""
+    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+
+    def hasher(seed: int):
+        # single-arg lambda: a 2-arg callable would make F.transform
+        # bind the second param to the element index column
+        return lambda s: seeded_hash64(s, seed)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_shingles"), hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.withColumn("_shingles", shingles)
+        .withColumn("minhash", sig)
+        .select(id_col, "minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, num_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their MinHash signature
+    become a candidate pair. Explode to (band, band_hash, id), then a
+    per-bucket self-join — no global cross join ever materializes.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    exploded = (
+        sig_df.withColumn("_b", F.explode(bands))
+        .select(F.col(id_col).alias("id"), F.col("_b.band"), F.col("_b.bucket"))
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sig_df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard of candidate pairs = fraction of agreeing
+    minhash components."""
+    a = sig_df.select(F.col(sig_df.columns[0]).alias("id_a"), F.col("minhash").alias("sig_a"))
+    b = sig_df.select(F.col(sig_df.columns[0]).alias("id_b"), F.col("minhash").alias("sig_b"))
+    k = F.size(F.col("sig_a"))
+    agree = F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda v: v))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("est_jaccard", agree.cast("double") / k.cast("double"))
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard(df_a: DataFrame, join_key, text_a: str, text_b: str, n: int = 2) -> DataFrame:
+    """Exact token-set Jaccard between two text columns of an already
+    candidate-paired DataFrame (blocked/bucketed upstream — never run
+    this on an unblocked cross join at scale)."""
+    sa = F.array_distinct(word_shingles(F.col(text_a), n))
+    sb = F.array_distinct(word_shingles(F.col(text_b), n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return df_a.withColumn(
+        "jaccard",
+        F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0)),
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash document signature: per-token hash, sum ±1 per bit
+    position over the token multiset, sign -> bit. 16 bits keeps the
+    expression tree tractable while demonstrating the operator; the
+    construction is bit-count-generic.
+
+    Pure explode + groupBy: one shuffle on doc id, partial aggregation
+    map-side.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+    ).withColumn("_h", portable_hash64(F.col("_tok")))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def embedding_near_dup(
+    emb_df: DataFrame, id_col: str, vec_col: str, bucket_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Near-duplicate vectors: cosine > threshold among pairs sharing
+    an LSH bucket (bucketing from vectors.hyperplane_buckets). The
+    join key is the bucket — candidate set is linear-ish, not n²."""
+    from ..functions.vector import cosine_sim
+
+    a = emb_df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col(bucket_col).alias("bkt")
+    )
+    b = emb_df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col(bucket_col).alias("bkt")
+    )
+    return (
+        a.join(b, ["bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_sim(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") > threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+North-star requirement. The decode/feature-extraction kernels need
+codec libraries absent from this container, so the *kernels* are
+deterministic stubs behind a clearly-marked interface — but the
+Spark-side contract (schema, Arrow batch shape, partition sizing) is
+real and tested:
+
+- media rows are ``(id, media_type, payload binary, meta struct)``;
+- decode/resize/frame-sample run as ``mapInPandas`` over Arrow
+  batches — payload bytes never round-trip through Python row-by-row;
+- batch size is controlled by ``spark.sql.execution.arrow
+  .maxRecordsPerBatch`` and input split size, the two knobs that keep
+  executor memory bounded when payloads are MBs each.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of extract_features — fixed, so downstream plans are
+#: stable regardless of the kernel implementation.
+FEATURE_SCHEMA = (
+    "id long, media_type string, n_bytes long, sha256 string, width int, height int"
+)
+
+
+def attach_binary(df: DataFrame, text_col: str, media_type: str = "image") -> DataFrame:
+    """Fixture adapter: materialize an opaque binary payload column
+    (UTF-8 bytes of the text fixture) + typed metadata, mirroring how
+    real media ingestion lands (payload blob + sidecar metadata)."""
+    return df.select(
+        F.col(df.columns[0]).alias("id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.length(F.col(text_col)).alias("n_chars"),
+            F.lit("utf-8").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int]:
+    """STUB decode kernel. A real deployment plugs Pillow/ffmpeg here.
+
+    Returns a deterministic fake (width, height) derived from payload
+    length so tests have stable expectations without codec libs.
+    """
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """Per-payload feature extraction over Arrow batches
+    (``mapInPandas``): byte size, content hash, decoded dimensions
+    (stubbed). The iterator-of-batches shape is exactly what a real
+    image decode uses — swap ``_decode_stub`` only."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [_decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return media_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media_df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan* (kernel stubbed): declares the
+    output cardinality contract (explode of sampled frame indices) so
+    the shuffle/partition behavior downstream is real."""
+    n_frames = (F.length(F.col("payload")) / 1000).cast("int") + 1
+    return media_df.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
+    )

@@ -1,0 +1,78 @@
+"""Relational operators Spark lacks as single calls, composed from
+DataFrame primitives (SURVEY §2.3 J6/J7, §2.9 sessionization).
+
+Each is one shuffle on its natural key — no cross joins, no driver
+loops — so the composition survives a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row of the same
+    key with ``right_ts <= left_ts`` (the CDC "current snapshot at t"
+    operator, SURVEY §2.3 J7).
+
+    Implemented as union + one window pass — a single shuffle on
+    ``on`` — instead of a range join (which would need a BNL join) or
+    per-group merge_asof in Python. Scales with the key cardinality:
+    each key's timeline sorts independently.
+    """
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    r_tagged = (
+        right.select(on, right_ts, *right_cols)
+        .withColumn("_side", F.lit(0))
+        .withColumn("_ts", F.col(right_ts))
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in [right_ts, *right_cols]
+        ],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side", "_ts", right_ts, *right_cols)
+    for c in [right_ts, *right_cols]:
+        out = out.withColumnRenamed(f"_r_{c}", c)
+    return out
+
+
+def sessionize(
+    df: DataFrame, key: str, ts_col: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event of the same key exceeds ``gap_minutes``. Classic
+    lag + conditional cumsum — one shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap_sec = gap_minutes * 60
+    prev = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_sec), 1
+    ).otherwise(0)
+    return df.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("_new")
+
+
+def top_k_per_group(df: DataFrame, group_cols: list[str], order_col: str, k: int, desc: bool = True) -> DataFrame:
+    """Top-k rows per group via one ranking window (Catalyst executes
+    as partial top-k per partition under AQE, no global sort)."""
+    order = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")

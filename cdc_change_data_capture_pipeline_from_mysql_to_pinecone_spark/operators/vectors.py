@@ -1,0 +1,98 @@
+"""Vector similarity-search operators.
+
+The reference's read path is implied-but-unimplemented (embed_query at
+utils/embeddings_utils.py:10-14 has no caller; the Pinecone index is
+cosine, service_layer/service.py:91). Here it is a first-class
+operator pair:
+
+- ``cosine_topk``  : exact brute-force top-k — the correctness
+  baseline. One scan, one TakeOrderedAndProject (no global sort);
+  at 100 TB this is the per-partition top-k + driver merge Spark
+  already does for orderBy+limit.
+- ``hyperplane_buckets`` + ``ann_topk`` : random-hyperplane LSH — the
+  scale path. Docs hash to 2^n_planes buckets; a query probes only its
+  own bucket, cutting the scanned fraction by ~2^n while staying
+  deterministic (hyperplanes derive from the portable hash family, so
+  an external oracle can replay the bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded_hash64
+from ..functions.vector import cosine_sim
+
+
+def cosine_topk(emb_df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb_df.select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j is the
+    portable hash of (plane_idx, j) mapped to [-1, 1]. Computed
+    driver-side once (dim floats), broadcast as a literal array."""
+    # mirror of functions.hashing.portable_hash64 in plain python
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"plane{plane_idx}:{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+def hyperplane_buckets(emb_df: DataFrame, vec_col: str, dim: int, n_planes: int = 4) -> DataFrame:
+    """Append an LSH bucket id: bit b = sign(vec · plane_b). Buckets
+    partition the corpus into 2^n_planes cells; cosine-close vectors
+    land in the same cell with high probability."""
+    bucket = None
+    for b in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, b)])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb_df.withColumn("bucket", bucket.cast("int"))
+
+
+def ann_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: hash the query with the same hyperplanes,
+    scan only its bucket, exact cosine within. Recall trades off with
+    n_planes; multi-probe (flip one bit) would be the next refinement.
+    """
+    bucketed = hyperplane_buckets(emb_df, vec_col, dim, n_planes)
+    qb = 0
+    for b in range(n_planes):
+        plane = _hyperplane(dim, b)
+        d = sum(x * y for x, y in zip(query_vec, plane))
+        if d >= 0:
+            qb += 1 << b
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.filter(F.col("bucket") == qb)
+        .select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,3 @@
+from .inspect import assert_broadcast, assert_pushed_filters, explain_str
+
+__all__ = ["explain_str", "assert_pushed_filters", "assert_broadcast"]

@@ -1,0 +1,31 @@
+"""Plan-inspection helpers.
+
+The scale contract (filters reach the scan, small dims broadcast,
+codegen spans stay wide) is asserted in tests, not hoped for —
+`.explain` output is the interface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
+    """Assert a predicate was pushed into the parquet scan
+    (PushedFilters: [...] in the formatted plan)."""
+    plan = explain_str(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    if not any(fragment in ln for ln in pushed):
+        raise AssertionError(f"filter {fragment!r} not pushed; plan:\n{plan}")
+
+
+def assert_broadcast(df: DataFrame) -> None:
+    """Assert the plan contains a broadcast join (no shuffle of the
+    big side)."""
+    plan = explain_str(df)
+    if "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan:
+        raise AssertionError(f"no broadcast join in plan:\n{plan}")

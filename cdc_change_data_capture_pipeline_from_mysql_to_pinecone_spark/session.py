@@ -1,0 +1,39 @@
+"""SparkSession factory.
+
+Tuned for correctness-vs-DuckDB comparison (UTC session timezone) and
+for the local[32] test harness, while keeping every knob meaningful on
+a real multi-executor cluster:
+
+- AQE on: runtime coalescing, skew-join splitting, dynamic join
+  strategy switches — the knobs that matter at 100 TB.
+- shuffle.partitions sized to cores locally; on a cluster this would be
+  ~2-3x total cores (or left to AQE's coalescing with a high initial).
+- Arrow enabled for the (rare) pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cdc_pipeline_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,153 @@
+"""The reference's CDC sweep as Spark pipelines.
+
+Reference entry point 2 (controller/controller.py:17-35): every 300 s,
+for each table — read rows past the stored watermark, serialize to
+JSON, chunk by 100, embed, upsert vectors, advance the watermark.
+Delivery is at-least-once and replays are NOT idempotent (fresh uuid4
+chunk ids, service_layer/service.py:126,140 — SURVEY §2.9 T3).
+
+Here the same dataflow is:
+
+- ``cdc_tick``  — one micro-batch as a pure DataFrame DAG with
+  deterministic chunk ids, so replays are idempotent (exactly-once
+  effect on the sink given last-writer-wins upsert);
+- ``run_streaming_pipeline`` — the poll loop as Structured Streaming:
+  file source + ``foreachBatch`` sink + processing-time trigger
+  (trigger interval ≙ ``time.sleep(300)``, controller.py:35); offset
+  tracking is the built-in checkpoint, replacing the hand-rolled
+  watermark table (service.py:21-46) which remains available for
+  batch-mode parity;
+- ``embed_text`` — the embedding UDF (≙ utils/embeddings_utils.py:3-8,
+  ``model.encode`` on a batch of texts). Arrow-batched pandas_udf:
+  the model loads once per executor process (reference re-wraps it per
+  10-doc call, service.py:148,151). sentence-transformers is not in
+  this container, so the default kernel is a deterministic hashing
+  featurizer with the same shape/contract (384-dim unit vector); the
+  real model plugs in behind the same function when importable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import cdc
+
+EMBED_DIM = 384  # ≙ service_layer/service.py:90, utils/config.py:11
+
+_MODEL = None  # per-executor lazy singleton
+
+
+def _load_model():
+    """Try the real sentence-transformer; fall back to None (hashing
+    featurizer). Import-gated: the container has no model libs."""
+    global _MODEL
+    if _MODEL is None:
+        try:  # pragma: no cover - not installed in test env
+            from sentence_transformers import SentenceTransformer
+
+            _MODEL = SentenceTransformer("all-MiniLM-L6-v2")
+        except Exception:
+            _MODEL = False
+    return _MODEL
+
+
+def _hash_featurize(texts: list[str]) -> np.ndarray:
+    """Deterministic 384-dim unit-vector featurizer (model-free
+    fallback): token hashes scatter-add into the vector. Preserves
+    the contract cos(v,v)=1, dim=384, batch-vectorized."""
+    import hashlib
+
+    out = np.zeros((len(texts), EMBED_DIM), dtype=np.float64)
+    for i, t in enumerate(texts):
+        for tok in (t or "").split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            out[i, h % EMBED_DIM] += 1.0 if (h >> 60) & 1 else -1.0
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_text(texts: pd.Series) -> pd.Series:
+    """Batch text-embedding UDF (≙ U1). Arrow batches replace the
+    reference's manual batch_size=10 loop (service.py:151-157)."""
+    model = _load_model()
+    if model:
+        vecs = model.encode(texts.tolist())  # pragma: no cover
+    else:
+        vecs = _hash_featurize(texts.tolist())
+    return pd.Series([v.tolist() for v in np.asarray(vecs, dtype=np.float32)])
+
+
+def cdc_tick(
+    df: DataFrame,
+    *,
+    source: str,
+    change_col: str,
+    order_col: str,
+    watermark,
+    chunk_size: int = cdc.CHUNK_SIZE,
+    with_embeddings: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """One CDC micro-batch: returns (vector-sink rows, new watermark).
+
+    DAG: incremental scan (S4) -> canonical JSON (P6) -> chunk (W1/A2)
+    -> [embed (U1)] -> sink rows keyed by deterministic chunk id.
+    The watermark DF carries max(change_col) for the commit (S6).
+    """
+    delta = cdc.incremental_scan(df, change_col, watermark)
+    serialized = cdc.serialize_rows(delta)
+    chunks = cdc.chunk_documents(serialized, order_col, "data_string", source, chunk_size)
+    if with_embeddings:
+        chunks = chunks.withColumn("values", embed_text(F.col("document")))
+    sink_rows = chunks.select(
+        F.col("chunk_id").alias("id"),
+        *(["values"] if with_embeddings else []),
+        F.struct(
+            F.lit(source).alias("source"),
+            F.col("chunk_id").alias("id"),
+            F.col("document").alias("text"),
+        ).alias("metadata"),
+    )
+    new_wm = cdc.next_watermark(delta, change_col).withColumn("table_name", F.lit(source))
+    return sink_rows, new_wm
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    *,
+    source: str,
+    change_col: str,
+    order_col: str,
+    sink: list,
+    trigger_seconds: int = 300,
+    available_now: bool = True,
+) -> None:
+    """Structured-Streaming form of the poll loop (T1/T2).
+
+    File source -> foreachBatch(cdc_tick-shaped transform) -> caller's
+    ``sink`` list (test harness) or a real keyed writer. Offset
+    tracking is Spark's checkpoint; trigger_seconds=300 ≙ the
+    reference's sleep(300).
+    """
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        serialized = cdc.serialize_rows(batch_df)
+        chunks = cdc.chunk_documents(serialized, order_col, "data_string", source)
+        sink.append(chunks.select("chunk_id", "document", "n_rows").collect())
+
+    writer = stream.writeStream.foreachBatch(process)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+    else:  # pragma: no cover - long-running mode
+        q = writer.trigger(processingTime=f"{trigger_seconds} seconds").start()
+    q.awaitTermination(120)
