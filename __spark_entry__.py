@@ -638,7 +638,7 @@ def cdc_serialize_rows(spark, sf_dir):
              count(*) AS n_rows, min(doc_id) AS first_key, max(doc_id) AS last_key
       FROM numbered GROUP BY 1
     )
-    SELECT 'documents#' || chunk_no::VARCHAR AS chunk_id,
+    SELECT 'documents#' || first_key::VARCHAR AS chunk_id,
            CAST(n_rows AS BIGINT) AS n_rows, first_key, last_key,
            md5(document) AS doc_md5
     FROM chunks

@@ -86,9 +86,10 @@ def chunk_documents(
     Refinements over the reference, documented in SURVEY §7:
     - deterministic order (the reference inherits unspecified cursor
       order) — rows are sorted by ``order_col`` inside the chunk;
-    - deterministic chunk id ``source#chunk_no`` instead of uuid4
-      (service.py:126,140), which makes replays idempotent (the
-      reference's replays duplicate vectors, SURVEY §2.9 T3).
+    - deterministic chunk id ``source#first_key`` (min order key in
+      the chunk) instead of uuid4 (service.py:126,140): replays are
+      idempotent (the reference's replays duplicate vectors, SURVEY
+      §2.9 T3) and ids never collide across incremental ticks.
 
     The global row_number is a single-table sort — at 100 TB scale the
     chunk id would switch to ``(partition_key, row_number within
@@ -114,7 +115,7 @@ def chunk_documents(
             F.min(order_col).alias("first_key"),
             F.max(order_col).alias("last_key"),
         )
-        .withColumn("chunk_id", F.concat_ws("#", F.lit(source), F.col("chunk_no").cast("string")))
+        .withColumn("chunk_id", F.concat_ws("#", F.lit(source), F.col("first_key").cast("string")))
     )
 
 

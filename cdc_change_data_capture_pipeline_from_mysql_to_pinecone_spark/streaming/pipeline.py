@@ -121,11 +121,10 @@ def cdc_tick(
 
 def run_streaming_pipeline(
     spark: SparkSession,
-    source_path: str,
-    schema: T.StructType,
+    sf_dir: str,
+    table: str,
     *,
     source: str,
-    change_col: str,
     order_col: str,
     sink: list,
     trigger_seconds: int = 300,
@@ -133,14 +132,32 @@ def run_streaming_pipeline(
 ) -> None:
     """Structured-Streaming form of the poll loop (T1/T2).
 
-    File source -> foreachBatch(cdc_tick-shaped transform) -> caller's
-    ``sink`` list (test harness) or a real keyed writer. Offset
-    tracking is Spark's checkpoint; trigger_seconds=300 ≙ the
-    reference's sleep(300).
+    File source (directory + glob — FileStreamSource requires a
+    directory basePath) -> foreachBatch(cdc_tick-shaped transform) ->
+    caller's ``sink`` list (test harness) or a real keyed writer.
+    Offset tracking is Spark's checkpoint; trigger_seconds=300 ≙ the
+    reference's sleep(300). Parquet TIMESTAMP(NANOS) columns are read
+    as raw int64 and converted per batch (Spark 4 rejects the physical
+    type; see sources.tables).
     """
-    stream = spark.readStream.schema(schema).parquet(source_path)
+    import os
+
+    from ..sources.tables import _nanos_ts_columns
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    ns_cols = _nanos_ts_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        for c in ns_cols:
+            batch_df = batch_df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         serialized = cdc.serialize_rows(batch_df)
         chunks = cdc.chunk_documents(serialized, order_col, "data_string", source)
         sink.append(chunks.select("chunk_id", "document", "n_rows").collect())

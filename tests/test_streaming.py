@@ -1,0 +1,62 @@
+"""Streaming pipeline tests: the reference's poll loop as Structured
+Streaming (SURVEY §2.9 T1-T3) + CDC replay-idempotency properties."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table  # noqa: E402
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (  # noqa: E402
+    cdc_tick,
+    run_streaming_pipeline,
+)
+
+
+def test_streaming_pipeline_available_now(spark, sf_dir):
+    sink = []
+    run_streaming_pipeline(
+        spark, sf_dir, "events", source="events", order_col="event_id", sink=sink
+    )
+    assert len(sink) == 1  # one micro-batch (availableNow over one file)
+    chunks = sink[0]
+    assert sum(r["n_rows"] for r in chunks) == 1000
+    ids = sorted(r["chunk_id"] for r in chunks)
+    assert ids[0] == "events#0"  # first_key (min event_id) of the first chunk
+    assert all(r["n_rows"] == 100 for r in chunks)
+
+
+def test_cdc_tick_replay_idempotent(spark, sf_dir):
+    """Replaying the same delta yields identical sink rows (the
+    reference would duplicate: uuid4 ids, SURVEY §2.9 T3)."""
+    e = load_table(spark, sf_dir, "events")
+    rows1, wm1 = cdc_tick(e, source="events", change_col="ts", order_col="event_id", watermark="2024-01-15")
+    rows2, _ = cdc_tick(e, source="events", change_col="ts", order_col="event_id", watermark="2024-01-15")
+    a = sorted((r["id"], r["metadata"]["text"]) for r in rows1.collect())
+    b = sorted((r["id"], r["metadata"]["text"]) for r in rows2.collect())
+    assert a == b
+
+
+def test_cdc_incremental_covers_exactly_once(spark, sf_dir):
+    """Watermark protocol: every event lands in exactly one tick, and
+    cross-tick chunk ids never collide (the invariant the reference
+    assumes but never tests, SURVEY §5.5 / §2.9 T3)."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = "1970-01-01"
+    first = e.filter(F.col("ts") <= F.lit("2024-01-15").cast("timestamp"))
+    t1_rows, t1_wm = cdc_tick(first, source="events", change_col="ts", order_col="event_id", watermark=epoch)
+    wm_val = t1_wm.collect()[0]["last_updated"]
+    t2_rows, _ = cdc_tick(e, source="events", change_col="ts", order_col="event_id", watermark=wm_val)
+
+    ids1 = {r["id"] for r in t1_rows.collect()}
+    ids2 = {r["id"] for r in t2_rows.collect()}
+    assert ids1 and ids2
+    assert not (ids1 & ids2), "chunk ids must not collide across ticks"
+
+    n_first = first.count()
+    n_second = e.filter(F.col("ts") > F.lit(wm_val)).count()
+    assert n_first + n_second == e.count()
