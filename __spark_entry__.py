@@ -749,16 +749,26 @@ def _duck_shingles(n: int = 3) -> str:
 
 
 def _duck_minhash_sql(num_hashes: int) -> str:
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        MERSENNE31,
+        universal_coeffs,
+    )
+
+    coeffs = universal_coeffs(num_hashes)
     hash_cols = ",\n           ".join(
-        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5(s || '#seed{i}'), 1, 15))::BIGINT)) AS h{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MERSENNE31})) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     return f"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-         sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks)
+         sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
+         bh AS (SELECT doc_id,
+                       list_transform(shingles,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS base
+                FROM sh)
     SELECT doc_id,
            {hash_cols}
-    FROM sh
+    FROM bh
     """
 
 
@@ -772,9 +782,15 @@ def dedup_minhash_signatures(spark, sf_dir):
 
 
 def _duck_lsh_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_band: int = 4) -> str:
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        MERSENNE31,
+        universal_coeffs,
+    )
+
+    coeffs = universal_coeffs(num_hashes)
     hash_cols = ",\n           ".join(
-        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5(s || '#seed{i}'), 1, 15))::BIGINT)) AS h{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MERSENNE31})) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     band_rows = "\n      UNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
@@ -785,7 +801,11 @@ def _duck_lsh_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_band: int =
     return f"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
          sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
-         sig AS (SELECT doc_id, {hash_cols} FROM sh),
+         bh AS (SELECT doc_id,
+                       list_transform(shingles,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS base
+                FROM sh),
+         sig AS (SELECT doc_id, {hash_cols} FROM bh),
          bands AS ({band_rows})
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
     FROM bands l JOIN bands r

@@ -25,8 +25,41 @@ def portable_hash64(col: Column) -> Column:
 
 def seeded_hash64(col: Column, seed: int) -> Column:
     """Independent hash family member: hash of the value salted with
-    the seed. Used for the k minhash permutations."""
+    the seed. One full md5 per (value, seed) — prefer the universal
+    family below when k hashes of the same value are needed."""
     return portable_hash64(F.concat(col, F.lit(f"#seed{seed}")))
+
+
+#: Mersenne prime 2^31-1: keeps a*h+b < 2^63 so Spark (wrapping Java
+#: long) and strict-overflow engines (DuckDB BIGINT) compute identical
+#: values.
+MERSENNE31 = 2_147_483_647
+
+
+def universal_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod MERSENNE31, derived from md5 so any
+    engine/driver can regenerate them."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"uh-a{i}".encode()).hexdigest()[:15], 16) % (MERSENNE31 - 1) + 1
+        b = int(hashlib.md5(f"uh-b{i}".encode()).hexdigest()[:15], 16) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def base_hash31(col: Column) -> Column:
+    """Content hash reduced into the Mersenne field — the single md5
+    evaluation the universal family members derive from."""
+    return portable_hash64(col) % MERSENNE31
+
+
+def universal_hash(base: Column, a: int, b: int) -> Column:
+    """h_i over a precomputed base_hash31 value: one multiply-add,
+    no additional md5."""
+    return (F.lit(a) * base + F.lit(b)) % MERSENNE31
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import portable_hash64, seeded_hash64, word_shingles
+from ..functions.hashing import (
+    base_hash31,
+    portable_hash64,
+    universal_coeffs,
+    universal_hash,
+    word_shingles,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -43,25 +49,31 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: k independent min-hashes over
-    the word n-gram shingle set. All array exprs, codegen'd."""
-    shingles = F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+    """MinHash signature per document: k min-hashes over the word
+    n-gram shingle set via a universal hash family — each shingle is
+    md5'd ONCE (base hash), the k family members are multiply-adds in
+    the Mersenne-31 field.
 
-    def hasher(seed: int):
-        # single-arg lambda: a 2-arg callable would make F.transform
-        # bind the second param to the element index column
-        return lambda s: seeded_hash64(s, seed)
+    Shape: explode shingles -> one row-wise base hash -> grouped MIN
+    per family member. The row-wise projection keeps the md5 evaluated
+    once per shingle (array-transform formulations let CollapseProject
+    inline the shingle expression into every one of the k lambdas — a
+    k-fold recompute), and the grouped MINs combine map-side, so the
+    shuffle carries only (id, k longs) per document."""
+    from ..plans.partitioning import ensure_parallelism
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_shingles"), hasher(i)))
-            for i in range(num_hashes)
-        ]
-    )
+    exploded = ensure_parallelism(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_s"),
+    ).select(F.col(id_col), base_hash31(F.col("_s")).alias("_h"))
+    sig_cols = [
+        F.min(universal_hash(F.col("_h"), a, b)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(universal_coeffs(num_hashes))
+    ]
     return (
-        df.withColumn("_shingles", shingles)
-        .withColumn("minhash", sig)
-        .select(id_col, "minhash")
+        exploded.groupBy(id_col)
+        .agg(*sig_cols)
+        .select(F.col(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("minhash"))
     )
 
 
@@ -93,16 +105,28 @@ def lsh_candidate_pairs(
         sig_df.withColumn("_b", F.explode(bands))
         .select(F.col(id_col).alias("id"), F.col("_b.band"), F.col("_b.bucket"))
     )
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+    # Group ids per bucket and expand pairs inside the array — computes
+    # the signatures once (a self-join would re-evaluate the whole
+    # upstream for each side) and shuffles only (band, bucket, id).
+    # Degenerate buckets (boilerplate shared by everything) would blow
+    # up quadratically at scale — production runs should cap them via
+    # a size filter before pair expansion.
+    ids = F.array_sort(F.collect_list("id"))
+    pair_expand = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    return (
+        exploded.groupBy("band", "bucket")
+        .agg(ids.alias("_ids"))
+        .filter(F.size("_ids") > 1)
+        .select(F.explode(pair_expand).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
 
@@ -145,7 +169,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     Pure explode + groupBy: one shuffle on doc id, partial aggregation
     map-side.
     """
-    toks = df.select(
+    from ..plans.partitioning import ensure_parallelism
+
+    toks = ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
     ).withColumn("_h", portable_hash64(F.col("_tok")))

@@ -1,3 +1,4 @@
 from .inspect import assert_broadcast, assert_pushed_filters, explain_str
+from .partitioning import ensure_parallelism
 
-__all__ = ["explain_str", "assert_pushed_filters", "assert_broadcast"]
+__all__ = ["explain_str", "assert_pushed_filters", "assert_broadcast", "ensure_parallelism"]
