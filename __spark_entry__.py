@@ -1210,6 +1210,327 @@ def mm_binary_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Relational batch 2: stats, collect/arg aggs, cube, unpivot, subqueries,
+# array/map/math function surface
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_stats_lineitem",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)              AS sd_qty,
+           round(var_samp(l_discount), 6)                 AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 4)    AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6)   AS covar_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_lineitem(spark, sf_dir):
+    """Statistical aggregates (A4 extended): stddev/variance/corr/covar."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+@_q(
+    "agg_percentile_prices",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_prices(spark, sf_dir):
+    """Exact interpolated percentiles (A5; percentile_approx is the
+    scale path — approx sketches differ across engines, so the exact
+    variant carries the oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+@_q(
+    "agg_collect_nations",
+    """
+    SELECT r_name,
+           list_sort(list(n_name))                       AS nations,
+           CAST(count(*) AS BIGINT)                      AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_collect_nations(spark, sf_dir):
+    """collect_list with explicit intra-group order (A8)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "agg_minby_maxby_events",
+    """
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type,
+           epoch_us(min(ts)) AS first_ts_us,
+           epoch_us(max(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_minby_maxby_events(spark, sf_dir):
+    """first/last-by-time aggregates (A8) via min_by/max_by."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+    )
+
+
+@_q(
+    "agg_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark, sf_dir):
+    """CUBE grouping sets (A6)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
+    "unpivot_customer_metrics",
+    """
+    SELECT c_custkey, metric, round(val, 2) AS val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, c_nationkey::DOUBLE AS val FROM customer
+    ) t
+    """,
+)
+def unpivot_customer_metrics(spark, sf_dir):
+    """Unpivot / melt (wide -> long)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", F.col("c_acctbal"), F.col("c_nationkey").cast("double"))
+        .unpivot("c_custkey", ["c_acctbal", "c_nationkey"], "metric", "val")
+        .select(
+            "c_custkey",
+            F.when(F.col("metric") == "c_acctbal", "acctbal").otherwise("nationkey").alias("metric"),
+            F.round("val", 2).alias("val"),
+        )
+    )
+
+
+@_q(
+    "subquery_above_avg_customers",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def subquery_above_avg_customers(spark, sf_dir):
+    """Uncorrelated scalar subquery (SQL surface)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+@_q(
+    "subquery_correlated_order_above_cust_avg",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def subquery_correlated_order_above_cust_avg(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates into an
+    aggregate + join (SURVEY §4 'subquery decorrelation')."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@_q(
+    "scalar_math_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4)                 AS abs_d,
+           round(pow(l_quantity, 2), 2)                     AS qty_sq,
+           round(sqrt(l_extendedprice), 4)                  AS price_sqrt,
+           round(ln(l_extendedprice + 1), 4)                AS price_ln,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT)    AS price_k,
+           CAST(ceil(l_quantity) AS BIGINT)                 AS qty_ceil,
+           round(l_extendedprice % 97, 4)                   AS price_mod
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def scalar_math_lineitem(spark, sf_dir):
+    """Math function surface (F9)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_d"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.round(F.col("l_extendedprice") % 97, 4).alias("price_mod"),
+    )
+
+
+@_q(
+    "array_ops_documents",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                          AS n_toks,
+           array_to_string(toks[1:3], ' ')                    AS head3,
+           CAST(len(list_distinct(toks)) AS BIGINT)           AS n_uniq,
+           list_contains(toks, 'spark')                       AS has_spark,
+           list_sort(list_distinct(toks))[1]                  AS first_alpha
+    FROM t
+    """,
+)
+def array_ops_documents(spark, sf_dir):
+    """Array function surface (F10): size/slice/distinct/contains/sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head3"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_sort(F.array_distinct(toks))[0].alias("first_alpha"),
+    )
+
+
+@_q(
+    "map_ops_events",
+    """
+    SELECT event_id,
+           map(['type', 'k'], [event_type, json_extract_string(props, '$.k')])['k'][1]
+             AS k_from_map,
+           CAST(len(map_keys(map(['type', 'k'],
+                [event_type, json_extract_string(props, '$.k')]))) AS BIGINT) AS n_keys
+    FROM events
+    """,
+)
+def map_ops_events(spark, sf_dir):
+    """Map construction + access surface (F11)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return e.select(
+        "event_id",
+        m["k"].alias("k_from_map"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    SELECT doc_id AS id,
+           CAST(unnest(generate_series(0,
+                CAST(octet_length(encode(text)) / 1000 AS INTEGER), 30)) AS BIGINT)
+             AS frame_idx
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan contract (multimodal): per-payload
+    frame-index explode — output cardinality and partitioning are the
+    real contract, the decoder is stubbed."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(d.select("doc_id", "text"), "text")
+    frames = multimodal.frame_sample_plan(media, every_n=30)
+    return frames.select("id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+@_q("embed_documents", None)  # non-SQL-expressible: pandas_udf kernel
+def embed_documents(spark, sf_dir):
+    """Batch embedding UDF over Arrow batches (U1, ≙ model.encode at
+    embeddings_utils.py:7-8). Kernel is the deterministic hashing
+    featurizer when sentence-transformers is absent; contract checks:
+    dim=384, unit norm."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        embed_text,
+    )
+
+    d = _t(spark, sf_dir, "documents").limit(200)
+    emb = d.select("doc_id", embed_text(F.col("text")).alias("vec"))
+    return emb.select(
+        "doc_id",
+        F.size("vec").alias("dim"),
+        F.round(l2_norm(F.col("vec")), 4).alias("norm"),
+    )
+
+
+@_q("search_end_to_end", None)  # non-SQL-expressible: embeds via pandas_udf
+def search_end_to_end(spark, sf_dir):
+    """The reference's implied read path completed (entry point 3,
+    SURVEY §3): embed documents -> embed a query string -> cosine
+    top-k over the embedded corpus."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        _hash_featurize,
+        embed_text,
+    )
+
+    d = _t(spark, sf_dir, "documents").limit(200)
+    corpus = d.select("doc_id", embed_text(F.col("text")).alias("vec"))
+    qvec = [float(x) for x in _hash_featurize(["spark query join stream"])[0]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    return (
+        corpus.select("doc_id", F.round(cosine_sim(F.col("vec"), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

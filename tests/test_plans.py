@@ -1,0 +1,82 @@
+"""Plan-shape tests: the 100 TB contract asserted on .explain output.
+
+Correct results with a wrong plan (filter not pushed, dim not
+broadcast, agg not partial) pass value tests but die at scale — so the
+plan shape is tested explicitly (SURVEY §4)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import cdc  # noqa: E402
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.plans import (  # noqa: E402
+    assert_broadcast,
+    assert_pushed_filters,
+    explain_str,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table  # noqa: E402
+
+
+def test_incremental_scan_filter_pushed(spark, sf_dir):
+    """The CDC watermark predicate must reach the scan (≙ the
+    reference inlining it into source SQL, service.py:53)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = cdc.incremental_scan(li, "l_shipdate", "1998-01-01").select("l_orderkey")
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = explain_str(li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "l_extendedprice" not in read_schema[0], read_schema[0]
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    df = entrymod.queries()["q3_shipping_priority"](spark, sf_dir)
+    assert_broadcast(df)
+
+
+def test_q5_star_join_all_broadcast(spark, sf_dir):
+    """Q5's dim chain must broadcast — zero shuffled joins besides the
+    fact-side aggregation."""
+    df = entrymod.queries()["q5_region_revenue"](spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Hash agg must run in partial+final mode (map-side combine)."""
+    df = entrymod.queries()["q1_pricing_summary"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "HashAggregate" in plan, plan
+    assert "partial_" in plan.lower() or "Partial" in plan, plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a full
+    Exchange+Sort."""
+    df = entrymod.queries()["sort_topk_lineitem"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_minhash_partial_min(spark, sf_dir):
+    """MinHash signature agg must combine map-side: the shuffle
+    carries (id, k longs), not shingles."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = explain_str(minhash_signatures(d, "text", "doc_id", 8))
+    assert "partial_min" in plan, plan

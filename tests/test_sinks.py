@@ -1,0 +1,44 @@
+"""Keyed upsert sink tests (S6/S8 semantics: last-writer-wins MERGE,
+replay idempotent — the exactly-once fix over the reference's
+at-least-once duplicate-producing replays, SURVEY §2.9 T3)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import upsert_parquet  # noqa: E402
+
+
+def test_upsert_last_writer_wins(spark, tmp_path):
+    path = str(tmp_path / "watermark")
+    v1 = spark.createDataFrame(
+        [("events", "2024-01-10", 1), ("orders", "2024-01-05", 1)],
+        "table_name string, last_updated string, version int",
+    )
+    upsert_parquet(spark, path, v1, ["table_name"], "version")
+    v2 = spark.createDataFrame(
+        [("events", "2024-01-20", 2)],
+        "table_name string, last_updated string, version int",
+    )
+    upsert_parquet(spark, path, v2, ["table_name"], "version")
+
+    got = {r["table_name"]: (r["last_updated"], r["version"]) for r in spark.read.parquet(path).collect()}
+    assert got == {"events": ("2024-01-20", 2), "orders": ("2024-01-05", 1)}
+
+
+def test_upsert_replay_idempotent(spark, tmp_path):
+    path = str(tmp_path / "vectors")
+    batch = spark.createDataFrame(
+        [("events#0", 1.0, 7), ("events#100", 2.0, 7)],
+        "id string, score double, version int",
+    )
+    upsert_parquet(spark, path, batch, ["id"], "version")
+    upsert_parquet(spark, path, batch, ["id"], "version")  # replay
+    df = spark.read.parquet(path)
+    assert df.count() == 2
+    assert df.groupBy("id").count().agg(F.max("count")).collect()[0][0] == 1
