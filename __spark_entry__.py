@@ -712,6 +712,102 @@ def asof_join_purchase_click(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_catalog_watermark_join",
+    """
+    WITH catalog AS (SELECT DISTINCT event_type AS table_name FROM events
+                     UNION ALL SELECT 'watermark'),
+         wm AS (SELECT event_type AS table_name, max(ts) AS last_updated
+                FROM events WHERE event_type IN ('click', 'view') GROUP BY 1)
+    SELECT c.table_name,
+           epoch_us(w.last_updated) AS last_updated_us,
+           w.last_updated IS NULL AS needs_full_scan
+    FROM catalog c LEFT JOIN wm w ON c.table_name = w.table_name
+    WHERE c.table_name <> 'watermark'
+    """,
+)
+def cdc_catalog_watermark_join(spark, sf_dir):
+    """The reference's control loop as relational algebra (J1/J2):
+    catalog ⋈ watermark left-outer (missing watermark -> NULL -> full
+    scan branch, ≙ service.py:27-30,52-57) with the bookkeeping table
+    excluded (≙ controller.py:24). Watermark side broadcast — it is
+    always tiny."""
+    e = _t(spark, sf_dir, "events")
+    catalog = (
+        e.select(F.col("event_type").alias("table_name"))
+        .distinct()
+        .unionByName(spark.createDataFrame([("watermark",)], "table_name string"))
+    )
+    wm = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("event_type").alias("table_name"))
+        .agg(F.max("ts").alias("last_updated"))
+    )
+    return (
+        catalog.filter(F.col("table_name") != "watermark")
+        .join(F.broadcast(wm), "table_name", "left")
+        .select(
+            "table_name",
+            F.unix_micros("last_updated").alias("last_updated_us"),
+            F.col("last_updated").isNull().alias("needs_full_scan"),
+        )
+    )
+
+
+@_q(
+    "window_ranking_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6)     AS prnk,
+           lead(o_orderkey) OVER w             AS next_ok,
+           lag(o_orderkey)  OVER w             AS prev_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ranking_suite(spark, sf_dir):
+    """Full ranking-function surface (W3/W4): rank, dense_rank, ntile,
+    percent_rank, lead, lag over one window definition."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+        F.lag("o_orderkey").over(w).alias("prev_ok"),
+    )
+
+
+@_q(
+    "string_similarity_parts",
+    """
+    WITH pairs AS (SELECT p_partkey, p_name,
+                          lead(p_name) OVER (ORDER BY p_partkey) AS next_name
+                   FROM part)
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, next_name) AS BIGINT) AS lev
+    FROM pairs WHERE next_name IS NOT NULL
+    """,
+)
+def string_similarity_parts(spark, sf_dir):
+    """Edit-distance similarity (F7): levenshtein over candidate pairs
+    (consecutive keys here; blocking is the candidate generator's job)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.orderBy("p_partkey")
+    pairs = p.select("p_partkey", "p_name", F.lead("p_name").over(w).alias("next_name"))
+    return pairs.filter(F.col("next_name").isNotNull()).select(
+        "p_partkey",
+        F.levenshtein("p_name", "next_name").cast("long").alias("lev"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup (north star)
 # ---------------------------------------------------------------------------

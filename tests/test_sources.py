@@ -1,0 +1,54 @@
+"""Source-format tests (S10-S12): CSV/JSON ingestion round-trips the
+parquet fixture semantics; JDBC options carry the scale contract."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (  # noqa: E402
+    jdbc_reader_options,
+    load_table,
+)
+
+
+def test_csv_scan_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.csv(out, header=True, inferSchema=True)
+    assert back.count() == nation.count()
+    assert {r["n_name"] for r in back.collect()} == {r["n_name"] for r in nation.collect()}
+
+
+def test_json_scan_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_json")
+    region.write.mode("overwrite").json(out)
+    back = spark.read.schema(region.schema).json(out)
+    assert sorted(r["r_name"] for r in back.collect()) == sorted(
+        r["r_name"] for r in region.collect()
+    )
+
+
+def test_json_lines_parse(spark, sf_dir):
+    """events.props is JSON-lines content: from_json must parse it
+    (F12 inverse of the serialize operator)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(F.from_json("props", "k int").alias("p")).select("p.k")
+    assert parsed.filter(F.col("k").isNotNull()).count() == e.count()
+
+
+def test_jdbc_options_contract():
+    """The MySQL path must range-partition on the PK (bounded-memory
+    scans; the reference fetchall's the whole delta, service.py:59)."""
+    opts = jdbc_reader_options(
+        "jdbc:mysql://host:3306/task1", "events", "event_id", 0, 1_000_000, num_partitions=64
+    )
+    assert opts["partitionColumn"] == "event_id"
+    assert opts["numPartitions"] == "64"
+    assert opts["pushDownPredicate"] == "true"

@@ -1,0 +1,90 @@
+"""Structured Streaming operator tests (T4-T6): event-time windows
+with watermark, streaming dedup — driven to completion with
+availableNow + memory sink."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table  # noqa: E402
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.tables import (  # noqa: E402
+    _nanos_ts_columns,
+)
+
+
+def _events_stream(spark, sf_dir):
+    path = os.path.join(sf_dir, "events.parquet")
+    ns_cols = _nanos_ts_columns(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return stream
+
+
+def test_windowed_agg_with_watermark(spark, sf_dir):
+    """Tumbling 1h event-time windows + 10min watermark (T4/T5): the
+    streaming result must equal the batch twin."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_agg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_type, sum(n) AS n FROM win_agg GROUP BY event_type")
+
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # append mode with availableNow emits only closed windows: every
+    # window except the one holding max(ts) per type is final. Compare
+    # against batch counts minus the open tail window.
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    open_tail = {
+        r["event_type"]: r["n"]
+        for r in batch.filter(
+            F.date_trunc("hour", F.col("ts")) == F.date_trunc("hour", F.lit(max_ts))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_map = {r["event_type"]: r["n"] for r in got.collect()}
+    for et, n in expected.items():
+        assert got_map.get(et, 0) == n - open_tail.get(et, 0), et
+
+
+def test_streaming_dropduplicates(spark, sf_dir):
+    """Streaming dedup on the key column (T6): duplicate-free output."""
+    stream = _events_stream(spark, sf_dir).select("event_id", "event_type")
+    deduped = stream.dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
+    assert n["n"] == n["d"] == 1000
