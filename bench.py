@@ -48,7 +48,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # 8 shuffle partitions right-sizes the ~10 MB shuffles of sf0.1
+    # (32 cores over-schedules tiny tasks); scale runs override via
+    # SPARK_GRAFT_SHUFFLE, and AQE coalesces further at runtime.
+    spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))
     queries = entrymod.queries()
 
     # JVM/reader warm-up (not timed): touch each fixture once.

@@ -53,7 +53,15 @@ def _nanos_ts_columns(path: str) -> list[str]:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one fixture table (≙ reference full scan S3,
-    service.py:56-57, but columnar with pushdown/pruning)."""
+    service.py:56-57, but columnar with pushdown/pruning).
+
+    Note: the fixture files are a single parquet row group, so the
+    scan itself cannot split — a repartition-after-read was measured
+    NET NEGATIVE for scan->agg/join plans at sf0.1 (the exchange costs
+    more than the parallelism buys); CPU-heavy operators instead widen
+    their own input via plans.partitioning.ensure_parallelism, which
+    is a no-op on real multi-split inputs.
+    """
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
