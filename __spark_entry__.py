@@ -20,10 +20,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
-    seeded_hash64,
-    word_shingles,
-)
 from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
     cosine_sim,
     l2_norm,
@@ -969,6 +965,56 @@ def dedup_jaccard_consecutive(spark, sf_dir):
     return out.select("doc_id", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _duck_minhash_est_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_band: int = 4) -> str:
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        MERSENNE31,
+        universal_coeffs,
+    )
+
+    coeffs = universal_coeffs(num_hashes)
+    hash_cols = ",\n           ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MERSENNE31})) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band))
+        + ")) AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
+         bh AS (SELECT doc_id,
+                       list_transform(shingles,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS base
+                FROM sh),
+         sig AS (SELECT doc_id, {hash_cols} FROM bh),
+         bands AS ({band_rows}),
+         pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                   FROM bands l JOIN bands r
+                     ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+    SELECT p.id_a, p.id_b,
+           round(({agree})::DOUBLE / {num_hashes}, 4) AS est_jaccard
+    FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id
+    """
+
+
+@_q("dedup_minhash_est_jaccard", _duck_minhash_est_sql())
+def dedup_minhash_est_jaccard(spark, sf_dir):
+    """Estimated Jaccard for LSH candidate pairs: fraction of agreeing
+    minhash components (the filter stage between candidate generation
+    and exact verification in a production dedup pipeline)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dedup.minhash_signatures(d, "text", "doc_id", num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", num_bands=4, rows_per_band=4)
+    est = dedup.minhash_jaccard_estimate(sig, pairs)
+    return est.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (north star)
 # ---------------------------------------------------------------------------
@@ -1309,6 +1355,48 @@ def mm_binary_features(spark, sf_dir):
 # Relational batch 2: stats, collect/arg aggs, cube, unpivot, subqueries,
 # array/map/math function surface
 # ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_cross_region_nation",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross_region_nation(spark, sf_dir):
+    """Explicit cross join (J8) — the building block brute-force
+    similarity starts from before bucketing prunes it."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@_q(
+    "window_range_frame_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_frame_spend(spark, sf_dir):
+    """RANGE frame over event-time (W5): rolling 30-day spend per
+    customer — value-based frames, not row counts."""
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
 
 
 @_q(

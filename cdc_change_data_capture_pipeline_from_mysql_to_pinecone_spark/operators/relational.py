@@ -76,3 +76,28 @@ def top_k_per_group(df: DataFrame, group_cols: list[str], order_col: str, k: int
     order = F.col(order_col).desc() if desc else F.col(order_col).asc()
     w = Window.partitionBy(*group_cols).orderBy(order)
     return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key into
+    ``salt_buckets`` sub-keys and replicate the small side across all
+    buckets, so one hot key spreads over ``salt_buckets`` tasks
+    instead of stalling a single reducer.
+
+    Complements AQE's skew-join splitting (enabled in the session
+    factory), which only kicks in for sort-merge joins past size
+    thresholds — salting also covers aggregation-feeding joins and
+    deterministic plans. Cost: small side replicated x buckets, so
+    keep it for genuinely small dimension sides.
+    """
+    salted_big = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
+    salted_small = small.select("*", salts)
+    out = salted_big.join(salted_small, [on, "_salt"], how)
+    return out.drop("_salt")

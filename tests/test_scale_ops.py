@@ -1,0 +1,59 @@
+"""Scale-engineering operator tests: salted skew joins agree with
+plain joins; bucketed tables co-locate joins (no Exchange)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (  # noqa: E402
+    salted_join,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.plans import explain_str  # noqa: E402
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table  # noqa: E402
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.sinks import (  # noqa: E402
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = (
+        o.join(c, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("t"))
+    )
+    salted = (
+        salted_join(o, c, "o_custkey", salt_buckets=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("t"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, "li_bkt", "l_orderkey", 8, sort_col="l_orderkey")
+        write_bucketed(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_bkt", "l_orderkey", 8,
+            sort_col="l_orderkey",
+        )
+        joined = spark.table("li_bkt").join(spark.table("o_bkt"), "l_orderkey")
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan, plan
+        # co-located: bucketed scans feed the join with no Exchange
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
