@@ -1351,6 +1351,161 @@ def mm_binary_features(spark, sf_dir):
     )
 
 
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + conjunctive pushed filter + global
+    agg — the pattern where pushdown/pruning does all the work."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join + grouped top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT r_name, c_mktsegment,
+           round(sum(c_acctbal), 2) AS acctbal, count(*) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (A6) via the SQL surface."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r_name, c_mktsegment,
+               round(sum(c_acctbal), 2) AS acctbal, count(*) AS n
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        """
+    )
+
+
+@_q(
+    "cdc_late_data_rescan",
+    f"""
+    SELECT count(*) AS n_with_tolerance,
+           (SELECT count(*) FROM events WHERE ts > TIMESTAMP '{WM}') AS n_strict
+    FROM events
+    WHERE ts > TIMESTAMP '{WM}' - INTERVAL 60 MINUTE
+    """,
+)
+def cdc_late_data_rescan(spark, sf_dir):
+    """Late-data-tolerant rescan (T4): the strict watermark predicate
+    silently loses late rows (service.py:53); a bounded tolerance tail
+    + idempotent ids recovers them."""
+    e = _t(spark, sf_dir, "events")
+    tolerant = cdc.rescan_with_tolerance(e, "ts", WM, tolerance_minutes=60)
+    strict = cdc.incremental_scan(e, "ts", WM)
+    return tolerant.agg(F.count(F.lit(1)).alias("n_with_tolerance")).crossJoin(
+        strict.agg(F.count(F.lit(1)).alias("n_strict"))
+    )
+
+
+@_q(
+    "set_ops_all_variants",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'intersect_all' AS op, count(*) AS n
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, count(*) AS n
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    """,
+)
+def set_ops_all_variants(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL — multiset semantics (§2.7)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    rows = [("intersect_all", a.intersectAll(b)), ("except_all", a.exceptAll(b))]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@_q("agg_approx_sketches", None)  # sketch algorithms differ across engines
+def agg_approx_sketches(spark, sf_dir):
+    """Approximate aggregates (A5): HLL++ distinct + approximate
+    percentile — the sketch-based scale path (exact variants carry the
+    oracles; sketches are engine-specific by design)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational batch 2: stats, collect/arg aggs, cube, unpivot, subqueries,
 # array/map/math function surface

@@ -36,6 +36,17 @@ def incremental_scan(df: DataFrame, change_col: str, watermark) -> DataFrame:
     return df.filter(F.col(change_col) > F.lit(watermark))
 
 
+def rescan_with_tolerance(df: DataFrame, change_col: str, watermark, tolerance_minutes: int) -> DataFrame:
+    """Late-data-tolerant incremental scan: rows past ``watermark``
+    minus a tolerance window. The reference's strict ``>`` predicate
+    (service.py:53) silently drops rows whose change timestamp lands
+    at-or-before the stored watermark (clock skew, late upserts —
+    SURVEY §2.9 T4); re-scanning a bounded tail plus idempotent sink
+    ids makes late data safe without reprocessing history."""
+    adjusted = F.lit(watermark).cast("timestamp") - F.expr(f"INTERVAL {tolerance_minutes} MINUTES")
+    return df.filter(F.col(change_col) > adjusted)
+
+
 def next_watermark(df: DataFrame, change_col: str) -> DataFrame:
     """New high-watermark = max(change_col) of the processed batch
     (≙ service.py:73), plus the batch size for commit bookkeeping."""
