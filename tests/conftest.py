@@ -19,5 +19,12 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def spark_g(spark):
+    """Session-scoped alias for hypothesis-driven tests (function-
+    scoped fixtures trip hypothesis health checks)."""
+    return spark
+
+
+@pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR

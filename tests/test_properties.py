@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the engine's custom library
+code — the parts Catalyst doesn't guarantee for us (SURVEY §5)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import cdc  # noqa: E402
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+)
+
+# hypothesis drives Spark jobs — keep example counts small, no deadline.
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    n_rows=st.integers(min_value=1, max_value=257),
+    chunk_size=st.integers(min_value=1, max_value=100),
+)
+def test_chunking_partitions_rows_exactly(spark_g, n_rows, chunk_size):
+    """Chunks partition the input: sizes sum to n, every chunk but the
+    last is full, keys are contiguous and ordered."""
+    df = spark_g.createDataFrame([(i, f"t{i}") for i in range(n_rows)], "k long, txt string")
+    chunks = cdc.chunk_documents(df, "k", "txt", "t", chunk_size=chunk_size).collect()
+    rows = sorted((r["first_key"], r["last_key"], r["n_rows"]) for r in chunks)
+    assert sum(r[2] for r in rows) == n_rows
+    for first, last, n in rows[:-1]:
+        assert n == chunk_size
+    # contiguity: next chunk starts right after the previous ends
+    for (f1, l1, _), (f2, _, _) in zip(rows, rows[1:]):
+        assert f2 == l1 + 1
+    assert rows[0][0] == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    updates=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(min_value=1, max_value=50)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_watermark_upsert_keeps_highest_version(spark_g, updates):
+    base = spark_g.createDataFrame(
+        [("a", "v0", 0), ("b", "v0", 0), ("c", "v0", 0)],
+        "table_name string, last_updated string, version int",
+    )
+    ups = spark_g.createDataFrame(
+        [(k, f"v{v}", v) for k, v in updates],
+        "table_name string, last_updated string, version int",
+    )
+    merged = cdc.watermark_upsert(base, ups).collect()
+    expected_version = {"a": 0, "b": 0, "c": 0}
+    for k, v in updates:
+        expected_version[k] = max(expected_version[k], v)
+    got = {r["table_name"]: r["version"] for r in merged}
+    assert got == expected_version
+    assert len(merged) == 3  # one row per key, always
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=12).map(lambda s: s.strip() or "a"),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_exact_dedup_keeps_one_per_content(spark_g, texts):
+    df = spark_g.createDataFrame(list(enumerate(texts)), "id long, txt string")
+    out = exact_dedup(df, "txt", "id").collect()
+    assert len(out) == len(set(texts))
+    # winner is the smallest id of its content class
+    for r in out:
+        assert r["id"] == min(i for i, t in enumerate(texts) if t == r["txt"])
+
+
+def test_snapshot_latest_is_maximal(spark, sf_dir):
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    snap = cdc.snapshot_latest(e, ["user_id"], "ts", tiebreak="event_id")
+    per_user_max = e.groupBy("user_id").agg(F.max("ts").alias("mx"))
+    joined = snap.join(per_user_max, "user_id")
+    assert joined.filter(F.col("ts") != F.col("mx")).count() == 0
+    assert snap.count() == e.select("user_id").distinct().count()
