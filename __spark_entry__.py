@@ -211,6 +211,30 @@ def join_anti_customers_without_orders(spark, sf_dir):
 
 
 @_q(
+    "join_full_outer_keys",
+    """
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    SELECT coalesce(f.o_custkey, p.o_custkey) AS custkey,
+           f.o_custkey IS NOT NULL AS has_f,
+           p.o_custkey IS NOT NULL AS has_p
+    FROM f FULL OUTER JOIN p ON f.o_custkey = p.o_custkey
+    """,
+)
+def join_full_outer_keys(spark, sf_dir):
+    """Full-outer join (J4): customers with F-status, P-status, or
+    both orders — no side dropped."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("fk")).distinct()
+    p = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("pk")).distinct()
+    return f.join(p, f.fk == p.pk, "full").select(
+        F.coalesce("fk", "pk").alias("custkey"),
+        F.col("fk").isNotNull().alias("has_f"),
+        F.col("pk").isNotNull().alias("has_p"),
+    )
+
+
+@_q(
     "join_theta_acctbal_band",
     """
     SELECT s_suppkey, CAST(count(c_custkey) AS BIGINT) AS n_close

@@ -1,0 +1,106 @@
+"""Streaming offset tracking (T2) and custom stateful operators (T6),
+plus the UDF registration surface (U4)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_streaming_windows import _events_stream  # noqa: E402
+
+
+def test_checkpoint_offsets_prevent_reprocessing(spark, sf_dir, tmp_path):
+    """T2: the checkpoint is the watermark table's built-in equivalent
+    (≙ service.py:21-46) — a restarted query must process nothing new
+    from an unchanged source."""
+    ckpt = str(tmp_path / "ckpt")
+    counts = []
+
+    def process(batch_df, epoch_id):
+        counts.append(batch_df.count())
+
+    for _ in range(2):
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    assert counts[0] == 1000
+    assert sum(counts[1:]) == 0, counts  # second run: offsets already committed
+
+
+def test_apply_in_pandas_with_state(spark, sf_dir):
+    """T6: custom stateful operator — running per-user event count via
+    applyInPandasWithState (the reference has no stateful surface at
+    all; this is the Spark-native extension point)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("total", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("count", T.LongType())])
+
+    def count_events(key, pdfs, state):
+        running = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            running += len(pdf)
+        state.update((running,))
+        yield pd.DataFrame({"user_id": [key[0]], "total": [running]})
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_id")
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        count_events, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["total"]
+        for r in spark.sql(
+            "SELECT user_id, max(total) AS total FROM stateful_counts GROUP BY user_id"
+        ).collect()
+    }
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+
+    expected = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_udf_registration_surface(spark):
+    """U4: python UDF / pandas UDF registration into the SQL catalog."""
+
+    @F.pandas_udf(T.DoubleType())
+    def vec_scale(s: pd.Series) -> pd.Series:
+        return s * 2.0
+
+    spark.udf.register("vec_scale", vec_scale)
+    spark.udf.register("py_add_one", lambda x: x + 1, T.LongType())
+    spark.range(5).createOrReplaceTempView("r5")
+    got = spark.sql(
+        "SELECT sum(vec_scale(CAST(id AS DOUBLE))) AS a, sum(py_add_one(id)) AS b FROM r5"
+    ).collect()[0]
+    assert got["a"] == 20.0 and got["b"] == 15
