@@ -1265,6 +1265,72 @@ def vec_ann_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+_DUCK_IVF = """
+    centroids AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+                  FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (SELECT e.vec_id, c.cell,
+                      list_dot_product(e.embedding::DOUBLE[], c.cvec) AS score
+               FROM embeddings e CROSS JOIN centroids c),
+    assigned AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY score DESC, cell DESC) AS rn
+                   FROM scored) t WHERE rn = 1)
+"""
+
+
+def _ivf_centroids(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    rows = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+
+
+@_q(
+    "vec_ivf_cells",
+    f"""
+    WITH {_DUCK_IVF}
+    SELECT cell, count(*) AS n FROM assigned GROUP BY cell
+    """,
+)
+def vec_ivf_cells(spark, sf_dir):
+    """IVF coarse quantization (ANN scale path #2): assign vectors to
+    their max-dot centroid cell — the partitioning an IVF index scans
+    selectively. Deterministic quantizer: corpus vectors at
+    vec_id % 50 = 0."""
+    e = _t(spark, sf_dir, "embeddings")
+    assigned = vec_ops.ivf_assign(e, "vec_id", "embedding", _ivf_centroids(spark, sf_dir))
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "vec_ivf_topk",
+    f"""
+    WITH {_DUCK_IVF},
+    qc AS (SELECT cell FROM scored WHERE vec_id = 1 ORDER BY score DESC, cell DESC LIMIT 2)
+    SELECT e.vec_id, round({_DUCK_COS}, 4) AS score
+    FROM embeddings e
+    JOIN assigned a ON e.vec_id = a.vec_id
+    WHERE a.cell IN (SELECT cell FROM qc)
+    ORDER BY {_DUCK_COS} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def vec_ivf_topk(spark, sf_dir):
+    """IVF-flat search: probe the 2 nearest centroid cells, exact
+    cosine within — scanned fraction ~ n_probe/n_centroids."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 1).select("embedding").head()[0]]
+    out = vec_ops.ivf_topk(
+        e, "vec_id", "embedding", qvec, _ivf_centroids(spark, sf_dir), k=10, n_probe=2
+    )
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
 @_q(
     "dedup_embedding_neardup",
     f"""

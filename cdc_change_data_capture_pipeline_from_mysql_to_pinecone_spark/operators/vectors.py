@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sim
+from ..functions.vector import cosine_sim, dot
 
 
 def cosine_topk(emb_df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10) -> DataFrame:
@@ -66,6 +66,57 @@ def hyperplane_buckets(emb_df: DataFrame, vec_col: str, dim: int, n_planes: int 
         bit = F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return emb_df.withColumn("bucket", bucket.cast("int"))
+
+
+def ivf_assign(
+    emb_df: DataFrame, id_col: str, vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    highest-dot-product centroid (cosine-compatible for unit-ish
+    vectors). ``centroids`` is a small driver-side list -> broadcast
+    literal structs; assignment is a per-row argmax, no shuffle.
+
+    A production IVF trains centroids with k-means; the operator takes
+    them as input so the quantizer is pluggable (and deterministic in
+    tests: sampled corpus vectors)."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])).alias("score"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(scored)
+    return emb_df.withColumn("cell", best.getField("cell"))
+
+
+def ivf_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF-flat search: probe the ``n_probe`` centroid cells nearest
+    the query, exact cosine within. Scanned fraction ~ n_probe /
+    n_centroids; recall grows with n_probe."""
+    scores = sorted(
+        ((sum(x * y for x, y in zip(query_vec, cvec)), cid) for cid, cvec in centroids),
+        reverse=True,
+    )
+    probe_cells = [cid for _score, cid in scores[:n_probe]]
+    assigned = ivf_assign(emb_df, id_col, vec_col, centroids)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def ann_topk(
