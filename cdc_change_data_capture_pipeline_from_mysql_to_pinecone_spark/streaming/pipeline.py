@@ -119,6 +119,74 @@ def cdc_tick(
     return sink_rows, new_wm
 
 
+def sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    tables: dict[str, tuple[str, str]],
+    *,
+    with_embeddings: bool = False,
+) -> dict[str, int]:
+    """One full CDC sweep — the reference's scheduler tick end-to-end
+    (controller.py:17-35): for each tracked table, read its stored
+    watermark, process the delta (serialize -> chunk -> [embed]),
+    upsert the vector rows, then commit the new watermark. Returns
+    {table: rows_processed}.
+
+    ``tables`` maps table name -> (change_col, order_col). State lives
+    under ``store_dir``: a keyed ``watermark`` table and a keyed
+    ``vectors`` table, both maintained with last-writer-wins MERGE
+    (sources.sinks.upsert_parquet). Deterministic chunk ids make the
+    whole sweep replay-idempotent — crash after vector upsert but
+    before watermark commit reprocesses the delta into identical sink
+    rows (the reference would duplicate, SURVEY §2.9 T3).
+    """
+    import os
+
+    from ..sources.sinks import upsert_parquet
+    from ..sources.tables import load_table
+
+    wm_path = os.path.join(store_dir, "watermark")
+    vec_path = os.path.join(store_dir, "vectors")
+    wm_df = spark.read.parquet(wm_path) if os.path.exists(wm_path) else None
+    processed: dict[str, int] = {}
+
+    for table, (change_col, order_col) in tables.items():
+        if wm_df is not None:
+            row = wm_df.filter(F.col("table_name") == table).select("last_updated").head()
+            watermark = row["last_updated"] if row else "1970-01-01"
+        else:
+            watermark = "1970-01-01"
+
+        df = load_table(spark, sf_dir, table)
+        sink_rows, new_wm = cdc_tick(
+            df,
+            source=table,
+            change_col=change_col,
+            order_col=order_col,
+            watermark=watermark,
+            with_embeddings=with_embeddings,
+        )
+        wm_row = new_wm.collect()[0]
+        processed[table] = wm_row["batch_rows"]
+        if wm_row["batch_rows"] == 0:
+            continue
+
+        vec_updates = sink_rows.select(
+            "id",
+            F.col("metadata.text").alias("text"),
+            F.lit(table).alias("source"),
+            F.unix_micros(F.lit(wm_row["last_updated"])).alias("version"),
+        )
+        upsert_parquet(spark, vec_path, vec_updates, ["id"], "version")
+        wm_update = spark.createDataFrame(
+            [(table, wm_row["last_updated"], wm_row["batch_rows"])],
+            "table_name string, last_updated timestamp, batch_rows long",
+        ).withColumn("version", F.unix_micros("last_updated"))
+        upsert_parquet(spark, wm_path, wm_update, ["table_name"], "version")
+    return processed
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     sf_dir: str,

@@ -1,0 +1,52 @@
+"""End-to-end CDC sweep tests: the reference's scheduler tick
+(controller.py:17-35) as a Spark pipeline with persisted state."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (  # noqa: E402
+    sweep,
+)
+
+TABLES = {"events": ("ts", "event_id")}
+
+
+def test_sweep_processes_then_idles(spark, sf_dir, tmp_path):
+    """Sweep 1 processes everything; sweep 2 (unchanged source) must
+    process nothing — the watermark protocol end-to-end (S4-S6/T2)."""
+    store = str(tmp_path / "store")
+    first = sweep(spark, sf_dir, store, TABLES)
+    assert first == {"events": 1000}
+
+    vectors = spark.read.parquet(os.path.join(store, "vectors"))
+    assert vectors.count() == 10  # 1000 rows / 100-row chunks
+    wm = spark.read.parquet(os.path.join(store, "watermark")).collect()
+    assert len(wm) == 1 and wm[0]["table_name"] == "events"
+
+    second = sweep(spark, sf_dir, store, TABLES)
+    assert second == {"events": 0}
+    assert spark.read.parquet(os.path.join(store, "vectors")).count() == 10
+
+
+def test_sweep_crash_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash between vector upsert and watermark commit (the
+    reference's at-least-once window, service.py:72-74): replaying the
+    sweep must leave the vectors table unchanged."""
+    store = str(tmp_path / "store")
+    sweep(spark, sf_dir, store, TABLES)
+    vec_path = os.path.join(store, "vectors")
+    before = sorted(
+        (r["id"], r["text"]) for r in spark.read.parquet(vec_path).collect()
+    )
+    # simulate the crash: roll the watermark store back, keep vectors
+    import shutil
+
+    shutil.rmtree(os.path.join(store, "watermark"))
+    replay = sweep(spark, sf_dir, store, TABLES)
+    assert replay == {"events": 1000}  # delta reprocessed...
+    after = sorted((r["id"], r["text"]) for r in spark.read.parquet(vec_path).collect())
+    assert after == before  # ...but the sink state is identical
