@@ -76,6 +76,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
+    # End-to-end CDC sweep (the reference's entire tick: watermark ->
+    # delta -> serialize -> chunk -> keyed upsert -> commit). The
+    # reference processes this single-threaded with per-10-doc model
+    # calls; this is the direct throughput comparison point.
+    import shutil
+    import tempfile
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        sweep,
+    )
+
+    store = tempfile.mkdtemp(prefix="bench_sweep_")
+    try:
+        start = time.perf_counter()
+        processed = sweep(spark, sf_dir, store, {"events": ("ts", "event_id")})
+        timings["cdc_sweep_end_to_end"] = round(time.perf_counter() - start, 3)
+        sweep_rows = processed["events"]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,6 +105,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc_sweep_rows_per_sec": round(
+                    sweep_rows / timings["cdc_sweep_end_to_end"], 1
+                ),
             }
         )
     )
