@@ -1402,21 +1402,11 @@ def stream_tumbling_window(spark, sf_dir):
 )
 def stream_sessionize(spark, sf_dir):
     """Sessionization (30-min inactivity gap): lag + conditional cumsum,
-    one shuffle on the key (the batch twin of session_window)."""
+    one shuffle on the key (the batch twin of session_window;
+    operators/relational.py::sessionize)."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_s = F.when(
-        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
-    ).otherwise(0)
-    return (
-        e.withColumn("_n", new_s)
-        .select(
-            "user_id",
-            "event_id",
-            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("session_id"),
-        )
-    )
+    out = relational.sessionize(e, "user_id", "ts", 30, "event_id")
+    return out.select("user_id", "event_id", F.col("session_id").cast("long").alias("session_id"))
 
 
 # ---------------------------------------------------------------------------

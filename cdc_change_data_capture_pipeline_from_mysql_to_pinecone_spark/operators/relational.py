@@ -54,12 +54,13 @@ def asof_join(
 
 
 def sessionize(
-    df: DataFrame, key: str, ts_col: str, gap_minutes: int = 30
+    df: DataFrame, key: str, ts_col: str, gap_minutes: int = 30, *tiebreak_cols: str
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap from the
     previous event of the same key exceeds ``gap_minutes``. Classic
-    lag + conditional cumsum — one shuffle on the key."""
-    w = Window.partitionBy(key).orderBy(ts_col)
+    lag + conditional cumsum — one shuffle on the key. Pass
+    ``tiebreak_cols`` to pin a total order under equal timestamps."""
+    w = Window.partitionBy(key).orderBy(ts_col, *tiebreak_cols)
     gap_sec = gap_minutes * 60
     prev = F.lag(ts_col).over(w)
     new_session = F.when(

@@ -31,6 +31,20 @@ def test_upsert_last_writer_wins(spark, tmp_path):
     assert got == {"events": ("2024-01-20", 2), "orders": ("2024-01-05", 1)}
 
 
+def test_watermark_lookup(spark):
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.cdc import (
+        watermark_lookup,
+    )
+
+    wm = spark.createDataFrame(
+        [("events", "2024-01-10"), ("orders", "2024-01-05")],
+        "table_name string, last_updated string",
+    )
+    got = watermark_lookup(wm, "events").collect()
+    assert len(got) == 1 and got[0]["last_updated"] == "2024-01-10"
+    assert watermark_lookup(wm, "missing").count() == 0  # -> full-scan branch
+
+
 def test_upsert_replay_idempotent(spark, tmp_path):
     path = str(tmp_path / "vectors")
     batch = spark.createDataFrame(
