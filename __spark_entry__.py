@@ -1353,6 +1353,48 @@ def dedup_embedding_neardup(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+@_q(
+    "pipeline_training_data",
+    """
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+             length(text) AS n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    q AS (SELECT * FROM f
+          WHERE n_tokens >= 20 AND n_punct / n_chars <= 0.2),
+    d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(n_chars) / 4) AS BIGINT) AS bpe_budget
+    FROM d WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def pipeline_training_data(spark, sf_dir):
+    """Composite training-data pipeline (the north-star use case end
+    to end): quality filter -> fingerprint dedup -> per-language token
+    budget. One scan, one dedup shuffle, one agg shuffle — each stage
+    is the operator tested standalone elsewhere."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[\.,;:!\?]", ""))
+    quality = d.select(
+        "doc_id", "lang", "text", toks.alias("n_tokens"), n_chars.alias("n_chars")
+    ).filter((toks >= 20) & (n_punct / n_chars <= 0.2))
+    w = Window.partitionBy(text_ops.fingerprint(F.col("text"))).orderBy("doc_id")
+    deduped = quality.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.ceil(F.sum("n_chars") / F.lit(4)).cast("long").alias("bpe_budget"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-shaped (batch-expressible) operators
 # ---------------------------------------------------------------------------

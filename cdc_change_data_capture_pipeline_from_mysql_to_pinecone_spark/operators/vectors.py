@@ -127,22 +127,59 @@ def ann_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 4,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: hash the query with the same hyperplanes,
-    scan only its bucket, exact cosine within. Recall trades off with
-    n_planes; multi-probe (flip one bit) would be the next refinement.
-    """
+    scan only its bucket, exact cosine within. ``multi_probe`` > 0
+    additionally probes the buckets at Hamming distance 1 obtained by
+    flipping the ``multi_probe`` lowest-|dot| (least confident) bits —
+    the standard recall/scan-fraction dial."""
     bucketed = hyperplane_buckets(emb_df, vec_col, dim, n_planes)
+    dots = []
     qb = 0
     for b in range(n_planes):
         plane = _hyperplane(dim, b)
         d = sum(x * y for x, y in zip(query_vec, plane))
+        dots.append((abs(d), b))
         if d >= 0:
             qb += 1 << b
+    probes = [qb]
+    for _absd, b in sorted(dots)[:multi_probe]:
+        probes.append(qb ^ (1 << b))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        bucketed.filter(F.col("bucket") == qb)
+        bucketed.filter(F.col("bucket").isin(probes))
         .select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def train_ivf_centroids(
+    emb_df: DataFrame, id_col: str, vec_col: str, k: int, iters: int = 5
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means for the IVF coarse quantizer — an iterative
+    distributed algorithm on DataFrames: assign (broadcast centroids,
+    per-row argmax) then update (groupBy cell, element-wise mean via
+    ``array agg of posexplode``). Driver holds only k×dim floats per
+    iteration; all data passes are scans.
+
+    Deterministic: seeds are the first k vectors by id (no RNG), so
+    repeated training converges identically."""
+    seeds = (
+        emb_df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = ivf_assign(emb_df, id_col, vec_col, centroids)
+        new_rows = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).getField("m").alias("centroid"))
+            .collect()
+        )
+        updated = {r["cell"]: [float(x) for x in r["centroid"]] for r in new_rows}
+        centroids = [(cid, updated.get(cid, vec)) for cid, vec in centroids]
+    return centroids

