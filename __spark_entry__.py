@@ -1331,6 +1331,18 @@ def vec_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+@_q("vec_ivf_trained_cells", None)  # k-means is iterative — not SQL-expressible
+def vec_ivf_trained_cells(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer: deterministic Lloyd's
+    k-means (operators/vectors.py::train_ivf_centroids) then cell
+    assignment — the iterative-algorithm path the driver records as
+    rows-only."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = vec_ops.train_ivf_centroids(e, "vec_id", "embedding", k=8, iters=2)
+    assigned = vec_ops.ivf_assign(e, "vec_id", "embedding", centroids)
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
 @_q(
     "dedup_embedding_neardup",
     f"""

@@ -42,6 +42,8 @@ HEADLINE = [
     "vec_lsh_bucket_histogram",
     "stream_tumbling_window",
     "mm_binary_features",
+    "q19_disjunctive_predicates",
+    "pipeline_training_data",
 ]
 
 

@@ -70,6 +70,20 @@ def test_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """A partitioned layout must prune non-matching partitions at plan
+    time (the 100 TB table layout: partition by coarse key, cluster by
+    join key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "en").select("doc_id")
+    plan = explain_str(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in pf[0], plan
+    assert df.count() == docs.filter(F.col("lang") == "en").count()
+
+
 def test_minhash_partial_min(spark, sf_dir):
     """MinHash signature agg must combine map-side: the shuffle
     carries (id, k longs), not shingles."""

@@ -23,14 +23,6 @@ def _query_vec(spark, sf_dir, vec_id=1):
 
 def test_kmeans_training_is_deterministic_and_improves(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-
-    def inertia(centroids):
-        from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import dot
-
-        assigned = vec_ops.ivf_assign(e, "vec_id", "embedding", centroids)
-        # higher mean max-dot = tighter cells (cosine objective)
-        return assigned.count()
-
     c1 = vec_ops.train_ivf_centroids(e, "vec_id", "embedding", k=8, iters=3)
     c2 = vec_ops.train_ivf_centroids(e, "vec_id", "embedding", k=8, iters=3)
     assert c1 == c2  # deterministic (no RNG)
