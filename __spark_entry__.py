@@ -1151,6 +1151,77 @@ def text_lang_id(spark, sf_dir):
 
 
 @_q(
+    "text_top_terms",
+    """
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents) t
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 25
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    """Corpus term frequency top-k: explode -> count -> ordered limit.
+    Map-side partial counts keep the shuffle at vocabulary size, not
+    token count."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(25)
+    )
+
+
+@_q(
+    "funnel_signup_to_purchase",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT s.user_id,
+           epoch_us(s.signup_ts) AS signup_ts_us,
+           CAST(count(p.ts) AS BIGINT) AS purchases_after,
+           epoch_us(min(p.ts)) AS first_purchase_us
+    FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.ts > s.signup_ts
+    GROUP BY s.user_id, s.signup_ts
+    """,
+)
+def funnel_signup_to_purchase(spark, sf_dir):
+    """Funnel / sequence analysis: per user, purchases after first
+    signup — the event-sequence pattern behind conversion metrics.
+    Both sides pre-aggregated before the join keys shuffle."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+        .alias("s")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .alias("p")
+    )
+    return (
+        s.join(p, (F.col("p_user") == F.col("user_id")) & (F.col("p_ts") > F.col("signup_ts")), "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.count("p_ts").alias("purchases_after"),
+            F.unix_micros(F.min("p_ts")).alias("first_purchase_us"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("signup_ts").alias("signup_ts_us"),
+            "purchases_after",
+            "first_purchase_us",
+        )
+    )
+
+
+@_q(
     "text_fingerprint",
     """
     SELECT doc_id,
