@@ -402,6 +402,28 @@ def sort_topk_lineitem(spark, sf_dir):
 
 
 @_q(
+    "sort_nulls_ordering",
+    """
+    SELECT event_id, user_id, gap_us FROM (
+      SELECT event_id, user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS gap_us
+      FROM events) t
+    ORDER BY gap_us ASC NULLS FIRST, event_id
+    LIMIT 30
+    """,
+)
+def sort_nulls_ordering(spark, sf_dir):
+    """Explicit null ordering (O2): NULLS FIRST ascending sort over a
+    nullable analytic column."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = e.select("event_id", "user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+    return gaps.orderBy(F.col("gap_us").asc_nulls_first(), "event_id").limit(30)
+
+
+@_q(
     "set_ops_customer_years",
     """
     WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
