@@ -993,6 +993,36 @@ def dedup_simhash(spark, sf_dir):
 
 
 @_q(
+    "dedup_simhash_neardup",
+    f"""
+    WITH sig AS ({_duck_simhash_sql()}),
+         b AS (SELECT doc_id, simhash, simhash >> 8 AS bkt FROM sig)
+    SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, bb.simhash)) AS BIGINT) AS hamming
+    FROM b a JOIN b bb ON a.bkt = bb.bkt AND a.doc_id < bb.doc_id
+    WHERE bit_count(xor(a.simhash, bb.simhash)) <= 6
+    """,
+)
+def dedup_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup candidates: bucket on the signature's high
+    bits (identical high byte ⇒ hamming concentrated in low bits),
+    pair within buckets, keep pairs within hamming ≤ 6. The join key
+    is one small int — the n² explosion never materializes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dedup.simhash(d, "text", "doc_id", bits=16)
+    b = sig.withColumn("bkt", F.shiftright("simhash", 8))
+    left = b.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "bkt")
+    right = b.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "bkt")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming <= 6)
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+    )
+
+
+@_q(
     "dedup_jaccard_consecutive",
     """
     WITH pairs AS (
