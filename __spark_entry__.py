@@ -2201,6 +2201,56 @@ def map_ops_events(spark, sf_dir):
 
 
 @_q(
+    "agg_boolean_lineitem",
+    """
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+           bool_or(l_quantity > 49)                    AS any_bulk,
+           bool_and(l_tax <= 0.08)                     AS all_low_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_boolean_lineitem(spark, sf_dir):
+    """Boolean aggregates (A4 extended): count_if / bool_or / bool_and."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).cast("long").alias("n_discounted"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_bulk"),
+        F.bool_and(F.col("l_tax") <= 0.08).alias("all_low_tax"),
+    )
+
+
+@_q(
+    "array_hof_documents",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+           CAST(len(list_filter(toks, x -> x = 'spark')) > 0 AS BOOLEAN) AS has_spark,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT)
+             AS total_chars
+    FROM t
+    """,
+)
+def array_hof_documents(spark, sf_dir):
+    """Array higher-order functions (F10): filter / exists / aggregate
+    lambdas — JVM-side, codegen'd, zero Python."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+        F.exists(toks, lambda x: x == "spark").alias("has_spark"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
+
+
+@_q(
     "mm_frame_sample",
     """
     SELECT doc_id AS id,

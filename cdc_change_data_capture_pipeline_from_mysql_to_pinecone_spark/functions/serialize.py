@@ -39,7 +39,9 @@ def iso_ts(col: Column) -> Column:
 def _json_escape(col: Column) -> Column:
     # Escape backslash first, then quotes — enough for the fixture
     # text domain; control chars would need more in a general engine.
-    return F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"), '"', r'\"')
+    # (In the JVM replacement string a backslash is itself an escape
+    # char, hence the quadrupling.)
+    return F.regexp_replace(F.regexp_replace(col, r"\\", "\\\\\\\\"), '"', '\\\\"')
 
 
 def _render_value(col: Column, dtype: T.DataType) -> Column:
