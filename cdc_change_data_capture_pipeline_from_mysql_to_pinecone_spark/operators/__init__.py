@@ -1,3 +1,3 @@
-from . import cdc, dedup, multimodal, relational, text, vectors
+from . import cdc, dedup, incremental, multimodal, relational, text, vectors
 
-__all__ = ["cdc", "dedup", "multimodal", "relational", "text", "vectors"]
+__all__ = ["cdc", "dedup", "incremental", "multimodal", "relational", "text", "vectors"]

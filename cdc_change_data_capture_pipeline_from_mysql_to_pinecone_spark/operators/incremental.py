@@ -1,0 +1,57 @@
+"""Incremental aggregate maintenance — the CDC payoff operator.
+
+The reference's whole point is processing only deltas (SURVEY §4
+"incremental computation"); this module extends that from *ingestion*
+to *analytics*: a stored rollup (grouped sums/counts/mins/maxes) is
+updated from each watermark delta by merging mergeable partial states,
+so refreshing a 100 TB-table dashboard costs O(delta), not O(table).
+
+Only algebraic aggregates are supported (sum/count/min/max, and avg
+derived as sum/count) — exactly the class that admits partial merge.
+Holistic aggregates (exact percentile, distinct) need sketches; that
+is what `approx_count_distinct`'s HLL state would back at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def delta_rollup(delta: DataFrame, keys: list[str], measures: dict[str, str]) -> DataFrame:
+    """Aggregate one watermark delta into partial state rows.
+
+    ``measures`` maps column -> one of sum|count|min|max. Output
+    columns: ``<agg>_<col>`` plus ``rollup_rows`` (count of delta rows
+    folded in, for avg and for auditing).
+    """
+    aggs = [F.count(F.lit(1)).alias("rollup_rows")]
+    for col, how in measures.items():
+        if how == "sum":
+            aggs.append(F.sum(col).alias(f"sum_{col}"))
+        elif how == "count":
+            aggs.append(F.count(col).alias(f"count_{col}"))
+        elif how == "min":
+            aggs.append(F.min(col).alias(f"min_{col}"))
+        elif how == "max":
+            aggs.append(F.max(col).alias(f"max_{col}"))
+        else:
+            raise ValueError(f"non-algebraic aggregate {how!r} cannot merge incrementally")
+    return delta.groupBy(*keys).agg(*aggs)
+
+
+def merge_rollups(stored: DataFrame, update: DataFrame, keys: list[str], measures: dict[str, str]) -> DataFrame:
+    """Merge a delta's partial state into the stored rollup: union the
+    two partial-state tables and re-reduce with the measures' own
+    merge functions (sum+sum, min(min), max(max)). One shuffle on the
+    grouping keys, state-sized — never touches base data."""
+    merged = stored.unionByName(update, allowMissingColumns=True)
+    aggs = [F.sum("rollup_rows").alias("rollup_rows")]
+    for col, how in measures.items():
+        if how in ("sum", "count"):
+            aggs.append(F.sum(f"{how}_{col}").alias(f"{how}_{col}"))
+        elif how == "min":
+            aggs.append(F.min(f"min_{col}").alias(f"min_{col}"))
+        elif how == "max":
+            aggs.append(F.max(f"max_{col}").alias(f"max_{col}"))
+    return merged.groupBy(*keys).agg(*aggs)

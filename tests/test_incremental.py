@@ -1,0 +1,64 @@
+"""Incremental rollup maintenance: folding deltas must equal a full
+recompute (the materialized-view invariant)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (  # noqa: E402
+    delta_rollup,
+    merge_rollups,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table  # noqa: E402
+
+MEASURES = {"value": "sum", "ts": "max", "event_id": "min"}
+
+
+def test_incremental_equals_full_recompute(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15").cast("timestamp")
+
+    d1 = e.filter(F.col("ts") <= split)
+    d2 = e.filter(F.col("ts") > split)
+    state = delta_rollup(d1, ["event_type"], MEASURES)
+    state = merge_rollups(state, delta_rollup(d2, ["event_type"], MEASURES), ["event_type"], MEASURES)
+
+    full = delta_rollup(e, ["event_type"], MEASURES)
+
+    def norm(df):
+        return sorted(
+            (
+                r["event_type"],
+                r["rollup_rows"],
+                round(r["sum_value"], 6),
+                r["max_ts"],
+                r["min_event_id"],
+            )
+            for r in df.collect()
+        )
+
+    assert norm(state) == norm(full)
+
+
+def test_empty_delta_is_noop(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    state = delta_rollup(e, ["event_type"], MEASURES)
+    empty = delta_rollup(e.filter(F.lit(False)), ["event_type"], MEASURES)
+    merged = merge_rollups(state, empty, ["event_type"], MEASURES)
+    assert sorted(r["event_type"] for r in merged.collect()) == sorted(
+        r["event_type"] for r in state.collect()
+    )
+    assert merged.agg(F.sum("rollup_rows")).collect()[0][0] == e.count()
+
+
+def test_non_algebraic_rejected(spark, sf_dir):
+    import pytest
+
+    e = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="non-algebraic"):
+        delta_rollup(e, ["event_type"], {"value": "median"})
