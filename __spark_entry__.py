@@ -1489,6 +1489,54 @@ def dedup_embedding_neardup(spark, sf_dir):
 
 
 @_q(
+    "timeseries_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             epoch_us(min(ts)) - (epoch_us(min(ts)) % 21600000000) AS lo_us,
+             epoch_us(max(ts)) - (epoch_us(max(ts)) % 21600000000) AS hi_us
+      FROM events GROUP BY event_type),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo_us, hi_us, 21600000000)) AS bucket_us
+      FROM bounds),
+    actual AS (
+      SELECT event_type,
+             epoch_us(ts) - (epoch_us(ts) % 21600000000) AS bucket_us,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT g.event_type, g.bucket_us,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN actual a
+      ON a.event_type = g.event_type AND a.bucket_us = g.bucket_us
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Time-series gap filling: a dense 6-hour bucket grid per series
+    (F.sequence + explode), left-joined to actual counts, empty
+    buckets zero-filled — the hypertable-rollup/densification pattern.
+    The grid is generated, never scanned; one broadcastable join."""
+    e = _t(spark, sf_dir, "events")
+    step = 21_600_000_000  # 6h in micros
+    us = F.unix_micros(F.col("ts"))
+    bucket = us - us % step
+    bounds = e.groupBy("event_type").agg(
+        (F.min(us) - F.min(us) % step).alias("lo_us"),
+        (F.max(us) - F.max(us) % step).alias("hi_us"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo_us", "hi_us", F.lit(step))).alias("bucket_us"),
+    )
+    actual = e.groupBy("event_type", bucket.alias("bucket_us")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        grid.join(actual, ["event_type", "bucket_us"], "left")
+        .select("event_type", "bucket_us", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
+
+
+@_q(
     "pipeline_training_data",
     """
     WITH f AS (

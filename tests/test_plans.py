@@ -70,6 +70,17 @@ def test_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_join_strategy_hints(spark, sf_dir):
+    """Join strategy is steerable per-site when Catalyst's default is
+    wrong for a workload: hints must survive into the physical plan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    shuffled = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in explain_str(shuffled)
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in explain_str(merged)
+
+
 def test_partition_pruning(spark, sf_dir, tmp_path):
     """A partitioned layout must prune non-matching partitions at plan
     time (the 100 TB table layout: partition by coarse key, cluster by
