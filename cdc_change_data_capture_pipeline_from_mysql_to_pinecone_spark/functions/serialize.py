@@ -45,7 +45,7 @@ def _json_escape(col: Column) -> Column:
 
 
 def _render_value(col: Column, dtype: T.DataType) -> Column:
-    if isinstance(dtype, T.TimestampType):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         rendered = F.concat(F.lit('"'), iso_ts(col), F.lit('"'))
     elif isinstance(dtype, T.DateType):
         rendered = F.concat(F.lit('"'), F.date_format(col, "yyyy-MM-dd"), F.lit('"'))

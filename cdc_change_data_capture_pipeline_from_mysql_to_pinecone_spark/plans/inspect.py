@@ -29,3 +29,29 @@ def assert_broadcast(df: DataFrame) -> None:
     plan = explain_str(df)
     if "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan:
         raise AssertionError(f"no broadcast join in plan:\n{plan}")
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Summarize the physical plan's scale-relevant features — the
+    quick 'is this the plan I want' check (exchange count ≈ shuffle
+    count; join strategies; scan-level pushdown)."""
+    full = explain_str(df)
+    # node counts come from the plan tree only — the formatted detail
+    # section repeats every node name and would double-count; pushed
+    # filters live in the detail section.
+    tree = full.split("\n\n")[0]
+    return {
+        "exchanges": sum(
+            1 for ln in tree.splitlines() if "Exchange" in ln and "BroadcastExchange" not in ln
+        ),
+        "broadcast_joins": tree.count("BroadcastHashJoin") + tree.count("BroadcastNestedLoopJoin"),
+        "sort_merge_joins": tree.count("SortMergeJoin"),
+        "shuffled_hash_joins": tree.count("ShuffledHashJoin"),
+        "has_take_ordered": "TakeOrderedAndProject" in tree,
+        "pushed_filters": [
+            ln.split("PushedFilters:", 1)[1].strip()
+            for ln in full.splitlines()
+            if "PushedFilters:" in ln and "PushedFilters: []" not in ln
+        ],
+        "scans": sum(1 for ln in tree.splitlines() if "Scan parquet" in ln),
+    }

@@ -70,6 +70,18 @@ def test_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_plan_report_q5(spark, sf_dir):
+    """q5's report: broadcast-only joins, exactly one shuffle (the
+    final agg), pushdown present."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.plans import plan_report
+
+    rep = plan_report(entrymod.queries()["q5_region_revenue"](spark, sf_dir))
+    assert rep["sort_merge_joins"] == 0
+    assert rep["broadcast_joins"] >= 3
+    assert rep["exchanges"] == 1, rep
+    assert rep["pushed_filters"], rep
+
+
 def test_join_strategy_hints(spark, sf_dir):
     """Join strategy is steerable per-site when Catalyst's default is
     wrong for a workload: hints must survive into the physical plan."""

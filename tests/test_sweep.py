@@ -32,6 +32,25 @@ def test_sweep_processes_then_idles(spark, sf_dir, tmp_path):
     assert spark.read.parquet(os.path.join(store, "vectors")).count() == 10
 
 
+def test_sweep_multi_table(spark, sf_dir, tmp_path):
+    """The reference loops ALL discovered tables (controller.py:25-27);
+    the sweep does the same — one watermark row and one chunk-id
+    namespace per table."""
+    store = str(tmp_path / "store")
+    tables = {"events": ("ts", "event_id"), "orders": ("o_orderdate", "o_orderkey")}
+    first = sweep(spark, sf_dir, store, tables)
+    assert first["events"] == 1000 and first["orders"] == 1500
+
+    wm = {r["table_name"] for r in spark.read.parquet(os.path.join(store, "watermark")).collect()}
+    assert wm == {"events", "orders"}
+    vecs = spark.read.parquet(os.path.join(store, "vectors"))
+    sources = {r["source"] for r in vecs.select("source").distinct().collect()}
+    assert sources == {"events", "orders"}
+
+    second = sweep(spark, sf_dir, store, tables)
+    assert second == {"events": 0, "orders": 0}
+
+
 def test_sweep_crash_replay_is_idempotent(spark, sf_dir, tmp_path):
     """Crash between vector upsert and watermark commit (the
     reference's at-least-once window, service.py:72-74): replaying the
