@@ -74,6 +74,26 @@ def test_windowed_agg_with_watermark(spark, sf_dir):
         assert got_map.get(et, 0) == n - open_tail.get(et, 0), et
 
 
+def test_streaming_dropduplicates_within_watermark(spark, sf_dir):
+    """T6 watermark-bounded dedup: state is evicted past the watermark
+    horizon instead of growing forever — the only dedup that survives
+    an unbounded stream."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_wm_out"
+    ).collect()[0]
+    assert n["n"] == n["d"] == 1000
+
+
 def test_streaming_dropduplicates(spark, sf_dir):
     """Streaming dedup on the key column (T6): duplicate-free output."""
     stream = _events_stream(spark, sf_dir).select("event_id", "event_type")
