@@ -20,6 +20,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+    word_shingles,
+)
 from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
     cosine_sim,
     l2_norm,
@@ -1270,6 +1273,101 @@ def funnel_signup_to_purchase(spark, sf_dir):
             "purchases_after",
             "first_purchase_us",
         )
+    )
+
+
+@_q(
+    "text_normalize_stopwords",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(trim(text)), '[\\.,;:!\\?]', '', 'g'),
+                            '\\s+', ' ', 'g') AS clean
+      FROM documents),
+    t AS (SELECT doc_id, clean, regexp_split_to_array(clean, '\\s+') AS toks FROM norm)
+    SELECT doc_id,
+           md5(clean) AS clean_md5,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(len(list_filter(toks, x -> NOT list_contains(
+             ['and','de','der','die','el','es','est','et','is','ist','la','le','les',
+              'nicht','of','que','the','to','und'], x))) AS BIGINT) AS n_content
+    FROM t
+    """,
+)
+def text_normalize_stopwords(spark, sf_dir):
+    """Text cleaning normal-form + stopword removal (text-analysis
+    surface): the canonicalization every dedup/quality stage hangs off."""
+    d = _t(spark, sf_dir, "documents")
+    clean = text_ops.normalize_text(F.col("text"))
+    toks = F.split(clean, r"\s+")
+    return d.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(text_ops.remove_stopwords(toks)).cast("long").alias("n_content"),
+    )
+
+
+@_q(
+    "text_top_bigram_per_lang",
+    """
+    WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         bg AS (SELECT lang,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                                             i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+                FROM t),
+         counted AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                                 ORDER BY n DESC, bigram) AS rn
+                    FROM counted)
+    SELECT lang, bigram, CAST(n AS BIGINT) AS n FROM ranked WHERE rn <= 3
+    """,
+)
+def text_top_bigram_per_lang(spark, sf_dir):
+    """Top-3 bigrams per language: shingle explode -> grouped count ->
+    per-group ranking — the n-gram frequency profile used by language
+    models and contamination checks."""
+    d = _t(spark, sf_dir, "documents")
+    bigrams = word_shingles(F.col("text"), 2)
+    counted = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "bigram", F.col("n").cast("long").alias("n"))
+    )
+
+
+@_q(
+    "vec_l2_normalize",
+    """
+    SELECT vec_id,
+           round(sqrt(list_aggregate(list_transform(
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))),
+             x -> x * x), 'sum')), 6) AS unit_norm,
+           round(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'), 4)
+             AS sq_norm
+    FROM embeddings
+    """,
+)
+def vec_l2_normalize(spark, sf_dir):
+    """L2 normalization (vector preprocessing for cosine/IP indexes):
+    transform-divide by norm, verified by re-computing the unit norm."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    norm = l2_norm(vec)
+    unit = F.transform(vec, lambda x: x.cast("double") / norm)
+    return e.select(
+        "vec_id",
+        F.round(l2_norm(unit), 6).alias("unit_norm"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")), 4
+        ).alias("sq_norm"),
     )
 
 

@@ -94,6 +94,24 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def normalize_text(text: Column) -> Column:
+    """Cleaning normal-form: lowercase, strip punctuation, collapse
+    whitespace — the canonical form dedup/fingerprinting hash."""
+    lowered = F.lower(F.trim(text))
+    no_punct = F.regexp_replace(lowered, r"[\.,;:!\?]", "")
+    return F.regexp_replace(no_punct, r"\s+", " ")
+
+
+def remove_stopwords(toks: Column, stopwords: list[str] | None = None) -> Column:
+    """Drop stopwords from a token array. A filter lambda, not
+    array_except: except() is set-semantics and would also drop
+    duplicate content tokens — here multiplicity and order survive."""
+    words = stopwords if stopwords is not None else sorted(
+        {w for ws in _LANG_MARKERS.values() for w in ws}
+    )
+    return F.filter(toks, lambda x: ~x.isin(words))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized,
     lowercased text — stable under reflow/casing changes, the id used
