@@ -2036,7 +2036,9 @@ def agg_approx_sketches(spark, sf_dir):
     oracles; sketches are engine-specific by design)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        # rsd=0.01: the default 5% rsd wanders ~9% on these
+        # cardinalities; 1% costs a few KB more sketch per group
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
     )
 
