@@ -487,6 +487,38 @@ def scalar_string_part(spark, sf_dir):
 
 
 @_q(
+    "scalar_string_extended",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*')                       AS brand_pad,
+           rpad(substr(p_name, 1, 4), 8, '.')           AS name_pad,
+           repeat(p_type, 2)                            AS type_twice,
+           reverse(p_name)                              AS name_rev,
+           CAST(position(' ' IN p_name) AS BIGINT)      AS space_at,
+           translate(p_brand, '#', '-')                 AS brand_dash,
+           left(p_name, 3)                              AS name_l3,
+           right(p_type, 3)                             AS type_r3
+    FROM part
+    """,
+)
+def scalar_string_extended(spark, sf_dir):
+    """Extended string surface (F7): pad/repeat/reverse/position/
+    translate/left/right."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.rpad(F.substring("p_name", 1, 4), 8, ".").alias("name_pad"),
+        F.repeat(F.col("p_type"), 2).alias("type_twice"),
+        F.reverse("p_name").alias("name_rev"),
+        F.instr(F.col("p_name"), " ").cast("long").alias("space_at"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.substring("p_name", 1, 3).alias("name_l3"),
+        F.substring(F.col("p_type"), -3, 3).alias("type_r3"),
+    )
+
+
+@_q(
     "scalar_datetime_orders",
     """
     SELECT o_orderkey,

@@ -69,14 +69,18 @@ def main() -> None:
     # compilation dominates cold timings (5-10x) and is a fixed cost
     # irrelevant to steady-state throughput at scale.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not kill the artifact
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     # End-to-end CDC sweep (the reference's entire tick: watermark ->
     # delta -> serialize -> chunk -> keyed upsert -> commit). The
@@ -90,29 +94,30 @@ def main() -> None:
     )
 
     store = tempfile.mkdtemp(prefix="bench_sweep_")
+    sweep_rows = 0
     try:
         start = time.perf_counter()
         processed = sweep(spark, sf_dir, store, {"events": ("ts", "event_id")})
         timings["cdc_sweep_end_to_end"] = round(time.perf_counter() - start, 3)
         sweep_rows = processed["events"]
+    except Exception as exc:
+        errors["cdc_sweep_end_to_end"] = f"{type(exc).__name__}: {exc}"[:200]
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cdc_sweep_rows_per_sec": round(
-                    sweep_rows / timings["cdc_sweep_end_to_end"], 1
-                ),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if sweep_rows and "cdc_sweep_end_to_end" in timings:
+        out["cdc_sweep_rows_per_sec"] = round(sweep_rows / timings["cdc_sweep_end_to_end"], 1)
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
