@@ -595,6 +595,57 @@ def case_pred_orders(spark, sf_dir):
 
 
 @_q(
+    "agg_price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_price_histogram(spark, sf_dir):
+    """Equi-width histogram: bucket arithmetic + grouped count — the
+    building block of NDV/selectivity statistics."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@_q(
+    "scalar_conditional_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0)                       AS disc_or_null,
+           ifnull(nullif(l_discount, 0.0), -1.0)         AS disc_or_neg,
+           coalesce(nullif(l_tax, 0.0), l_discount, 0.5) AS first_nonzero,
+           CASE WHEN l_quantity IS NULL THEN 'missing' ELSE 'present' END AS qty_state
+    FROM lineitem WHERE l_linenumber = 2
+    """,
+)
+def scalar_conditional_lineitem(spark, sf_dir):
+    """Conditional/null-handling expressions: nullif / ifnull /
+    coalesce chains (P8)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 2)
+    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_null.alias("disc_or_null"),
+        F.ifnull(disc_null, F.lit(-1.0)).alias("disc_or_neg"),
+        F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.col("l_discount"), F.lit(0.5)).alias(
+            "first_nonzero"
+        ),
+        F.when(F.col("l_quantity").isNull(), "missing").otherwise("present").alias("qty_state"),
+    )
+
+
+@_q(
     "pivot_priority_status",
     """
     SELECT o_orderpriority,
