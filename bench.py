@@ -95,16 +95,20 @@ def main() -> None:
 
     store = tempfile.mkdtemp(prefix="bench_sweep_")
     sweep_rows = 0
+    sweep_sec = None
     try:
         start = time.perf_counter()
         processed = sweep(spark, sf_dir, store, {"events": ("ts", "event_id")})
-        timings["cdc_sweep_end_to_end"] = round(time.perf_counter() - start, 3)
+        sweep_sec = round(time.perf_counter() - start, 3)
         sweep_rows = processed["events"]
     except Exception as exc:
         errors["cdc_sweep_end_to_end"] = f"{type(exc).__name__}: {exc}"[:200]
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
+    # value = the oracle-comparable headline query set; the CDC sweep
+    # (no SQL oracle exists for a full pipeline run) is reported
+    # separately as throughput.
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_seconds",
@@ -113,8 +117,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if sweep_rows and "cdc_sweep_end_to_end" in timings:
-        out["cdc_sweep_rows_per_sec"] = round(sweep_rows / timings["cdc_sweep_end_to_end"], 1)
+    if sweep_sec is not None:
+        out["cdc_sweep_seconds"] = sweep_sec
+        out["cdc_sweep_rows_per_sec"] = round(sweep_rows / sweep_sec, 1) if sweep_rows else 0
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
