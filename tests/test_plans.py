@@ -70,6 +70,20 @@ def test_topk_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_results_invariant_under_join_strategy(spark, sf_dir):
+    """Correctness must not depend on the physical join strategy the
+    optimizer picks (broadcast now, sort-merge at 100x the data): the
+    same query forced down both paths returns identical results."""
+    q3 = entrymod.queries()["q3_shipping_priority"]
+    broadcast_rows = sorted(map(tuple, q3(spark, sf_dir).collect()))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        smj_rows = sorted(map(tuple, q3(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert broadcast_rows == smj_rows
+
+
 def test_plan_report_q5(spark, sf_dir):
     """q5's report: broadcast-only joins, exactly one shuffle (the
     final agg), pushdown present."""
