@@ -386,6 +386,67 @@ def window_running_revenue(spark, sf_dir):
 
 
 @_q(
+    "window_first_last_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS cheapest_ok,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS priciest_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_first_last_value(spark, sf_dir):
+    """first_value/last_value with explicit full frame (W4) — the
+    default running frame makes last_value a footgun; the full frame
+    is the analytic people mean."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("cheapest_ok"),
+        F.last("o_orderkey").over(full).alias("priciest_ok"),
+    )
+
+
+@_q(
+    "window_share_of_total",
+    """
+    SELECT n_name,
+           round(nation_rev, 2) AS nation_rev,
+           round(nation_rev / sum(nation_rev) OVER (PARTITION BY r_name), 6) AS region_share
+    FROM (SELECT n_name, r_name, sum(c_acctbal) AS nation_rev
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY n_name, r_name) t
+    """,
+)
+def window_share_of_total(spark, sf_dir):
+    """Percent-of-group-total: aggregate then a partition-window ratio
+    (W5) — grouped agg and window composed without a second scan."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum("c_acctbal").alias("nation_rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return base.select(
+        "n_name",
+        F.round("nation_rev", 2).alias("nation_rev"),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias("region_share"),
+    )
+
+
+@_q(
     "sort_topk_lineitem",
     """
     SELECT l_orderkey, l_linenumber, l_extendedprice
