@@ -607,6 +607,32 @@ def scalar_datetime_orders(spark, sf_dir):
 
 
 @_q(
+    "scalar_encoding_misc",
+    """
+    SELECT p_partkey,
+           to_base64(encode(p_name))                  AS name_b64,
+           upper(hex(encode(p_brand)))                AS brand_hex,
+           greatest(p_size, 25)                       AS size_floor25,
+           least(p_size, 25)                          AS size_cap25,
+           CAST(sign(p_size - 25) AS BIGINT)          AS size_sign
+    FROM part
+    """,
+)
+def scalar_encoding_misc(spark, sf_dir):
+    """Encoding + comparison scalars (F7/F9): base64/hex round-trips,
+    greatest/least/sign."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.base64(F.encode(F.col("p_name"), "UTF-8")).alias("name_b64"),
+        F.upper(F.hex(F.encode(F.col("p_brand"), "UTF-8"))).alias("brand_hex"),
+        F.greatest(F.col("p_size"), F.lit(25)).alias("size_floor25"),
+        F.least(F.col("p_size"), F.lit(25)).alias("size_cap25"),
+        F.signum(F.col("p_size") - 25).cast("long").alias("size_sign"),
+    )
+
+
+@_q(
     "scalar_json_events",
     """
     SELECT event_id,

@@ -90,6 +90,70 @@ def test_apply_in_pandas_with_state(spark, sf_dir):
     assert got == expected
 
 
+def test_processing_time_trigger_ticks(spark, sf_dir):
+    """T1's actual long-running mode: a processingTime trigger (the
+    reference's sleep(300) loop, compressed to 1 s) fires repeatedly
+    until stopped."""
+    import time
+
+    batches = []
+
+    def process(batch_df, epoch_id):
+        batches.append((epoch_id, batch_df.count()))
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(process)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not batches:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert batches and batches[0][1] == 1000  # first tick drained the source
+
+
+def test_streaming_upsert_sink_integration(spark, sf_dir, tmp_path):
+    """Streaming -> chunk -> keyed upsert sink with checkpoint: the
+    full S8+T2+T3 composition. Restarting against an unchanged source
+    must leave the sink identical (exactly-once effect)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import cdc
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        upsert_parquet,
+    )
+    from pyspark.sql import functions as F2
+
+    ckpt = str(tmp_path / "ckpt")
+    sink_path = str(tmp_path / "vectors")
+
+    def process(batch_df, epoch_id):
+        serialized = cdc.serialize_rows(batch_df)
+        chunks = cdc.chunk_documents(serialized, "event_id", "data_string", "events")
+        updates = chunks.select(
+            F2.col("chunk_id").alias("id"),
+            F2.md5("document").alias("doc_md5"),
+            F2.lit(epoch_id).cast("long").alias("version"),
+        )
+        upsert_parquet(batch_df.sparkSession, sink_path, updates, ["id"], "version")
+
+    for _ in range(2):  # run + restart
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    sink = spark.read.parquet(sink_path)
+    assert sink.count() == 10
+    assert sink.select("id").distinct().count() == 10
+
+
 def test_udf_registration_surface(spark):
     """U4: python UDF / pandas UDF registration into the SQL catalog."""
 
