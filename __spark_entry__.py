@@ -1220,7 +1220,7 @@ def dedup_jaccard_consecutive(spark, sf_dir):
     pairs = d.withColumn("next_text", F.lead("text").over(w)).filter(
         F.col("next_text").isNotNull()
     )
-    out = dedup.ngram_jaccard(pairs, None, "text", "next_text", n=1)
+    out = dedup.ngram_jaccard(pairs, "text", "next_text", n=1)
     return out.select("doc_id", F.round("jaccard", 4).alias("jaccard"))
 
 

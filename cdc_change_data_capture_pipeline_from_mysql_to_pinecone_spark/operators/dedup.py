@@ -146,7 +146,7 @@ def minhash_jaccard_estimate(sig_df: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard(df_a: DataFrame, join_key, text_a: str, text_b: str, n: int = 2) -> DataFrame:
+def ngram_jaccard(df_pairs: DataFrame, text_a: str, text_b: str, n: int = 2) -> DataFrame:
     """Exact token-set Jaccard between two text columns of an already
     candidate-paired DataFrame (blocked/bucketed upstream — never run
     this on an unblocked cross join at scale)."""
@@ -154,7 +154,7 @@ def ngram_jaccard(df_a: DataFrame, join_key, text_a: str, text_b: str, n: int = 
     sb = F.array_distinct(word_shingles(F.col(text_b), n))
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
-    return df_a.withColumn(
+    return df_pairs.withColumn(
         "jaccard",
         F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0)),
     )

@@ -107,11 +107,7 @@ def cdc_tick(
     sink_rows = chunks.select(
         F.col("chunk_id").alias("id"),
         *(["values"] if with_embeddings else []),
-        F.struct(
-            F.lit(source).alias("source"),
-            F.col("chunk_id").alias("id"),
-            F.col("document").alias("text"),
-        ).alias("metadata"),
+        cdc.metadata_struct(source, F.col("chunk_id"), F.col("document")).alias("metadata"),
     )
     new_wm = cdc.next_watermark(delta, change_col).withColumn("table_name", F.lit(source))
     return sink_rows, new_wm
