@@ -2569,6 +2569,48 @@ def array_hof_documents(spark, sf_dir):
 
 
 @_q(
+    "array_posexplode_tokens",
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents WHERE doc_id < 20),
+         i AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos1 FROM t)
+    SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos, toks[pos1] AS tok
+    FROM i
+    """,
+)
+def array_posexplode_tokens(spark, sf_dir):
+    """posexplode: array -> (position, element) rows (F10) — the
+    ordinality-preserving explode sequence models need."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "tok")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "tok"
+    )
+
+
+@_q(
+    "scalar_regexp_advanced",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 's[a-z]+')) AS BIGINT) AS n_s_words,
+           array_to_string(regexp_extract_all(text, 's[a-z]+')[1:3], ',') AS first_s_words,
+           regexp_matches(text, 'stream|batch')  AS mentions_mode
+    FROM documents
+    """,
+)
+def scalar_regexp_advanced(spark, sf_dir):
+    """Advanced regexp surface (F7): extract_all + rlike."""
+    d = _t(spark, sf_dir, "documents")
+    hits = F.regexp_extract_all(F.col("text"), F.lit("s[a-z]+"))
+    return d.select(
+        "doc_id",
+        F.size(hits).cast("long").alias("n_s_words"),
+        F.concat_ws(",", F.slice(hits, 1, 3)).alias("first_s_words"),
+        F.col("text").rlike("stream|batch").alias("mentions_mode"),
+    )
+
+
+@_q(
     "mm_frame_sample",
     """
     SELECT doc_id AS id,
