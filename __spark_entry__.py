@@ -2601,7 +2601,7 @@ def array_posexplode_tokens(spark, sf_dir):
 def scalar_regexp_advanced(spark, sf_dir):
     """Advanced regexp surface (F7): extract_all + rlike."""
     d = _t(spark, sf_dir, "documents")
-    hits = F.regexp_extract_all(F.col("text"), F.lit("s[a-z]+"))
+    hits = F.regexp_extract_all(F.col("text"), F.lit("s[a-z]+"), 0)
     return d.select(
         "doc_id",
         F.size(hits).cast("long").alias("n_s_words"),
