@@ -2593,7 +2593,8 @@ def array_posexplode_tokens(spark, sf_dir):
     """
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, 's[a-z]+')) AS BIGINT) AS n_s_words,
-           array_to_string(regexp_extract_all(text, 's[a-z]+')[1:3], ',') AS first_s_words,
+           coalesce(array_to_string(regexp_extract_all(text, 's[a-z]+')[1:3], ','), '')
+             AS first_s_words,
            regexp_matches(text, 'stream|batch')  AS mentions_mode
     FROM documents
     """,
