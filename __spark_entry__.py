@@ -2519,6 +2519,73 @@ def map_ops_events(spark, sf_dir):
 
 
 @_q(
+    "agg_bitwise_events",
+    """
+    SELECT event_type,
+           bit_and(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_and,
+           bit_or(CAST(json_extract_string(props, '$.k') AS BIGINT))  AS k_or,
+           bit_xor(user_id) AS uid_xor
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitwise_events(spark, sf_dir):
+    """Bitwise aggregates (A4 extended): bit_and / bit_or / bit_xor."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.bit_and(k).alias("k_and"),
+        F.bit_or(k).alias("k_or"),
+        F.bit_xor("user_id").alias("uid_xor"),
+    )
+
+
+@_q(
+    "scalar_datetime_parse_roundtrip",
+    """
+    SELECT event_id,
+           epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))
+             AS reparsed_us,
+           CAST(strftime(ts, '%Y') AS BIGINT) AS yr_str
+    FROM events
+    """,
+)
+def scalar_datetime_parse_roundtrip(spark, sf_dir):
+    """Datetime format -> parse round-trip (F8): the string-boundary
+    path CDC sources cross (second precision, sub-seconds dropped)."""
+    e = _t(spark, sf_dir, "events")
+    formatted = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    return e.select(
+        "event_id",
+        F.unix_micros(F.to_timestamp(formatted, "yyyy-MM-dd HH:mm:ss")).alias("reparsed_us"),
+        F.date_format("ts", "yyyy").cast("long").alias("yr_str"),
+    )
+
+
+@_q(
+    "scalar_try_cast_safe",
+    """
+    SELECT event_id,
+           TRY_CAST(event_type AS BIGINT)                          AS type_as_int,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)   AS k_int,
+           CAST(floor(value) AS BIGINT)                            AS value_floor
+    FROM events
+    """,
+)
+def scalar_try_cast_safe(spark, sf_dir):
+    """Error-safe casts (ANSI-mode escape hatch): try_cast returns
+    NULL where strict ANSI would raise."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.try_to_number(F.col("event_type"), F.lit("999999")).cast("long").alias("type_as_int"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_int"),
+        # floor on both sides: double->int cast truncates in Spark but
+        # ROUNDS in DuckDB — floor first pins one semantic
+        F.floor("value").cast("long").alias("value_floor"),
+    )
+
+
+@_q(
     "agg_boolean_lineitem",
     """
     SELECT l_returnflag,
