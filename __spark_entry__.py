@@ -1195,6 +1195,21 @@ def dedup_simhash_neardup(spark, sf_dir):
     )
 
 
+@_q("dedup_cluster_survivors", None)  # iterative fixpoint — not SQL-expressible
+def dedup_cluster_survivors(spark, sf_dir):
+    """Full dedup pipeline tail: LSH candidate pairs -> connected
+    components (iterative min-label propagation) -> lowest-id survivor
+    per cluster. Input is the corpus doubled, so every document has an
+    exact near-dup; output must keep only original ids."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    sig = dedup.minhash_signatures(doubled, "text", "doc_id", num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", num_bands=4, rows_per_band=4)
+    comp = dedup.connected_components(pairs)
+    kept = dedup.cluster_survivors(doubled, comp, "doc_id")
+    return kept.select("doc_id", F.md5("text").alias("fp"))
+
+
 @_q(
     "dedup_jaccard_consecutive",
     """

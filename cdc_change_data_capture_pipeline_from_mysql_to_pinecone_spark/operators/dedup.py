@@ -188,6 +188,68 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return bit_sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20
+) -> DataFrame:
+    """Group near-dup candidate pairs into clusters: iterative
+    min-label propagation to a fixpoint — the pairs -> clusters step a
+    real dedup pipeline needs before choosing survivors.
+
+    Returns (id, component) where component = min id reachable. Each
+    iteration is one join + one aggregation over the edge list
+    (O(edges) per pass, label-propagation converges in O(diameter)
+    passes — near-dup clusters are shallow, typically <= 3).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+            # truncate lineage every round — an iterative DataFrame
+            # loop otherwise grows its plan (and planning time)
+            # exponentially
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("new_component") != F.col("component")).limit(1).count()
+        labels = updated.select("id", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_survivors(df: DataFrame, components: DataFrame, id_col: str) -> DataFrame:
+    """Keep one canonical row (lowest id) per near-dup cluster;
+    rows never paired survive untouched. The final stage of the dedup
+    pipeline: candidates (LSH) -> clusters (components) -> survivors."""
+    joined = df.join(components, df[id_col] == components.id, "left")
+    w = Window.partitionBy(F.coalesce(F.col("component"), df[id_col])).orderBy(df[id_col])
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "id", "component")
+    )
+
+
 def embedding_near_dup(
     emb_df: DataFrame, id_col: str, vec_col: str, bucket_col: str, threshold: float = 0.95
 ) -> DataFrame:
