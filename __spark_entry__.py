@@ -2694,6 +2694,48 @@ def scalar_regexp_advanced(spark, sf_dir):
 
 
 @_q(
+    "text_bpe_regex_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                AS BIGINT) AS bpe_pretokens,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_regex_tokens(spark, sf_dir):
+    """BPE-ish pretokenizer counting (GPT-2-style split regex) next to
+    whitespace counting — the token-budget pair a data pipeline
+    filters on."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_ops.bpe_regex_token_count(F.col("text")).alias("bpe_pretokens"),
+        text_ops.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+    )
+
+
+@_q(
+    "mm_resize_plan",
+    """
+    WITH m AS (SELECT doc_id AS id, octet_length(encode(text)) AS nb FROM documents),
+         dims AS (SELECT id, nb, (nb % 640) + 1 AS w, (nb % 480) + 1 AS h FROM m)
+    SELECT id,
+           CAST(greatest(1, floor(w * least(1.0, 256.0 / greatest(w, h)))) AS INTEGER) AS width,
+           CAST(greatest(1, floor(h * least(1.0, 256.0 / greatest(w, h)))) AS INTEGER) AS height
+    FROM dims
+    """,
+)
+def mm_resize_plan(spark, sf_dir):
+    """Image resize plumbing (mapInPandas over Arrow batches; resample
+    kernel stubbed): aspect-preserving clamp to 256px max side."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(d.select("doc_id", "text"), "text")
+    resized = multimodal.resize_images(media, max_side=256)
+    return resized.select("id", "width", "height")
+
+
+@_q(
     "mm_frame_sample",
     """
     SELECT doc_id AS id,

@@ -78,6 +78,33 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "id long, width int, height int, n_bytes long"
+
+
+def resize_images(media_df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize over Arrow batches (``mapInPandas``). The resample
+    kernel is a STUB (no codec libs in this container): output dims are
+    the aspect-preserving clamp of the stub-decoded dims, and payload
+    size scales by the area ratio — deterministic, so the Spark-side
+    contract (schema, batching, partition sizing) is fully testable.
+    A real deployment swaps the body for Pillow's ``Image.resize``.
+    """
+    from collections.abc import Iterator
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload, mtype in zip(pdf["id"], pdf["payload"], pdf["media_type"]):
+                w, h = _decode_stub(payload, mtype)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                n_bytes = max(1, int(len(payload) * (nw * nh) / (w * h)))
+                rows.append((rid, nw, nh, n_bytes))
+            yield pd.DataFrame(rows, columns=["id", "width", "height", "n_bytes"])
+
+    return media_df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media_df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan* (kernel stubbed): declares the
     output cardinality contract (explode of sampled frame indices) so

@@ -40,6 +40,18 @@ def bpe_token_estimate(text: Column) -> Column:
     return F.ceil(F.length(text) / F.lit(4)).cast("long")
 
 
+#: GPT-2-style pretokenizer pattern, RE2-compatible (no lookahead):
+#: optional-space word | optional-space number | optional-space other.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_regex_token_count(text: Column) -> Column:
+    """BPE-ish pretokenizer count: the GPT-2-style split regex applied
+    with regexp_extract_all — closer to a real tokenizer's pretoken
+    stream than whitespace splitting, still pure JVM regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)).cast("long")
+
+
 def _marker_hits(text_lower: Column, words: list[str]) -> Column:
     padded = F.concat(F.lit(" "), text_lower, F.lit(" "))
     hit = None
