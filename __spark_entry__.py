@@ -3158,6 +3158,160 @@ def q22_global_sales_opportunity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline ops: deterministic splits / sampling / profiling /
+# TF-IDF (north star; operators.sampling). Hash-deterministic by key+seed —
+# reproducible under repartition/retries, auditable outside Spark via the
+# portable md5 hash family.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ml_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR || '#seed42'), 1, 15))::BIGINT
+                   % 10000 AS b
+          FROM documents) t
+    """,
+)
+def ml_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by hashed key (narrow op,
+    no shuffle, no RNG) — unlike randomSplit, stable under repartition."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        hash_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).select("doc_id", "split")
+
+
+@_q(
+    "ml_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang,
+                 ('0x' || substr(md5(doc_id::VARCHAR || '#seed7'), 1, 15))::BIGINT
+                   % 10000 AS b
+          FROM documents) t
+    WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 4000 ELSE 2500 END
+    """,
+)
+def ml_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic downsampling (language rebalancing of a
+    corpus): survival depends only on (key, seed, stratum rate)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", "doc_id", {"en": 0.5, "zh": 0.4}, default_rate=0.25, seed=7
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "ml_kfold_assign",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR || '#seed11'), 1, 15))::BIGINT
+             % 10000 % 5 AS fold
+    FROM documents
+    """,
+)
+def ml_kfold_assign(spark, sf_dir):
+    """Cross-validation fold assignment by hashed key, folds in [0, 5)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        kfold_assign,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return kfold_assign(d, "doc_id", k=5, seed=11).select("doc_id", "fold")
+
+
+@_q(
+    "profile_documents",
+    """
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows, count(doc_id) AS n_nonnull,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val,
+           CAST(max(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(source), count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+    """,
+)
+def profile_documents(spark, sf_dir):
+    """Single-pass column profiler (data-quality gate for ingest): one
+    scan + one aggregate however many columns are profiled; the oracle
+    spells it as per-column UNION ALL passes."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        profile_columns,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_columns(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+@_q(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                  FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, tok,
+           round(tf * (ln((n_docs + 1.0::DOUBLE) / (dfreq + 1.0::DOUBLE))
+                       + 1.0::DOUBLE), 6) AS tfidf
+    FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    ORDER BY tfidf DESC, doc_id, tok
+    LIMIT 100
+    """,
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Corpus TF-IDF, smoothed (sklearn-style ln((N+1)/(df+1))+1).
+    Document frequency is derived from the tf relation (already unique
+    per doc×term) so the token explosion is shuffled once; N is a 1-row
+    broadcast. Top-k via TakeOrderedAndProject, no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "doc_id", "tok")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,136 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines (north star: BASELINE.json "LLM-data-pipeline operators").
+
+Every operator here is *hash-deterministic*, not RNG-based: the
+assignment of a row to a split/sample/fold depends only on its key and
+the seed, never on partitioning, task retries, or row order. That is
+the property a 100 TB training pipeline actually needs — re-running the
+job, adding executors, or re-shuffling inputs must not move documents
+between train and test. Spark's built-in ``df.sample``/``randomSplit``
+are seed-stable only for a fixed partitioning and are therefore not
+reproducible under repartition; these operators are.
+
+Built on ``functions.hashing.seeded_hash64`` (md5-derived, engine
+portable), so a DuckDB/ANSI oracle can reproduce every assignment
+bit-for-bit — the splits are *auditable* outside Spark.
+
+All operators are narrow (no shuffle): a projection + filter over the
+scan, so they pushdown-compose with downstream ops for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+    seeded_hash64,
+)
+
+BUCKETS = 10_000  # split resolution: 0.01% granularity
+
+
+def _bucket(key: Column, seed: int) -> Column:
+    """Deterministic bucket in [0, BUCKETS) for a key column."""
+    return seeded_hash64(key.cast("string"), seed) % BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hashed
+    key. Fractions must sum to <= 1.0; any remainder falls into the
+    last split. Narrow op — no shuffle, no RNG.
+    """
+    total = sum(fractions.values())
+    if not 0.0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    b = _bucket(F.col(key_col), seed)
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = b < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (e.g. language
+    rebalancing of a document corpus). A row survives iff its hash
+    bucket falls below its stratum's rate. Equivalent in expectation to
+    ``df.sampleBy`` but reproducible under repartition and re-runs.
+    """
+    b = _bucket(F.col(key_col), seed)
+    thresh = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        lim = F.lit(int(round(rate * BUCKETS)))
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    thresh = (
+        F.lit(int(round(default_rate * BUCKETS)))
+        if thresh is None
+        else thresh.otherwise(int(round(default_rate * BUCKETS)))
+    )
+    return df.filter(b < thresh)
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    seed: int = 42,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Assign each row a cross-validation fold id in [0, k) by hashed
+    key — stable across runs and partitionings."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn(
+        fold_col, (_bucket(F.col(key_col), seed) % k).cast("long")
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass data-profiling: per column, row/non-null/distinct
+    counts and min/max (stringified so heterogeneous column types share
+    one output schema). One aggregate over one scan regardless of how
+    many columns are profiled — at 100 TB the table is read once, with
+    only a 1-row-per-column result crossing the final exchange.
+    (``count_distinct`` over many columns expands rows map-side; for
+    very wide profiles swap in ``approx_count_distinct`` — same shape.)
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.count(c).alias(f"{c}__n_nonnull"),
+            F.count_distinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min_val"),
+            F.max(c).cast("string").alias(f"{c}__max_val"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n_rows`, `{c}__n_nonnull`, `{c}__n_distinct`, "
+        f"`{c}__min_val`, `{c}__max_val`"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
+        )
+    )

@@ -1,0 +1,111 @@
+"""Properties of the deterministic sampling/split operators
+(operators.sampling): stability under repartition (the property
+randomSplit/sample lack), partition/coverage invariants, and the
+single-pass profiler against directly computed answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+    hash_split,
+    kfold_assign,
+    profile_columns,
+    stratified_sample,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+
+FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_hash_split_partitions_every_row(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = hash_split(d, "doc_id", FRACTIONS)
+    assert out.count() == d.count()
+    assert out.filter(~F.col("split").isin(*FRACTIONS)).count() == 0
+    # every split non-empty at any sf
+    assert out.select("split").distinct().count() == 3
+
+
+def test_hash_split_stable_under_repartition(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = hash_split(d, "doc_id", FRACTIONS).select("doc_id", "split")
+    b = hash_split(d.repartition(17, "lang"), "doc_id", FRACTIONS).select(
+        "doc_id", "split"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hash_split_fractions_approx(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    got = dict(
+        hash_split(d, "doc_id", FRACTIONS)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    for name, frac in FRACTIONS.items():
+        # 500 keys at sf0.001: allow generous binomial slack
+        assert abs(got.get(name, 0) / n - frac) < 0.08, (name, got)
+
+
+def test_stratified_sample_respects_rates_and_determinism(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    rates = {"en": 0.5, "zh": 0.4}
+    s1 = stratified_sample(d, "lang", "doc_id", rates, default_rate=0.25, seed=7)
+    s2 = stratified_sample(
+        d.repartition(13), "lang", "doc_id", rates, default_rate=0.25, seed=7
+    )
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2 and ids1  # deterministic + non-empty
+    per = {r.lang: r for r in d.groupBy("lang").count().collect()}
+    kept = {r.lang: r for r in s1.groupBy("lang").count().collect()}
+    for lang, rate in rates.items():
+        assert kept[lang]["count"] <= per[lang]["count"]
+        assert abs(kept[lang]["count"] / per[lang]["count"] - rate) < 0.2
+
+
+def test_kfold_covers_all_folds_disjointly(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = kfold_assign(d, "doc_id", k=5, seed=11)
+    assert out.count() == d.count()  # a row lands in exactly one fold
+    folds = {r.fold for r in out.select("fold").distinct().collect()}
+    assert folds == {0, 1, 2, 3, 4}
+    # seed changes the assignment
+    other = kfold_assign(d, "doc_id", k=5, seed=12)
+    joined = out.alias("a").join(other.alias("b"), "doc_id")
+    assert joined.filter(F.col("a.fold") != F.col("b.fold")).count() > 0
+
+
+def test_profile_columns_matches_direct_answers(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    prof = {
+        r.col_name: r
+        for r in profile_columns(d, ["doc_id", "lang", "n_chars"]).collect()
+    }
+    n = d.count()
+    for c in ("doc_id", "lang", "n_chars"):
+        assert prof[c].n_rows == n
+        assert prof[c].n_nonnull == d.filter(F.col(c).isNotNull()).count()
+        assert prof[c].n_distinct == d.select(c).distinct().count()
+    direct = d.agg(F.min("n_chars"), F.max("n_chars")).first()
+    assert prof["n_chars"].min_val == str(direct[0])
+    assert prof["n_chars"].max_val == str(direct[1])
+
+
+def test_profile_is_single_job_single_scan(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    plan = (
+        profile_columns(d, ["doc_id", "lang", "n_chars"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one parquet scan feeding one aggregate, not one scan per column
+    assert plan.count("Scan parquet") == 1
