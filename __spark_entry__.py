@@ -3311,6 +3311,79 @@ def text_tfidf_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_scd2_history",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """SCD type-2 over the CDC stream (operators.cdc.scd2_history):
+    interval-versioned history per key — the complement of
+    cdc_snapshot_latest, same single key-shuffle window."""
+    e = _t(spark, sf_dir, "events")
+    h = cdc.scd2_history(e, ["user_id"], "ts", tiebreak="event_id")
+    return h.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@_q(
+    "text_chunk_token_budget",
+    """
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(floor(coalesce(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                                 OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING),
+                               0) / 512.0::DOUBLE) AS BIGINT) AS chunk_id
+    FROM documents
+    """,
+)
+def text_chunk_token_budget(spark, sf_dir):
+    """Token-budget context packing (operators.text.token_budget_chunks):
+    chunk boundary = prefix-sum of token counts crossing a 512-token
+    budget — the reference's 100-row chunking generalized to tokens,
+    still one window / one shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    out = text_ops.token_budget_chunks(
+        d, partition_col="source", order_col="doc_id", text_col="text", budget=512
+    )
+    return out.select("doc_id", "source", "n_tokens", "chunk_id")
+
+
+@_q(
+    "vec_centroid_per_label",
+    """
+    SELECT label, CAST(i AS INT) AS dim,
+           round(avg(embedding[i + 1]), 6) AS centroid
+    FROM embeddings, range(64) r(i)
+    GROUP BY label, i
+    """,
+)
+def vec_centroid_per_label(spark, sf_dir):
+    """Per-class embedding centroid (the training half of
+    nearest-centroid classification / IVF quantizer seeding):
+    posexplode -> (label, dim) hash agg. Explode-then-agg shuffles
+    (labels × dims) partial states, never whole vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

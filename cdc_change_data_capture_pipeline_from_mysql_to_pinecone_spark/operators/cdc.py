@@ -149,3 +149,33 @@ def metadata_struct(source: str, id_col: Column, text_col: Column) -> Column:
         id_col.cast("string").alias("id"),
         text_col.alias("text"),
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    change_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change stream (each row
+    one version of a key, ≙ the reference's per-``change_datetime``
+    CDC rows, service.py:52-54) into interval-versioned history —
+    ``valid_from`` = the row's change time, ``valid_to`` = the next
+    version's change time (null while current), ``is_current`` on the
+    open interval. The complement of :func:`snapshot_latest`: that
+    keeps only the newest version, this keeps them all, queryable
+    as-of any instant.
+
+    One window over the same (key, change) ordering the snapshot uses —
+    a single shuffle on the key columns, scale-safe because state per
+    key is just its version list.
+    """
+    order = [F.col(change_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("valid_from", F.col(change_col))
+        .withColumn("valid_to", F.lead(change_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+    )

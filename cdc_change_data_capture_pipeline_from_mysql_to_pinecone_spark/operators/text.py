@@ -130,3 +130,37 @@ def fingerprint(text: Column) -> Column:
     for exact-dedup classes."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def token_budget_chunks(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    text_col: str = "text",
+    budget: int = 512,
+) -> DataFrame:
+    """Pack consecutive documents into chunks of ~``budget`` tokens
+    (LLM-context packing): a document starts a new chunk when the
+    running token total *before* it crosses a budget boundary. The
+    boundary rule is a pure prefix-sum — ``chunk_id =
+    floor(tokens_before / budget)`` — so it is deterministic,
+    SQL-expressible, and needs one window over one shuffle on the
+    partition column (vs. the sequential greedy packer, which cannot
+    be parallelized at all).
+
+    Generalizes the reference's fixed 100-row chunking
+    (service.py:109-145) from row count to token budget.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("chunk_id", F.floor(before / budget).cast("long"))
+    )

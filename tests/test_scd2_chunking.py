@@ -1,0 +1,88 @@
+"""Invariants of scd2_history (interval versioning) and
+token_budget_chunks (context packing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.cdc import (
+    scd2_history,
+    snapshot_latest,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+    token_budget_chunks,
+)
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+
+
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    h = scd2_history(e, ["user_id"], "ts", tiebreak="event_id")
+    # exactly one open (current) version per key
+    cur = h.filter(F.col("is_current") == 1).groupBy("user_id").count()
+    assert cur.filter(F.col("count") != 1).count() == 0
+    # each closed version's valid_to equals the next version's valid_from
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    chained = h.withColumn("next_from", F.lead("valid_from").over(w))
+    bad = chained.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    )
+    assert bad.count() == 0
+    # row count preserved: history keeps every version
+    assert h.count() == e.count()
+
+
+def test_scd2_current_rows_equal_snapshot_latest(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    h = scd2_history(e, ["user_id"], "ts", tiebreak="event_id")
+    cur = h.filter(F.col("is_current") == 1).select("user_id", "event_id")
+    snap = snapshot_latest(e, ["user_id"], "ts", tiebreak="event_id").select(
+        "user_id", "event_id"
+    )
+    assert cur.exceptAll(snap).count() == 0 and snap.exceptAll(cur).count() == 0
+
+
+def test_token_budget_chunks_invariants(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    budget = 512
+    out = token_budget_chunks(
+        d, partition_col="source", order_col="doc_id", budget=budget
+    )
+    assert out.count() == d.count()
+    per_chunk = out.groupBy("source", "chunk_id").agg(
+        F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("biggest")
+    )
+    # a chunk can overshoot only by its last document (prefix-sum rule)
+    assert per_chunk.filter(F.col("total") > budget + F.col("biggest")).count() == 0
+    # chunk ids are contiguous from 0 within each source
+    ids = per_chunk.groupBy("source").agg(
+        F.min("chunk_id").alias("lo"),
+        F.max("chunk_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert ids.filter((F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)).count() == 0
+    # boundary-crossing: every non-last chunk's running total crosses the
+    # next budget boundary (start_before + total >= (chunk_id+1)*budget);
+    # totals may individually sit under the budget when the previous
+    # chunk overshot past the boundary.
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flat = out.withColumn("before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    chunk_bounds = flat.groupBy("source", "chunk_id").agg(
+        F.min("before").alias("start_before"),
+        F.max(F.col("before") + F.col("n_tokens")).alias("end_after"),
+    )
+    last = (
+        chunk_bounds.groupBy("source")
+        .agg(F.max("chunk_id").alias("last_id"))
+        .withColumnRenamed("source", "lsource")
+    )
+    not_last = chunk_bounds.join(
+        last,
+        (F.col("source") == F.col("lsource")) & (F.col("chunk_id") == F.col("last_id")),
+        "left_anti",
+    )
+    bad = not_last.filter(F.col("end_after") < (F.col("chunk_id") + 1) * budget)
+    assert bad.count() == 0
