@@ -3384,6 +3384,56 @@ def vec_centroid_per_label(spark, sf_dir):
     )
 
 
+@_q(
+    "join_range_binned",
+    """
+    SELECT s_suppkey, CAST(count(c_custkey) AS BIGINT) AS n_close
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    """Band join via the equi-join scale path
+    (operators.relational.binned_range_join): both sides bucketed to
+    200-unit bins, hash join on the bin id + residual BETWEEN — same
+    answer as the BNL plan in join_theta_acctbal_band, but shuffles
+    linearly, so it survives two large sides."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 100).alias("lo"),
+        (F.col("s_acctbal") + 100).alias("hi"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = relational.binned_range_join(
+        c, s, point_col="c_acctbal", lo_col="lo", hi_col="hi", bin_width=200.0
+    )
+    return joined.groupBy("s_suppkey").agg(F.count("c_custkey").alias("n_close"))
+
+
+@_q(
+    "join_salted_skew",
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-resistant equi-join (operators.relational.salted_join): the
+    fact side's hot keys spread over 16 salt sub-keys, dimension side
+    replicated across them — same result as the plain join (the oracle
+    is the plain join), different shuffle distribution."""
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = relational.salted_join(li, o, on="o_orderkey", salt_buckets=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -102,3 +102,44 @@ def salted_join(
     salted_small = small.select("*", salts)
     out = salted_big.join(salted_small, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Scale path for the interval/band join (SURVEY §2.3 J6): point p
+    joins interval [lo, hi] iff lo <= p <= hi.
+
+    The naive plan is a broadcast-nested-loop / cartesian product —
+    O(|points| x |intervals|) comparisons, unusable when both sides are
+    large. This operator turns it into an *equi*-join: both sides are
+    bucketed into fixed-width bins (intervals explode into every bin
+    they overlap — ceil(width/bin_width)+1 rows), the join keys on the
+    bin id (hash/sort-merge, shuffles on the bin), and the exact band
+    predicate runs as a post-join residual filter. Replication factor
+    stays bounded as long as ``bin_width`` is on the order of the
+    typical interval width, so a 100 TB x 100 TB band join shuffles
+    linearly instead of multiplying.
+    """
+    pb = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    out = pb.join(ib, "_bin", how).filter(
+        F.col(point_col).between(F.col(lo_col), F.col(hi_col))
+    )
+    return out.drop("_bin")

@@ -57,3 +57,31 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
+def test_binned_range_join_equijoin_plan_and_parity(spark, sf_dir):
+    """binned_range_join must (a) match the BNL band join's answer and
+    (b) execute as an equi-join on the bin id — no nested-loop or
+    cartesian operator in the physical plan."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        binned_range_join,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 100).alias("lo"),
+        (F.col("s_acctbal") + 100).alias("hi"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    binned = binned_range_join(
+        c, s, point_col="c_acctbal", lo_col="lo", hi_col="hi", bin_width=200.0
+    )
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    naive = c.join(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal"),
+        F.col("c_acctbal").between(F.col("s_acctbal") - 100, F.col("s_acctbal") + 100),
+    ).select("s_suppkey", "c_custkey")
+    got = binned.select("s_suppkey", "c_custkey")
+    assert got.exceptAll(naive).count() == 0 and naive.exceptAll(got).count() == 0

@@ -108,3 +108,53 @@ def test_streaming_dropduplicates(spark, sf_dir):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
     assert n["n"] == n["d"] == 1000
+
+
+def test_stream_stream_join_with_watermarks(spark, sf_dir):
+    """Stream-stream inner join (T5 companion): signups joined to
+    purchases of the same user within 7 days — both sides watermarked
+    so the join state is bounded; result checked against the identical
+    batch join."""
+    ev = _events_stream(spark, sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 day")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ss_join").count()
+
+    e = load_table(spark, sf_dir, "events")
+    s_b = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    p_b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    want = s_b.join(
+        p_b,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+        "inner",
+    ).count()
+    assert got == want and want > 0
