@@ -3434,6 +3434,80 @@ def join_salted_skew(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_discount), 6)                 AS discount_sd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark, sf_dir):
+    """Bivariate statistical aggregates (A4 extension): corr /
+    covar_samp / stddev_samp — single hash agg, moment sketches merge
+    associatively so partial aggregation holds at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
+    )
+
+
+@_q(
+    "window_moving_avg_nth",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER f
+                  AS BIGINT) AS s,
+             CAST(count(*) OVER f AS BIGINT) AS c,
+             nth_value(o_totalprice, 2) OVER g AS nv
+      FROM orders
+      WINDOW f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             g AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey,
+           ((2 * s + c) // (2 * c)) / 100.0::DOUBLE AS move_avg4,
+           round(nv, 2) AS second_price
+    FROM w
+    """,
+)
+def window_moving_avg_nth(spark, sf_dir):
+    """Moving average over a bounded ROWS frame + nth_value (W4/W5
+    completion): one window spec, one shuffle on the partition key.
+    The moving average is computed entirely in integer cents with a
+    half-up integer division — engines disagree on rounding doubles at
+    exact .xx5 boundaries (Spark rounds the shortest decimal repr,
+    DuckDB the binary double), so no double is ever rounded here."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    frame = w.rowsBetween(-3, 0)
+    mid = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(frame).alias("s"),
+        F.count(F.lit(1)).over(frame).alias("c"),
+        F.nth_value("o_totalprice", 2)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("nv"),
+    )
+    return mid.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.expr("(2 * s + c) div (2 * c)") / F.lit(100.0)).alias("move_avg4"),
+        F.round("nv", 2).alias("second_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
