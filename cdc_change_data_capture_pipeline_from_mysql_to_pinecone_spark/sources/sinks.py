@@ -66,3 +66,53 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout (``path/col=value/...``):
+    the directory structure IS the coarsest index — any filter on a
+    partition column becomes partition *pruning* at plan time (the scan
+    never opens excluded directories), which at 100 TB is the
+    difference between touching one day and touching three years.
+
+    Partition columns should be low-cardinality derivations (date,
+    region, source table); high-cardinality keys belong in bucketing
+    (``write_bucketed``) instead, or the layout degenerates into the
+    small-files problem (see ``compact_parquet``).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a parquet directory's small files into ~target-size
+    files and atomically swap the result in. Returns the output file
+    count.
+
+    Streaming sinks and per-batch upserts accrete many small files
+    (every micro-batch ≥1 file per partition); scans then pay per-file
+    open/footer costs and lose row-group locality. Periodic compaction
+    is how long-running ingest (the reference's 300 s poll loop,
+    controller.py:35, run for months) stays scannable. Sizing uses the
+    directory's actual bytes, not a guessed partition count.
+    """
+    size = 0
+    for root, _dirs, files in os.walk(path):
+        size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    n_out = max(1, -(-size // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_out

@@ -56,3 +56,42 @@ def test_upsert_replay_idempotent(spark, tmp_path):
     df = spark.read.parquet(path)
     assert df.count() == 2
     assert df.groupBy("id").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_write_partitioned_prunes_partitions(spark, sf_dir, tmp_path):
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.sinks import (
+        write_partitioned,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_partitioned(o, path, ["o_orderstatus"])
+    # hive layout on disk
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the status filter must be a partition filter (plan-time pruning),
+    # not a row-level data filter
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+    assert back.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "events_small")
+    e.repartition(64).write.parquet(path)  # simulate micro-batch accretion
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 32
+    before = e.count()
+    n_out = compact_parquet(spark, path, target_file_bytes=8 * 1024 * 1024)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == n_out < n_before
+    back = spark.read.parquet(path)
+    assert back.count() == before
+    assert back.agg(F.sum("event_id")).first()[0] == e.agg(F.sum("event_id")).first()[0]
