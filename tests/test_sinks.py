@@ -95,3 +95,36 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == before
     assert back.agg(F.sum("event_id")).first()[0] == e.agg(F.sum("event_id")).first()[0]
+
+
+def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
+    """DPP: joining a hive-partitioned fact to a filtered dim must plug
+    the dim's surviving keys into the fact scan as a runtime partition
+    filter (dynamicpruning subquery) — at 100 TB this skips whole
+    directories based on the dim filter, before any fact rows move."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.sinks import (
+        write_partitioned,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_cust_band")
+    fact = o.withColumn("cust_band", (F.col("o_custkey") % 8).cast("int"))
+    write_partitioned(fact, path, ["cust_band"])
+    fact_back = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % 8).cast("int").alias("cust_band"), "c_mktsegment")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .distinct()
+    )
+    joined = fact_back.join(dim, "cust_band")
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan[:2000]
+    # and the answer matches the unpartitioned equivalent
+    want = (
+        o.withColumn("cust_band", (F.col("o_custkey") % 8).cast("int"))
+        .join(dim, "cust_band")
+        .count()
+    )
+    assert joined.count() == want
