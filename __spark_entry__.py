@@ -115,13 +115,16 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join (dim side broadcast) + top-k (J3/O3)."""
+    """TPC-H Q3 shape: 3-way join + top-k (J3/O3). No broadcast hints:
+    customer and orders grow with the scale factor, so a forced
+    broadcast OOMs executors at 100 TB — AQE picks broadcast at runtime
+    when the filtered side is genuinely small."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -145,8 +148,9 @@ def q5_region_revenue(spark, sf_dir):
     """TPC-H Q5 shape (J3): the region-filtered dim chain
     (supplier ⋈ nation ⋈ region) is pre-composed into one tiny
     broadcast before touching the fact table — the ASIA filter prunes
-    suppliers first, and the fact side takes 3 probe passes instead of
-    5 (measured ~30% faster, same result)."""
+    suppliers first. Only the true dim chain carries a broadcast hint;
+    orders/customer scale with the data, so their join strategy is left
+    to AQE (a forced fact-side broadcast OOMs at 100 TB)."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem")
@@ -159,10 +163,10 @@ def q5_region_revenue(spark, sf_dir):
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(dim), li.l_suppkey == F.col("s_suppkey"))
         .join(
-            F.broadcast(c),
+            c,
             (F.col("o_custkey") == c.c_custkey) & (c.c_nationkey == F.col("s_nationkey")),
         )
         .groupBy("n_name")
@@ -856,14 +860,16 @@ def cdc_serialize_rows(spark, sf_dir):
     "cdc_chunk_documents",
     """
     WITH numbered AS (
-      SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn FROM documents
+      SELECT doc_id, text, doc_id // 200 AS bucket,
+             row_number() OVER (PARTITION BY doc_id // 200 ORDER BY doc_id, text) AS rn
+      FROM documents
     ), chunks AS (
-      SELECT (rn - 1) // 100 AS chunk_no,
+      SELECT bucket, (rn - 1) // 100 AS chunk_no,
              string_agg(text, ' ' ORDER BY rn) AS document,
              count(*) AS n_rows, min(doc_id) AS first_key, max(doc_id) AS last_key
-      FROM numbered GROUP BY 1
+      FROM numbered GROUP BY 1, 2
     )
-    SELECT 'documents#' || first_key::VARCHAR AS chunk_id,
+    SELECT 'documents#' || bucket::VARCHAR || '#' || first_key::VARCHAR AS chunk_id,
            CAST(n_rows AS BIGINT) AS n_rows, first_key, last_key,
            md5(document) AS doc_md5
     FROM chunks
@@ -871,9 +877,19 @@ def cdc_serialize_rows(spark, sf_dir):
 )
 def cdc_chunk_documents(spark, sf_dir):
     """Fixed-size 100-row chunk assembly (W1/A2/A3, ≙ service.py:109-145)
-    with deterministic order + deterministic chunk ids (SURVEY §7)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    chunks = cdc.chunk_documents(d, "doc_id", "text", "documents")
+    with deterministic order + deterministic chunk ids (SURVEY §7).
+
+    Scale-safe form: the row_number window partitions by a coarse
+    key-range bucket (200 key values per bucket), so no single task
+    ever sorts the whole table — chunks never span buckets and the
+    chunk id carries the bucket. The unpartitioned variant remains in
+    ``cdc.chunk_documents`` for bounded micro-batch deltas only."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("bucket", F.floor(F.col("doc_id") / 200))
+    )
+    chunks = cdc.chunk_documents(d, "doc_id", "text", "documents", bucket_col="bucket")
     return chunks.select(
         "chunk_id", "n_rows", "first_key", "last_key", F.md5("document").alias("doc_md5")
     )
@@ -1023,10 +1039,10 @@ def window_ranking_suite(spark, sf_dir):
 )
 def string_similarity_parts(spark, sf_dir):
     """Edit-distance similarity (F7): levenshtein over candidate pairs
-    (consecutive keys here; blocking is the candidate generator's job)."""
-    p = _t(spark, sf_dir, "part")
-    w = Window.orderBy("p_partkey")
-    pairs = p.select("p_partkey", "p_name", F.lead("p_name").over(w).alias("next_name"))
+    (consecutive keys here; blocking is the candidate generator's job).
+    Pairing via consecutive_pairs — bucketed lead, no global window."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = relational.consecutive_pairs(p, "p_partkey", "p_name", 250, "next_name")
     return pairs.filter(F.col("next_name").isNotNull()).select(
         "p_partkey",
         F.levenshtein("p_name", "next_name").cast("long").alias("lev"),
@@ -1229,10 +1245,10 @@ def dedup_cluster_survivors(spark, sf_dir):
 )
 def dedup_jaccard_consecutive(spark, sf_dir):
     """Exact token-set Jaccard over blocked candidate pairs (here:
-    consecutive doc ids — candidate generation is LSH's job)."""
+    consecutive doc ids — candidate generation is LSH's job).
+    Pairing via consecutive_pairs — bucketed lead, no global window."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    w = Window.orderBy("doc_id")
-    pairs = d.withColumn("next_text", F.lead("text").over(w)).filter(
+    pairs = relational.consecutive_pairs(d, "doc_id", "text", 100, "next_text").filter(
         F.col("next_text").isNotNull()
     )
     out = dedup.ngram_jaccard(pairs, "text", "next_text", n=1)

@@ -88,6 +88,7 @@ def chunk_documents(
     text_col: str,
     source: str,
     chunk_size: int = CHUNK_SIZE,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Assemble fixed-size documents: every ``chunk_size`` consecutive
     rows (ordered by ``order_col``) concatenated with a single space
@@ -102,19 +103,34 @@ def chunk_documents(
       idempotent (the reference's replays duplicate vectors, SURVEY
       §2.9 T3) and ids never collide across incremental ticks.
 
-    The global row_number is a single-table sort — at 100 TB scale the
-    chunk id would switch to ``(partition_key, row_number within
-    partition)`` so no global ordering is required; the fixture tables
-    are single-source so the reference's global order is kept for
-    parity.
+    Scale form: pass ``bucket_col`` (a coarse deterministic derivation
+    of the order key — date bucket, key range, source partition) and
+    the row_number window partitions by it, so no executor ever sorts
+    more than one bucket (chunks then never span buckets; chunk id
+    becomes ``source#bucket#first_key``). Without ``bucket_col`` the
+    window is global — exact reference parity, but a single-partition
+    sort: only for bounded micro-batch deltas, never a full 100 TB
+    table.
+
+    Ordering ties on ``order_col`` are broken by ``text_col`` so chunk
+    membership and ids are deterministic even under duplicate order
+    keys (replay-idempotency requires it).
     """
-    w = Window.orderBy(order_col)
+    order = [F.col(order_col).asc(), F.col(text_col).asc()]
+    if bucket_col is not None:
+        w = Window.partitionBy(bucket_col).orderBy(*order)
+        group_cols = [bucket_col, "chunk_no"]
+        id_parts = [F.lit(source), F.col(bucket_col).cast("string"), F.col("first_key").cast("string")]
+    else:
+        w = Window.orderBy(*order)
+        group_cols = ["chunk_no"]
+        id_parts = [F.lit(source), F.col("first_key").cast("string")]
     chunked = (
         df.withColumn("_rn", F.row_number().over(w))
         .withColumn("chunk_no", F.floor((F.col("_rn") - 1) / chunk_size))
     )
     return (
-        chunked.groupBy("chunk_no")
+        chunked.groupBy(*group_cols)
         .agg(
             F.concat_ws(
                 " ",
@@ -126,7 +142,7 @@ def chunk_documents(
             F.min(order_col).alias("first_key"),
             F.max(order_col).alias("last_key"),
         )
-        .withColumn("chunk_id", F.concat_ws("#", F.lit(source), F.col("first_key").cast("string")))
+        .withColumn("chunk_id", F.concat_ws("#", *id_parts))
     )
 
 

@@ -79,6 +79,38 @@ def top_k_per_group(df: DataFrame, group_cols: list[str], order_col: str, k: int
     return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k).drop("_rk")
 
 
+def consecutive_pairs(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    bucket_width: int = 1000,
+    out_col: str = "next_val",
+) -> DataFrame:
+    """``lead(val_col) OVER (ORDER BY key_col)`` — globally-consecutive
+    pairing — without a global single-partition window.
+
+    Rows are range-bucketed by ``key_col // bucket_width``; the lead
+    runs per bucket (parallel), and bucket-boundary rows are filled by
+    joining each bucket to the first value of the next non-empty
+    bucket. That fill uses one ordered window over *bucket aggregates*
+    — O(n / bucket_width) rows, not O(n) — so pick ``bucket_width``
+    such that n/bucket_width fits one task comfortably (e.g. 1e6 at
+    1e12 rows). Result is identical to the global-window form for any
+    key distribution, gaps included.
+    """
+    d = df.withColumn("_b", F.floor(F.col(key_col) / bucket_width).cast("long"))
+    wb = Window.partitionBy("_b").orderBy(key_col)
+    within = d.withColumn(out_col, F.lead(val_col).over(wb))
+    firsts = d.groupBy("_b").agg(F.min_by(val_col, F.col(key_col)).alias("_first"))
+    wfill = Window.orderBy("_b")  # one row per non-empty bucket
+    fill = firsts.withColumn("_bnext", F.lead("_first").over(wfill)).select("_b", "_bnext")
+    return (
+        within.join(fill, "_b", "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.col("_bnext")))
+        .drop("_b", "_bnext")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -96,8 +128,17 @@ def salted_join(
     thresholds — salting also covers aggregation-feeding joins and
     deterministic plans. Cost: small side replicated x buckets, so
     keep it for genuinely small dimension sides.
+
+    Inner-only: replicating the small side makes outer semantics wrong
+    (unmatched small rows would surface once per salt bucket).
     """
-    salted_big = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    if how != "inner":
+        raise ValueError(f"salted_join supports how='inner' only, got {how!r}")
+    # deterministic salt: hash of the whole row, stable across runs and
+    # repartitions (F.rand would depend on partition order)
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.hash(*big.columns), F.lit(salt_buckets)).cast("int")
+    )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
     salted_small = small.select("*", salts)
     out = salted_big.join(salted_small, [on, "_salt"], how)
@@ -126,7 +167,13 @@ def binned_range_join(
     stays bounded as long as ``bin_width`` is on the order of the
     typical interval width, so a 100 TB x 100 TB band join shuffles
     linearly instead of multiplying.
+
+    Inner-only: the post-join residual filter would discard
+    null-extended outer rows, and exploded intervals would surface
+    unmatched outer rows once per overlapped bin.
     """
+    if how != "inner":
+        raise ValueError(f"binned_range_join supports how='inner' only, got {how!r}")
     pb = points.withColumn(
         "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
     )

@@ -45,9 +45,70 @@ def upsert_parquet(
     )
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(tmp)
+    _swap_in(path, tmp)
+
+
+def _swap_in(path: str, tmp: str) -> None:
+    """Crash-safe directory swap: rename the live dir aside, rename the
+    new one in, then delete the old. A crash between the two renames
+    leaves the aside copy recoverable; rmtree-before-replace would lose
+    the table."""
+    old = None
     if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+        # underscore prefix: invisible to Spark's file/partition listing,
+        # so a concurrent reader never sees the aside copy as data
+        old = os.path.join(os.path.dirname(path) or ".", f"_old-{uuid.uuid4().hex[:8]}")
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if old:
+        shutil.rmtree(old)
+
+
+def upsert_parquet_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    num_buckets: int = 16,
+    bucket_col: str = "kbucket",
+) -> int:
+    """MERGE ``updates`` into a hash-bucketed keyed parquet table,
+    rewriting ONLY the bucket partitions the updates touch. Returns the
+    number of partitions rewritten.
+
+    The plain ``upsert_parquet`` is O(table) per merge — fine for the
+    one-row watermark table, wrong for a growing vectors table (the
+    reference's Pinecone index, service_layer/service.py:151-166, is
+    upsert-by-id: cost proportional to the batch, not the index). Here
+    the table lives as ``path/kbucket=N/``; each key hashes to one
+    bucket, so a micro-batch touching k buckets rewrites k partitions
+    and leaves the rest byte-identical. At 100 TB the same call site
+    targets Delta/Iceberg MERGE; the layout (hash-partitioned by key)
+    is what makes that MERGE file-skipping-friendly too.
+    """
+    keyed = updates.withColumn(
+        bucket_col, F.pmod(F.hash(*key_cols), F.lit(num_buckets)).cast("int")
+    )
+    touched = sorted(r[0] for r in keyed.select(bucket_col).distinct().collect())
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    for b in touched:
+        part_dir = os.path.join(path, f"{bucket_col}={b}")
+        upd_b = keyed.filter(F.col(bucket_col) == b).drop(bucket_col)
+        if os.path.exists(part_dir):
+            merged = spark.read.parquet(part_dir).unionByName(upd_b)
+        else:
+            merged = upd_b
+        deduped = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, f"_tmp-{uuid.uuid4().hex[:8]}")
+        deduped.write.mode("overwrite").parquet(tmp)
+        _swap_in(part_dir, tmp)
+    return len(touched)
 
 
 def write_bucketed(
@@ -109,10 +170,34 @@ def compact_parquet(
         size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
     n_out = max(1, -(-size // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
+    part_cols = _hive_partition_cols(path)
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    writer = df.repartition(n_out, *part_cols) if part_cols else df.repartition(n_out)
+    w = writer.write.mode("overwrite")
+    if part_cols:
+        # Re-apply the hive layout: a flat rewrite would fold partition
+        # columns into data columns and destroy plan-time pruning.
+        w = w.partitionBy(*part_cols)
+    w.parquet(tmp)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_out
+
+
+def _hive_partition_cols(path: str) -> list[str]:
+    """Detect hive-style ``col=value`` partition directories under
+    ``path`` and return the partition column chain (outermost first)."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subs = [
+            d
+            for d in os.listdir(cur)
+            if os.path.isdir(os.path.join(cur, d)) and "=" in d
+        ]
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])

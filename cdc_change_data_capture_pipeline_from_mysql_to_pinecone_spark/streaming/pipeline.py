@@ -137,20 +137,26 @@ def sweep(
     """
     import os
 
-    from ..sources.sinks import upsert_parquet
+    from ..sources.sinks import upsert_parquet, upsert_parquet_partitioned
     from ..sources.tables import load_table
 
     wm_path = os.path.join(store_dir, "watermark")
     vec_path = os.path.join(store_dir, "vectors")
-    wm_df = spark.read.parquet(wm_path) if os.path.exists(wm_path) else None
+    # Collect watermarks eagerly: the loop below replaces the watermark
+    # directory via upsert_parquet, so a lazily-read wm_df would capture
+    # a file listing that points at deleted part files (FAILED_READ_FILE
+    # on the second delta-bearing table).
+    if os.path.exists(wm_path):
+        wm = {
+            r["table_name"]: r["last_updated"]
+            for r in spark.read.parquet(wm_path).select("table_name", "last_updated").collect()
+        }
+    else:
+        wm = {}
     processed: dict[str, int] = {}
 
     for table, (change_col, order_col) in tables.items():
-        if wm_df is not None:
-            row = wm_df.filter(F.col("table_name") == table).select("last_updated").head()
-            watermark = row["last_updated"] if row else "1970-01-01"
-        else:
-            watermark = "1970-01-01"
+        watermark = wm.get(table, "1970-01-01")
 
         df = load_table(spark, sf_dir, table)
         sink_rows, new_wm = cdc_tick(
@@ -172,7 +178,10 @@ def sweep(
             F.lit(table).alias("source"),
             F.unix_micros(F.lit(wm_row["last_updated"])).alias("version"),
         )
-        upsert_parquet(spark, vec_path, vec_updates, ["id"], "version")
+        # vectors grow with the corpus: hash-bucketed layout so each
+        # micro-batch rewrites only the buckets it touches (O(batch),
+        # not O(table) — the plain upsert stays for the 1-row watermark)
+        upsert_parquet_partitioned(spark, vec_path, vec_updates, ["id"], "version")
         wm_update = spark.createDataFrame(
             [(table, wm_row["last_updated"], wm_row["batch_rows"])],
             "table_name string, last_updated timestamp, batch_rows long",

@@ -128,3 +128,84 @@ def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
         .count()
     )
     assert joined.count() == want
+
+
+def _partition_bytes(path: str) -> dict[str, bytes]:
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, path)] = fh.read()
+    return out
+
+
+def test_partitioned_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """upsert_parquet_partitioned must leave partitions its batch does
+    not touch byte-identical (O(batch) merge, not O(table))."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "vectors")
+    base = spark.createDataFrame(
+        [(f"id{i}", float(i), 1) for i in range(64)],
+        "id string, score double, version int",
+    )
+    upsert_parquet_partitioned(spark, path, base, ["id"], "version", num_buckets=8)
+
+    before = _partition_bytes(path)
+    one = spark.createDataFrame([("id3", 99.0, 2)], "id string, score double, version int")
+    n_touched = upsert_parquet_partitioned(spark, path, one, ["id"], "version", num_buckets=8)
+    assert n_touched == 1
+
+    after = _partition_bytes(path)
+    touched_dirs = {
+        os.path.dirname(k) for k in set(before) ^ set(after)
+    } | {os.path.dirname(k) for k in before if before[k] != after.get(k)}
+    assert len({d for d in touched_dirs if d}) <= 1  # only one kbucket=N dir changed
+
+    got = {r["id"]: r["score"] for r in spark.read.parquet(path).collect()}
+    assert got["id3"] == 99.0 and len(got) == 64
+
+
+def test_partitioned_upsert_replay_idempotent(spark, tmp_path):
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "vectors")
+    batch = spark.createDataFrame(
+        [("a", 1.0, 7), ("b", 2.0, 7)], "id string, score double, version int"
+    )
+    upsert_parquet_partitioned(spark, path, batch, ["id"], "version")
+    upsert_parquet_partitioned(spark, path, batch, ["id"], "version")  # replay
+    df = spark.read.parquet(path)
+    assert df.count() == 2
+    assert df.groupBy("id").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    """Regression (ADVICE r1): compacting a hive-partitioned layout must
+    re-apply partitionBy, not flatten partition columns into data."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        compact_parquet,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "events_by_type")
+    df = spark.createDataFrame(
+        [(i, "click" if i % 2 else "view", float(i)) for i in range(100)],
+        "event_id long, event_type string, amount double",
+    )
+    write_partitioned(df, path, ["event_type"])
+    # accrete extra small files, as a streaming sink would
+    write_partitioned(df, path, ["event_type"], mode="append")
+
+    compact_parquet(spark, path, target_file_bytes=10**9)
+
+    subdirs = {d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))}
+    assert subdirs == {"event_type=click", "event_type=view"}
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert set(back.columns) == {"event_id", "event_type", "amount"}

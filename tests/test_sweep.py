@@ -69,3 +69,30 @@ def test_sweep_crash_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert replay == {"events": 1000}  # delta reprocessed...
     after = sorted((r["id"], r["text"]) for r in spark.read.parquet(vec_path).collect())
     assert after == before  # ...but the sink state is identical
+
+
+def test_sweep_second_sweep_with_multiple_deltas(spark, sf_dir, tmp_path):
+    """Regression (ADVICE r1, high): the sweep loop replaces the
+    watermark directory per table, so watermarks must be collected
+    eagerly up front — a lazily-read wm_df would capture a file listing
+    that the first in-loop upsert deletes, crashing the second
+    delta-bearing table's lookup with FAILED_READ_FILE."""
+    import datetime
+
+    import shutil
+
+    store = str(tmp_path / "store")
+    tables = {"events": ("ts", "event_id"), "orders": ("o_orderdate", "o_orderkey")}
+    sweep(spark, sf_dir, store, tables)
+
+    # roll BOTH watermarks back so both tables carry deltas next sweep
+    wm_path = os.path.join(store, "watermark")
+    shutil.rmtree(wm_path)
+    early = datetime.datetime(1970, 1, 2)
+    spark.createDataFrame(
+        [("events", early, 0, 1), ("orders", early, 0, 1)],
+        "table_name string, last_updated timestamp, batch_rows long, version long",
+    ).write.parquet(wm_path)
+
+    second = sweep(spark, sf_dir, store, tables)
+    assert second["events"] == 1000 and second["orders"] == 1500
