@@ -3551,9 +3551,115 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Registry surfacing order. The driver's correctness gate samples the
+# dict from the front (r1 recorded the first 50 entries), so the
+# highest-information / previously-driver-unverified operator families
+# lead: TPC-H hard shapes, vector/ANN, ml sampling, multimodal,
+# streaming, SCD2/TF-IDF, bucketed/salted joins, subqueries, stats
+# aggregates, then the embed/search rows-only pair. Everything not
+# listed follows in registration order (those are the 50 queries
+# CORRECTNESS_r01 already verified green, plus near-duplicate scalar/
+# window variants).
+_PRIORITY = [
+    # TPC-H hard shapes (local-pass only in r1)
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipmode",
+    "q14_promo_share",
+    "q18_large_orders_having",
+    "q19_disjunctive_predicates",
+    # vector / ANN stack
+    "vec_knn_bruteforce",
+    "vec_ann_topk",
+    "vec_ivf_topk",
+    "vec_ivf_cells",
+    "vec_ivf_trained_cells",
+    "vec_lsh_bucket_histogram",
+    "dedup_embedding_neardup",
+    "vec_centroid_per_label",
+    # training-data sampling / profiling
+    "ml_hash_split",
+    "ml_stratified_sample",
+    "ml_kfold_assign",
+    "profile_documents",
+    # multimodal plumbing
+    "mm_binary_features",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    # streaming-shaped
+    "stream_tumbling_window",
+    "stream_sessionize",
+    # CDC extensions
+    "cdc_scd2_history",
+    "cdc_late_data_rescan",
+    # text pipeline
+    "text_tfidf_topk",
+    "text_chunk_token_budget",
+    "text_bpe_regex_tokens",
+    # scale-path joins
+    "join_range_binned",
+    "join_salted_skew",
+    # subqueries
+    "subquery_above_avg_customers",
+    "subquery_correlated_order_above_cust_avg",
+    # statistical / advanced aggregates
+    "agg_stats_lineitem",
+    "agg_percentile_prices",
+    "agg_corr_covar",
+    "agg_cube_status_priority",
+    "agg_approx_sketches",
+    "agg_grouping_sets",
+    # window / pipeline composites
+    "window_range_frame_spend",
+    "pipeline_training_data",
+    # embedding + search end-to-end (rows-only by design)
+    "embed_documents",
+    "search_end_to_end",
+    # --- slot 51+: remaining r1-unverified, then registration order ---
+    "timeseries_gap_fill",
+    "set_ops_all_variants",
+    "join_cross_region_nation",
+    "agg_collect_nations",
+    "agg_minby_maxby_events",
+    "unpivot_customer_metrics",
+    "scalar_math_lineitem",
+    "array_ops_documents",
+    "array_hof_documents",
+    "array_posexplode_tokens",
+    "map_ops_events",
+    "agg_bitwise_events",
+    "agg_boolean_lineitem",
+    "scalar_datetime_parse_roundtrip",
+    "scalar_try_cast_safe",
+    "scalar_regexp_advanced",
+    "text_normalize_stopwords",
+    "text_top_bigram_per_lang",
+    "text_fingerprint",
+    "vec_l2_normalize",
+    "vec_label_norms",
+    "window_moving_avg_nth",
+]
+
+
+def _ordered_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    missing = [n for n in _PRIORITY if n not in _REG]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    ordered = {n: _REG[n] for n in _PRIORITY}
+    ordered.update({n: v for n, v in _REG.items() if n not in ordered})
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in _REG.items()}
+    return {name: fn for name, (fn, _sql) in _ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in _REG.items() if sql is not None}
+    return {name: sql for name, (_fn, sql) in _ordered_registry().items() if sql is not None}
