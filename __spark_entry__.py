@@ -1211,7 +1211,54 @@ def dedup_simhash_neardup(spark, sf_dir):
     )
 
 
-@_q("dedup_cluster_survivors", None)  # iterative fixpoint — not SQL-expressible
+def _duck_cluster_survivors_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_band: int = 4) -> str:
+    """DuckDB oracle for the full dedup tail: minhash -> LSH bands ->
+    candidate pairs -> connected components (recursive CTE transitive
+    closure; fine at oracle scale) -> lowest-id survivor per cluster."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        MERSENNE31,
+        universal_coeffs,
+    )
+
+    coeffs = universal_coeffs(num_hashes)
+    hash_cols = ",\n           ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MERSENNE31})) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band))
+        + ")) AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+    WITH RECURSIVE
+    u AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents),
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM u),
+    sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
+    bh AS (SELECT doc_id,
+                  list_transform(shingles,
+                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS base
+           FROM sh),
+    sig AS (SELECT doc_id, {hash_cols} FROM bh),
+    bands AS ({band_rows}),
+    pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (SELECT doc_id, doc_id FROM u
+                    UNION
+                    SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+    labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a)
+    SELECT u.doc_id, md5(u.text) AS fp
+    FROM u JOIN labels l ON u.doc_id = l.doc_id
+    WHERE u.doc_id = l.label
+    """
+
+
+@_q("dedup_cluster_survivors", _duck_cluster_survivors_sql())
 def dedup_cluster_survivors(spark, sf_dir):
     """Full dedup pipeline tail: LSH candidate pairs -> connected
     components (iterative min-label propagation) -> lowest-id survivor
@@ -1634,13 +1681,19 @@ def vec_label_norms(spark, sf_dir):
     )
 
 
+# Plane count adapts to corpus size exactly like operators.vectors.
+# planes_for_corpus: 2^planes ≈ count/32, clamped to [1, 24] — at
+# sf0.01 (500 vectors) both sides resolve to 4 planes / 16 buckets.
 _DUCK_PLANES = """
+    nplanes AS (
+      SELECT greatest(1, least(24, CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS np
+      FROM embeddings),
     planes AS (
       SELECT b,
              list_transform(generate_series(0, 63),
                j -> (('0x' || substr(md5('plane' || b::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT
                      % 2000001) / 1000000.0 - 1.0) AS plane
-      FROM generate_series(0, 3) t(b)),
+      FROM generate_series(0, 23) t(b), nplanes WHERE t.b < nplanes.np),
     scored AS (
       SELECT e.vec_id, e.label, p.b,
              list_dot_product(e.embedding::DOUBLE[], p.plane) AS d
@@ -1660,9 +1713,11 @@ _DUCK_PLANES = """
 )
 def vec_lsh_bucket_histogram(spark, sf_dir):
     """Random-hyperplane LSH bucketing (ANN scale path): deterministic
-    md5-derived planes so the partitioning is oracle-reproducible."""
+    md5-derived planes so the partitioning is oracle-reproducible.
+    Plane count auto-sizes to the corpus (planes_for_corpus) — the
+    oracle computes the identical formula from count(*)."""
     e = _t(spark, sf_dir, "embeddings")
-    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=4)
+    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=None)
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1683,7 +1738,7 @@ def vec_ann_topk(spark, sf_dir):
     vectors."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 1).select("embedding").head()[0]
-    out = vec_ops.ann_topk(e, "vec_id", "embedding", list(qvec), dim=64, k=10, n_planes=4)
+    out = vec_ops.ann_topk(e, "vec_id", "embedding", list(qvec), dim=64, k=10, n_planes=None)
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
@@ -1753,7 +1808,51 @@ def vec_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
-@_q("vec_ivf_trained_cells", None)  # k-means is iterative — not SQL-expressible
+def _duck_ivf_trained_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB oracle for deterministic Lloyd's k-means (seeds = first k
+    vectors by id, argmax-dot assignment with larger-cell tie-break,
+    elementwise-mean update, empty cells keep their previous centroid)
+    — unrolled ``iters`` times, then the final cell census."""
+    steps = []
+    prev = "seeds0"
+    for it in range(1, iters + 1):
+        steps.append(f"""
+    s{it} AS (SELECT e.vec_id, c.cell,
+                     list_dot_product(e.embedding::DOUBLE[], c.c) AS score
+              FROM embeddings e CROSS JOIN {prev} c),
+    b{it} AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, cell DESC) AS rn
+                FROM s{it}) WHERE rn = 1),
+    m{it} AS (SELECT b.cell, g.i AS pos, avg(e.embedding[g.i]::DOUBLE) AS m
+              FROM b{it} b JOIN embeddings e USING (vec_id)
+              CROSS JOIN generate_series(1, {dim}) g(i)
+              GROUP BY b.cell, g.i),
+    cm{it} AS (SELECT cell, list(m ORDER BY pos) AS c FROM m{it} GROUP BY cell),
+    c{it} AS (SELECT p.cell, coalesce(cm.c, p.c) AS c
+              FROM {prev} p LEFT JOIN cm{it} cm USING (cell))""")
+        prev = f"c{it}"
+    chain = ",".join(steps)
+    return f"""
+    WITH seeds0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS c
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    ),{chain},
+    sf AS (SELECT e.vec_id, c.cell,
+                  list_dot_product(e.embedding::DOUBLE[], c.c) AS score
+           FROM embeddings e CROSS JOIN {prev} c),
+    bf AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY score DESC, cell DESC) AS rn
+             FROM sf) WHERE rn = 1)
+    SELECT CAST(cell AS INTEGER) AS cell, CAST(count(*) AS BIGINT) AS n
+    FROM bf GROUP BY cell
+    """
+
+
+@_q("vec_ivf_trained_cells", _duck_ivf_trained_sql())
 def vec_ivf_trained_cells(spark, sf_dir):
     """IVF with a TRAINED coarse quantizer: deterministic Lloyd's
     k-means (operators/vectors.py::train_ivf_centroids) then cell
@@ -1780,9 +1879,11 @@ def vec_ivf_trained_cells(spark, sf_dir):
 )
 def dedup_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, candidate set limited to shared
-    LSH buckets — linear-ish, never n² (A9 + A12 composed)."""
+    LSH buckets — linear-ish, never n² (A9 + A12 composed). Bucket
+    count auto-sizes to the corpus so per-bucket self-joins stay
+    bounded at any scale."""
     e = _t(spark, sf_dir, "embeddings")
-    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=4)
+    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=None)
     pairs = dedup.embedding_near_dup(b, "vec_id", "embedding", "bucket", threshold=0.6)
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 

@@ -78,11 +78,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, num_bands: int = 4, rows_per_band: int = 4
+    sig_df: DataFrame,
+    id_col: str,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature
     become a candidate pair. Explode to (band, band_hash, id), then a
     per-bucket self-join — no global cross join ever materializes.
+
+    ``max_bucket_size`` drops degenerate buckets (boilerplate text
+    shared by a huge fraction of the corpus) before pair expansion: a
+    bucket of B ids emits B(B-1)/2 pairs, so one million-doc bucket is
+    5·10¹¹ rows — at production scale always set a cap (pairs inside a
+    dropped bucket are exactly the ones near-dup *clustering* doesn't
+    need enumerated; route oversized buckets to exact-hash dedup
+    instead).
     """
     bands = F.array(
         *[
@@ -108,9 +120,6 @@ def lsh_candidate_pairs(
     # Group ids per bucket and expand pairs inside the array — computes
     # the signatures once (a self-join would re-evaluate the whole
     # upstream for each side) and shuffles only (band, bucket, id).
-    # Degenerate buckets (boilerplate shared by everything) would blow
-    # up quadratically at scale — production runs should cap them via
-    # a size filter before pair expansion.
     ids = F.array_sort(F.collect_list("id"))
     pair_expand = F.flatten(
         F.transform(
@@ -121,11 +130,11 @@ def lsh_candidate_pairs(
             ),
         )
     )
+    grouped = exploded.groupBy("band", "bucket").agg(ids.alias("_ids")).filter(F.size("_ids") > 1)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
     return (
-        exploded.groupBy("band", "bucket")
-        .agg(ids.alias("_ids"))
-        .filter(F.size("_ids") > 1)
-        .select(F.explode(pair_expand).alias("_p"))
+        grouped.select(F.explode(pair_expand).alias("_p"))
         .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )

@@ -37,6 +37,28 @@ def cosine_topk(emb_df: DataFrame, id_col: str, vec_col: str, query_vec: list[fl
     )
 
 
+TARGET_BUCKET_SIZE = 32  # aimed-for vectors per LSH bucket
+
+
+def planes_for_corpus(
+    n_rows: int, target_bucket_size: int = TARGET_BUCKET_SIZE, max_planes: int = 24
+) -> int:
+    """Size the hyperplane count to the corpus: 2^planes ≈ n/target,
+    so per-bucket work (self-join, probe scan) stays ~target² and the
+    total candidate volume stays ~linear in n. A fixed plane count is
+    the classic ANN scale bug — 16 buckets over 10⁹ vectors makes
+    every 'bucketed' pass quadratic again. Clamped to [1, max_planes]
+    (2^24 ≈ 16M buckets covers 10¹² rows at target 64k... pick
+    target_bucket_size per downstream cost).
+    Mirrored in SQL oracles as
+    ``greatest(1, least(24, ceil(log2(count(*) / 32.0))))``."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return 1
+    return min(max_planes, max(1, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j is the
     portable hash of (plane_idx, j) mapped to [-1, 1]. Computed
@@ -51,10 +73,16 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
-def hyperplane_buckets(emb_df: DataFrame, vec_col: str, dim: int, n_planes: int = 4) -> DataFrame:
+def hyperplane_buckets(
+    emb_df: DataFrame, vec_col: str, dim: int, n_planes: int | None = 4
+) -> DataFrame:
     """Append an LSH bucket id: bit b = sign(vec · plane_b). Buckets
     partition the corpus into 2^n_planes cells; cosine-close vectors
-    land in the same cell with high probability."""
+    land in the same cell with high probability. ``n_planes=None``
+    auto-sizes from the corpus row count (one count job) via
+    :func:`planes_for_corpus`."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(emb_df.count())
     bucket = None
     for b in range(n_planes):
         plane = F.array(*[F.lit(x) for x in _hyperplane(dim, b)])
@@ -126,14 +154,17 @@ def ann_topk(
     query_vec: list[float],
     dim: int,
     k: int = 10,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: hash the query with the same hyperplanes,
     scan only its bucket, exact cosine within. ``multi_probe`` > 0
     additionally probes the buckets at Hamming distance 1 obtained by
     flipping the ``multi_probe`` lowest-|dot| (least confident) bits —
-    the standard recall/scan-fraction dial."""
+    the standard recall/scan-fraction dial. ``n_planes=None``
+    auto-sizes from the corpus row count."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(emb_df.count())
     bucketed = hyperplane_buckets(emb_df, vec_col, dim, n_planes)
     dots = []
     qb = 0
