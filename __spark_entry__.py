@@ -61,6 +61,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet footer (no Spark job) — used to size
+    corpus-dependent parameters like the LSH plane count."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.2-2.8 [EXT] surface)
 # ---------------------------------------------------------------------------
@@ -1717,7 +1727,8 @@ def vec_lsh_bucket_histogram(spark, sf_dir):
     Plane count auto-sizes to the corpus (planes_for_corpus) — the
     oracle computes the identical formula from count(*)."""
     e = _t(spark, sf_dir, "embeddings")
-    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=None)
+    planes = vec_ops.planes_for_corpus(_table_rows(sf_dir, "embeddings"))
+    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=planes)
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1738,7 +1749,8 @@ def vec_ann_topk(spark, sf_dir):
     vectors."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 1).select("embedding").head()[0]
-    out = vec_ops.ann_topk(e, "vec_id", "embedding", list(qvec), dim=64, k=10, n_planes=None)
+    planes = vec_ops.planes_for_corpus(_table_rows(sf_dir, "embeddings"))
+    out = vec_ops.ann_topk(e, "vec_id", "embedding", list(qvec), dim=64, k=10, n_planes=planes)
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
@@ -1883,7 +1895,8 @@ def dedup_embedding_neardup(spark, sf_dir):
     count auto-sizes to the corpus so per-bucket self-joins stay
     bounded at any scale."""
     e = _t(spark, sf_dir, "embeddings")
-    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=None)
+    planes = vec_ops.planes_for_corpus(_table_rows(sf_dir, "embeddings"))
+    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=planes)
     pairs = dedup.embedding_near_dup(b, "vec_id", "embedding", "bucket", threshold=0.6)
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
@@ -2903,8 +2916,12 @@ def search_end_to_end(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").limit(200)
     corpus = d.select("doc_id", embed_text(F.col("text")).alias("vec"))
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
+        lit_double_array,
+    )
+
     qvec = [float(x) for x in _hash_featurize(["spark query join stream"])[0]]
-    q = F.array(*[F.lit(x) for x in qvec])
+    q = lit_double_array(qvec)
     return (
         corpus.select("doc_id", F.round(cosine_sim(F.col("vec"), q), 6).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")

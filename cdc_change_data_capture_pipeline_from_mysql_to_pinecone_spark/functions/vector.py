@@ -14,6 +14,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def lit_double_array(values) -> Column:
+    """A literal array<double> built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) for x in vec])`` costs one py4j round-trip per
+    element — ~0.5 s of driver-side plan construction for a handful of
+    64-dim planes, repeated per query build. Python float repr
+    round-trips exactly through Spark's double parser, so the single
+    ``expr`` string is bit-identical and ~100x cheaper to construct."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in values) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two equal-length float arrays."""
     return F.aggregate(

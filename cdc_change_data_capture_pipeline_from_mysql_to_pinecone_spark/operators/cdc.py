@@ -89,6 +89,7 @@ def chunk_documents(
     source: str,
     chunk_size: int = CHUNK_SIZE,
     bucket_col: str | None = None,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Assemble fixed-size documents: every ``chunk_size`` consecutive
     rows (ordered by ``order_col``) concatenated with a single space
@@ -107,15 +108,19 @@ def chunk_documents(
     of the order key — date bucket, key range, source partition) and
     the row_number window partitions by it, so no executor ever sorts
     more than one bucket (chunks then never span buckets; chunk id
-    becomes ``source#bucket#first_key``). Without ``bucket_col`` the
-    window is global — exact reference parity, but a single-partition
-    sort: only for bounded micro-batch deltas, never a full 100 TB
-    table.
+    becomes ``source#bucket#first_key``). ``bucket_width`` derives the
+    bucket internally as ``floor(order_col / width)`` for numeric order
+    keys. Without either, the window is global — exact reference
+    parity, but a single-partition sort: only for bounded micro-batch
+    deltas, never a full 100 TB table.
 
     Ordering ties on ``order_col`` are broken by ``text_col`` so chunk
     membership and ids are deterministic even under duplicate order
     keys (replay-idempotency requires it).
     """
+    if bucket_width is not None and bucket_col is None:
+        df = df.withColumn("_kb", F.floor(F.col(order_col) / bucket_width).cast("long"))
+        bucket_col = "_kb"
     order = [F.col(order_col).asc(), F.col(text_col).asc()]
     if bucket_col is not None:
         w = Window.partitionBy(bucket_col).orderBy(*order)
@@ -143,6 +148,7 @@ def chunk_documents(
             F.max(order_col).alias("last_key"),
         )
         .withColumn("chunk_id", F.concat_ws("#", *id_parts))
+        .drop("_kb")  # internal bucket derivation, no-op otherwise
     )
 
 

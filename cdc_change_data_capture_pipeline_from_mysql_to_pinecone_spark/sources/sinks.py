@@ -91,23 +91,35 @@ def upsert_parquet_partitioned(
         bucket_col, F.pmod(F.hash(*key_cols), F.lit(num_buckets)).cast("int")
     )
     touched = sorted(r[0] for r in keyed.select(bucket_col).distinct().collect())
+    if not touched:
+        return 0
+    has_current = os.path.exists(path) and any(
+        d.startswith(f"{bucket_col}=") for d in os.listdir(path)
+    )
+    if has_current:
+        # partition pruning: only the touched bucket directories are read
+        current = spark.read.parquet(path).filter(F.col(bucket_col).isin(touched))
+        merged = current.unionByName(keyed)
+    else:
+        merged = keyed
     w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    deduped = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # ONE job writes every touched bucket (hive layout in a hidden tmp),
+    # then per-partition renames swap them in — not a job per bucket.
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"_tmp-{uuid.uuid4().hex[:8]}")
+    deduped.repartition(*[F.col(c) for c in key_cols]).write.mode("overwrite").partitionBy(
+        bucket_col
+    ).parquet(tmp)
     for b in touched:
-        part_dir = os.path.join(path, f"{bucket_col}={b}")
-        upd_b = keyed.filter(F.col(bucket_col) == b).drop(bucket_col)
-        if os.path.exists(part_dir):
-            merged = spark.read.parquet(part_dir).unionByName(upd_b)
-        else:
-            merged = upd_b
-        deduped = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        os.makedirs(path, exist_ok=True)
-        tmp = os.path.join(path, f"_tmp-{uuid.uuid4().hex[:8]}")
-        deduped.write.mode("overwrite").parquet(tmp)
-        _swap_in(part_dir, tmp)
+        src = os.path.join(tmp, f"{bucket_col}={b}")
+        if os.path.exists(src):
+            _swap_in(os.path.join(path, f"{bucket_col}={b}"), src)
+    shutil.rmtree(tmp, ignore_errors=True)
     return len(touched)
 
 

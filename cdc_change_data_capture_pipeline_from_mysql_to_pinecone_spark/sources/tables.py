@@ -39,16 +39,25 @@ TABLES = (
 )
 
 
+_NS_COLS_CACHE: dict[str, list[str]] = {}
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _nanos_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark 4 rejects the
     physical type outright, so they are read as raw int64 nanos (legacy
     conf) and converted to TimestampType with integer division (no
-    double round-trip: ns epoch values exceed 2^53)."""
-    import pyarrow.parquet as pq
-    import pyarrow.types as pat
+    double round-trip: ns epoch values exceed 2^53). Footer probe is
+    memoized — fixtures are immutable and every query calls this."""
+    if path not in _NS_COLS_CACHE:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
 
-    schema = pq.read_schema(path)
-    return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+        schema = pq.read_schema(path)
+        _NS_COLS_CACHE[path] = [
+            f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    return _NS_COLS_CACHE[path]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -65,12 +74,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # fixtures are read-only: reuse the analyzed relation per (app, path)
+    # so repeated queries skip file listing + schema resolution
+    key = (spark.sparkContext.applicationId, path)
+    if key in _DF_CACHE:
+        return _DF_CACHE[key]
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    _DF_CACHE[key] = df
     return df
 
 

@@ -101,7 +101,21 @@ def cdc_tick(
     """
     delta = cdc.incremental_scan(df, change_col, watermark)
     serialized = cdc.serialize_rows(delta)
-    chunks = cdc.chunk_documents(serialized, order_col, "data_string", source, chunk_size)
+    # numeric order keys get range-bucketed chunking so the row_number
+    # window never sorts the whole delta on one task (a 100 TB initial
+    # load is 'one delta'); non-numeric keys keep the bounded
+    # micro-batch global window
+    numeric = dict(df.dtypes).get(order_col) in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+    chunks = cdc.chunk_documents(
+        serialized,
+        order_col,
+        "data_string",
+        source,
+        chunk_size,
+        bucket_width=chunk_size * 1000 if numeric else None,
+    )
     if with_embeddings:
         chunks = chunks.withColumn("values", embed_text(F.col("document")))
     sink_rows = chunks.select(
@@ -230,7 +244,10 @@ def run_streaming_pipeline(
         for c in ns_cols:
             batch_df = batch_df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         serialized = cdc.serialize_rows(batch_df)
-        chunks = cdc.chunk_documents(serialized, order_col, "data_string", source)
+        chunks = cdc.chunk_documents(
+            serialized, order_col, "data_string", source,
+            bucket_width=cdc.CHUNK_SIZE * 1000,
+        )
         sink.append(chunks.select("chunk_id", "document", "n_rows").collect())
 
     writer = stream.writeStream.foreachBatch(process)

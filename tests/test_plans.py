@@ -7,6 +7,7 @@ plan shape is tested explicitly (SURVEY §4)."""
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 from pyspark.sql import functions as F
@@ -131,3 +132,21 @@ def test_minhash_partial_min(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     plan = explain_str(minhash_signatures(d, "text", "doc_id", 8))
     assert "partial_min" in plan, plan
+
+
+def test_no_fact_side_broadcast_hints(spark, sf_dir):
+    """Regression (VERDICT r1 #3): orders/customer grow with the scale
+    factor, so q3/q5 must not FORCE a broadcast on them — with the
+    auto-broadcast threshold disabled, the only BroadcastHashJoin left
+    must be q5's hinted dim chain (supplier x nation x region)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q3_plan = explain_str(entrymod.queries()["q3_shipping_priority"](spark, sf_dir))
+        q5_plan = explain_str(entrymod.queries()["q5_region_revenue"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "BroadcastHashJoin" not in q3_plan, q3_plan
+    # formatted plans list each node twice (tree + details); count the
+    # detail headers only
+    bhj = re.findall(r"^\(\d+\) BroadcastHashJoin", q5_plan, flags=re.M)
+    assert len(bhj) == 1, q5_plan

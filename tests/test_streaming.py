@@ -26,7 +26,7 @@ def test_streaming_pipeline_available_now(spark, sf_dir):
     chunks = sink[0]
     assert sum(r["n_rows"] for r in chunks) == 1000
     ids = sorted(r["chunk_id"] for r in chunks)
-    assert ids[0] == "events#0"  # first_key (min event_id) of the first chunk
+    assert ids[0] == "events#0#0"  # source#bucket#first_key of the first chunk
     assert all(r["n_rows"] == 100 for r in chunks)
 
 
