@@ -214,6 +214,9 @@ def run_streaming_pipeline(
     sink: list,
     trigger_seconds: int = 300,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    stop_after_batches: int | None = None,
+    await_seconds: int = 120,
 ) -> None:
     """Structured-Streaming form of the poll loop (T1/T2).
 
@@ -234,11 +237,14 @@ def run_streaming_pipeline(
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", f"{table}.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", f"{table}*.parquet"
     )
+    if max_files_per_trigger:
+        # rate-limit each micro-batch (the poll-loop analogue of the
+        # reference consuming one delta per tick)
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(sf_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         for c in ns_cols:
@@ -253,6 +259,19 @@ def run_streaming_pipeline(
     writer = stream.writeStream.foreachBatch(process)
     if available_now:
         q = writer.trigger(availableNow=True).start()
-    else:  # pragma: no cover - long-running mode
+        q.awaitTermination(await_seconds)
+    else:
+        # the reference's operating mode: a periodic trigger firing a
+        # micro-batch per interval (controller.py:35's sleep(300) loop)
+        import time as _time
+
         q = writer.trigger(processingTime=f"{trigger_seconds} seconds").start()
-    q.awaitTermination(120)
+        try:
+            if stop_after_batches is not None:
+                deadline = _time.monotonic() + await_seconds
+                while _time.monotonic() < deadline and len(sink) < stop_after_batches:
+                    _time.sleep(0.2)
+            else:  # pragma: no cover - unbounded service mode
+                q.awaitTermination(await_seconds)
+        finally:
+            q.stop()

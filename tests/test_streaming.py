@@ -60,3 +60,34 @@ def test_cdc_incremental_covers_exactly_once(spark, sf_dir):
     n_first = first.count()
     n_second = e.filter(F.col("ts") > F.lit(wm_val)).count()
     assert n_first + n_second == e.count()
+
+
+def test_streaming_processing_time_trigger(spark, sf_dir, tmp_path):
+    """The reference's actual operating mode (controller.py:35: poll
+    every 300 s): a processingTime trigger must fire multiple
+    micro-batches, each advancing the checkpoint offset — here two
+    source files rate-limited to one per trigger produce two batches."""
+    import shutil
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events2.parquet"))
+
+    sink = []
+    run_streaming_pipeline(
+        spark,
+        src,
+        "events",
+        source="events",
+        order_col="event_id",
+        sink=sink,
+        trigger_seconds=1,
+        available_now=False,
+        max_files_per_trigger=1,
+        stop_after_batches=2,
+        await_seconds=60,
+    )
+    assert len(sink) >= 2  # one micro-batch per trigger tick per file
+    for batch in sink[:2]:
+        assert sum(r["n_rows"] for r in batch) == 1000  # offsets advanced file-by-file
