@@ -6,6 +6,7 @@ from .sinks import (
     write_partitioned,
 )
 from .tables import TABLES, jdbc_reader_options, load_table, register_views
+from .vector_sink import foreach_batch_vector_upsert, iter_batches, send_with_retry
 
 __all__ = [
     "TABLES",
@@ -17,4 +18,7 @@ __all__ = [
     "write_bucketed",
     "write_partitioned",
     "compact_parquet",
+    "foreach_batch_vector_upsert",
+    "iter_batches",
+    "send_with_retry",
 ]

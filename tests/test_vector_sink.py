@@ -1,0 +1,137 @@
+"""Vector-index connector contract (S8 as a pluggable sink): batching,
+retry-with-backoff, partition parallelism, streaming integration.
+Fakes are filesystem-backed — foreachPartition bodies run in separate
+Python worker processes, so in-memory fakes would observe nothing."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import uuid
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_sink import (  # noqa: E402
+    foreach_batch_vector_upsert,
+    iter_batches,
+    send_with_retry,
+)
+
+
+def _dir_upsert(out_dir: str, fail_first: bool = False):
+    """An upsert callable recording each delivered batch as one JSON
+    file; optionally fails the first attempt per batch (transient
+    error injection via marker files)."""
+
+    def upsert(batch: list[dict]) -> None:
+        key = "-".join(str(r["id"]) for r in batch)
+        marker = os.path.join(out_dir, f".tried-{abs(hash(key))}")
+        if fail_first and not os.path.exists(marker):
+            open(marker, "w").close()
+            raise ConnectionError("transient index error")
+        name = f"batch-{uuid.uuid4().hex[:12]}.json"
+        with open(os.path.join(out_dir, name), "w") as fh:
+            json.dump(batch, fh)
+
+    return upsert
+
+
+def test_iter_batches_shapes():
+    batches = list(iter_batches(iter(range(25)), 10))
+    assert [len(b) for b in batches] == [10, 10, 5]
+    assert list(iter_batches(iter([]), 10)) == []
+
+
+def test_send_with_retry_gives_up():
+    calls = []
+
+    def always_fails(batch):
+        calls.append(1)
+        raise TimeoutError("down")
+
+    with pytest.raises(TimeoutError):
+        send_with_retry(always_fails, [{"id": 1}], max_retries=3, backoff_seconds=0.001)
+    assert len(calls) == 3
+
+
+def test_foreach_batch_delivers_all_rows_in_reference_batches(spark, tmp_path):
+    out = str(tmp_path / "index")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [(f"doc#{i}", [float(i), 0.5], {"source": "documents"}) for i in range(57)],
+        "id string, values array<double>, metadata map<string,string>",
+    ).repartition(4)
+    foreach_batch_vector_upsert(df, epoch_id=0, upsert=_dir_upsert(out), batch_size=10)
+
+    batches = [
+        json.load(open(os.path.join(out, f))) for f in os.listdir(out) if f.endswith(".json")
+    ]
+    ids = sorted(r["id"] for b in batches for r in b)
+    assert ids == sorted(f"doc#{i}" for i in range(57))  # nothing lost or duplicated
+    assert max(len(b) for b in batches) <= 10  # ≙ service.py:151 batch size
+    # payload shape ≙ service.py:160-166
+    sample = batches[0][0]
+    assert set(sample) == {"id", "values", "metadata"} and sample["metadata"]["source"] == "documents"
+
+
+def test_foreach_batch_retries_transient_failures(spark, tmp_path):
+    out = str(tmp_path / "index")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [(f"doc#{i}", [1.0], {"k": "v"}) for i in range(20)],
+        "id string, values array<double>, metadata map<string,string>",
+    ).repartition(2)
+    foreach_batch_vector_upsert(
+        df, 0, _dir_upsert(out, fail_first=True), batch_size=10, backoff_seconds=0.001
+    )
+    batches = [
+        json.load(open(os.path.join(out, f))) for f in os.listdir(out) if f.endswith(".json")
+    ]
+    ids = sorted(r["id"] for b in batches for r in b)
+    assert ids == sorted(f"doc#{i}" for i in range(20))
+    assert any(f.startswith(".tried-") for f in os.listdir(out))  # failures actually happened
+
+
+def test_streaming_into_vector_connector(spark, sf_dir, tmp_path):
+    """The full reference dataflow with the pluggable sink: stream ->
+    chunk -> foreachBatch connector -> 'index' (directory fake)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import cdc
+
+    out = str(tmp_path / "index")
+    os.makedirs(out)
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    upsert = _dir_upsert(out)
+
+    def process(batch_df, eid):
+        from pyspark.sql import functions as F
+
+        serialized = cdc.serialize_rows(batch_df.drop("ts"))
+        chunks = cdc.chunk_documents(
+            serialized, "event_id", "data_string", "events", bucket_width=100_000
+        )
+        payload = chunks.select(
+            F.col("chunk_id").alias("id"),
+            F.array(F.lit(0.0)).alias("values"),
+            F.create_map(F.lit("text"), F.col("document")).alias("metadata"),
+        )
+        foreach_batch_vector_upsert(payload, eid, upsert, batch_size=3)
+
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batches = [
+        json.load(open(os.path.join(out, f))) for f in os.listdir(out) if f.endswith(".json")
+    ]
+    ids = sorted(r["id"] for b in batches for r in b)
+    assert len(ids) == 10 and len(set(ids)) == 10  # 1000 events / 100-row chunks
+    assert all(i.startswith("events#") for i in ids)
