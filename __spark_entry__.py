@@ -1362,6 +1362,96 @@ def dedup_minhash_est_jaccard(spark, sf_dir):
     return est.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
+@_q(
+    "text_scrub_pii",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR || '@example.com via ' ||
+             'https://ex.am/p/' || doc_id::VARCHAR || ' call +12 3456 78901' AS raw
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, 'https?://\\S+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS scrubbed
+    FROM synth
+    """,
+)
+def text_scrub_pii(spark, sf_dir):
+    """PII scrub pass (URL/email/phone redaction) — map-only chained
+    regexp_replace, no UDF; synthetic PII appended so the redaction is
+    actually exercised, then differential-checked byte-for-byte."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.am/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" call +12 3456 78901"),
+    )
+    return d.select("doc_id", text_ops.scrub_pii(raw).alias("scrubbed"))
+
+
+@_q(
+    "text_repetition_ratio",
+    """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents),
+    grams AS (SELECT doc_id,
+                     unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(generate_series(1, len(t) - 1),
+                                                i -> array_to_string(t[i:i+1], ' ')) END) AS g
+              FROM toks),
+    per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+    SELECT doc_id,
+           round(max(c)::DOUBLE / sum(c)::DOUBLE, 4) AS rep_ratio,
+           CAST(max(c) AS BIGINT) AS top_gram_count,
+           CAST(sum(c) AS BIGINT) AS total_grams
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Degenerate-text signal: share of a doc's bigrams taken by its
+    most frequent bigram (boilerplate filter for training corpora)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.repetition_ratio(d, "doc_id", "text", n=2)
+
+
+@_q(
+    "text_contamination",
+    f"""
+    WITH ctoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM documents),
+    csh AS (SELECT doc_id, {_duck_shingles(3)} AS sh FROM ctoks),
+    cg AS (SELECT doc_id, unnest(sh) AS g FROM csh),
+    probe AS (SELECT doc_id AS probe_id, text FROM documents WHERE doc_id % 50 = 0),
+    ptoks AS (SELECT probe_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM probe),
+    psh AS (SELECT probe_id, {_duck_shingles(3)} AS sh FROM ptoks),
+    pg AS (SELECT probe_id, unnest(sh) AS g FROM psh)
+    SELECT c.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM cg c JOIN pg p USING (g)
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def text_contamination(spark, sf_dir):
+    """Eval-set leakage check: corpus docs sharing >= 2 distinct word
+    3-grams with any probe (benchmark) document. Join key is the
+    n-gram — probe side broadcasts at scale, no doc body fans out."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("probe_id"), F.col("text").alias("ptext"))
+    )
+    out = text_ops.ngram_contamination(
+        d, probe, "doc_id", "probe_id", "text", "ptext", n=3, min_shared=2
+    )
+    return out.select("doc_id", "probe_id", "shared_ngrams")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (north star)
 # ---------------------------------------------------------------------------
@@ -3722,6 +3812,9 @@ _PRIORITY = [
     "text_tfidf_topk",
     "text_chunk_token_budget",
     "text_bpe_regex_tokens",
+    "text_scrub_pii",
+    "text_repetition_ratio",
+    "text_contamination",
     # scale-path joins
     "join_range_binned",
     "join_salted_skew",
@@ -3734,14 +3827,13 @@ _PRIORITY = [
     "agg_corr_covar",
     "agg_cube_status_priority",
     "agg_approx_sketches",
-    "agg_grouping_sets",
     # window / pipeline composites
     "window_range_frame_spend",
     "pipeline_training_data",
-    # embedding + search end-to-end (rows-only by design)
+    # --- slot 51+: remaining r1-unverified, then registration order ---
+    "agg_grouping_sets",
     "embed_documents",
     "search_end_to_end",
-    # --- slot 51+: remaining r1-unverified, then registration order ---
     "timeseries_gap_fill",
     "set_ops_all_variants",
     "join_cross_region_nation",

@@ -164,3 +164,84 @@ def token_budget_chunks(
         df.withColumn("n_tokens", n_tok.cast("long"))
         .withColumn("chunk_id", F.floor(before / budget).cast("long"))
     )
+
+
+PII_PATTERNS = (
+    # order matters: URLs before bare domains-in-emails etc.
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact URLs / emails / phone-shaped numbers — the standard
+    pre-training scrub pass. Pure chained ``regexp_replace`` (JVM
+    regex, codegen'd, no UDF): at 100 TB this is a map-only pass that
+    pipelines into whatever scan feeds it. Patterns are deliberately
+    simple and auditable; a production pass would extend the table,
+    not the mechanism."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Boilerplate/degenerate-text signal: fraction of the document's
+    word n-grams occupied by its single most frequent n-gram (1.0 =
+    pure repetition; ~1/count = diverse). Explode n-grams -> two
+    grouped aggs — shuffles only (id, ngram) pairs, map-side combined,
+    so the pass is linear and partitionable by document id.
+    """
+    from ..functions.hashing import word_shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    return per_gram.groupBy(id_col).agg(
+        F.round(
+            F.max("_c").cast("double") / F.sum("_c").cast("double"), 4
+        ).alias("rep_ratio"),
+        F.max("_c").cast("long").alias("top_gram_count"),
+        F.sum("_c").cast("long").alias("total_grams"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    corpus_id: str,
+    probe_id: str,
+    corpus_text: str,
+    probe_text: str,
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: which corpus documents share at
+    least ``min_shared`` distinct word n-grams with any probe document
+    (eval-set leakage detection for training corpora).
+
+    Both sides explode to distinct n-grams and equi-join ON THE NGRAM
+    — the shuffle key is the n-gram hash, candidate volume is bounded
+    by real overlaps, and no document body ever crosses the wire twice.
+    At 100 TB the probe side (an eval set) is small: Catalyst
+    broadcasts it and the pass is map-only over the corpus."""
+    from ..functions.hashing import word_shingles
+
+    c = corpus.select(
+        F.col(corpus_id),
+        F.explode(F.array_distinct(word_shingles(F.col(corpus_text), n))).alias("_g"),
+    )
+    p = probe.select(
+        F.col(probe_id),
+        F.explode(F.array_distinct(word_shingles(F.col(probe_text), n))).alias("_g"),
+    )
+    return (
+        c.join(p, "_g")
+        .groupBy(corpus_id, probe_id)
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )

@@ -134,6 +134,7 @@ def sweep(
     tables: dict[str, tuple[str, str]],
     *,
     with_embeddings: bool = False,
+    max_parallel_tables: int = 1,
 ) -> dict[str, int]:
     """One full CDC sweep — the reference's scheduler tick end-to-end
     (controller.py:17-35): for each tracked table, read its stored
@@ -148,18 +149,27 @@ def sweep(
     whole sweep replay-idempotent — crash after vector upsert but
     before watermark commit reprocesses the delta into identical sink
     rows (the reference would duplicate, SURVEY §2.9 T3).
+
+    ``max_parallel_tables`` > 1 processes tables concurrently (the
+    reference loops serially, controller.py:25-27): each table's
+    read+serialize+chunk+embed DAG runs as parallel Spark jobs from a
+    thread pool, while the two store commits stay serialized under a
+    lock (they read-modify-write shared directories). Safe because the
+    per-table dataflows are independent until the commit.
     """
     import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..sources.sinks import upsert_parquet, upsert_parquet_partitioned
     from ..sources.tables import load_table
 
     wm_path = os.path.join(store_dir, "watermark")
     vec_path = os.path.join(store_dir, "vectors")
-    # Collect watermarks eagerly: the loop below replaces the watermark
-    # directory via upsert_parquet, so a lazily-read wm_df would capture
-    # a file listing that points at deleted part files (FAILED_READ_FILE
-    # on the second delta-bearing table).
+    # Collect watermarks eagerly: the commits below replace the
+    # watermark directory, so a lazily-read wm_df would capture a file
+    # listing that points at deleted part files (FAILED_READ_FILE on
+    # the second delta-bearing table).
     if os.path.exists(wm_path):
         wm = {
             r["table_name"]: r["last_updated"]
@@ -168,10 +178,11 @@ def sweep(
     else:
         wm = {}
     processed: dict[str, int] = {}
+    store_lock = threading.Lock()
 
-    for table, (change_col, order_col) in tables.items():
+    def process_table(item: tuple[str, tuple[str, str]]) -> tuple[str, int]:
+        table, (change_col, order_col) = item
         watermark = wm.get(table, "1970-01-01")
-
         df = load_table(spark, sf_dir, table)
         sink_rows, new_wm = cdc_tick(
             df,
@@ -182,9 +193,8 @@ def sweep(
             with_embeddings=with_embeddings,
         )
         wm_row = new_wm.collect()[0]
-        processed[table] = wm_row["batch_rows"]
         if wm_row["batch_rows"] == 0:
-            continue
+            return table, 0
 
         vec_updates = sink_rows.select(
             "id",
@@ -192,15 +202,26 @@ def sweep(
             F.lit(table).alias("source"),
             F.unix_micros(F.lit(wm_row["last_updated"])).alias("version"),
         )
-        # vectors grow with the corpus: hash-bucketed layout so each
-        # micro-batch rewrites only the buckets it touches (O(batch),
-        # not O(table) — the plain upsert stays for the 1-row watermark)
-        upsert_parquet_partitioned(spark, vec_path, vec_updates, ["id"], "version")
-        wm_update = spark.createDataFrame(
-            [(table, wm_row["last_updated"], wm_row["batch_rows"])],
-            "table_name string, last_updated timestamp, batch_rows long",
-        ).withColumn("version", F.unix_micros("last_updated"))
-        upsert_parquet(spark, wm_path, wm_update, ["table_name"], "version")
+        with store_lock:
+            # vectors grow with the corpus: hash-bucketed layout so each
+            # micro-batch rewrites only the buckets it touches (O(batch),
+            # not O(table); the plain upsert stays for the tiny watermark)
+            upsert_parquet_partitioned(spark, vec_path, vec_updates, ["id"], "version")
+            wm_update = spark.createDataFrame(
+                [(table, wm_row["last_updated"], wm_row["batch_rows"])],
+                "table_name string, last_updated timestamp, batch_rows long",
+            ).withColumn("version", F.unix_micros("last_updated"))
+            upsert_parquet(spark, wm_path, wm_update, ["table_name"], "version")
+        return table, wm_row["batch_rows"]
+
+    if max_parallel_tables > 1:
+        with ThreadPoolExecutor(max_workers=max_parallel_tables) as pool:
+            for table, n in pool.map(process_table, tables.items()):
+                processed[table] = n
+    else:
+        for item in tables.items():
+            table, n = process_table(item)
+            processed[table] = n
     return processed
 
 

@@ -14,5 +14,5 @@ def test_registry_priority_order():
     front = set(names[:50])
     for probe in ("q21_suppliers_kept_waiting", "vec_ann_topk", "ml_hash_split",
                   "mm_frame_sample", "stream_sessionize", "cdc_scd2_history",
-                  "join_range_binned", "embed_documents"):
+                  "join_range_binned", "text_scrub_pii"):
         assert probe in front, probe

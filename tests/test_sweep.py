@@ -96,3 +96,35 @@ def test_sweep_second_sweep_with_multiple_deltas(spark, sf_dir, tmp_path):
 
     second = sweep(spark, sf_dir, store, tables)
     assert second["events"] == 1000 and second["orders"] == 1500
+
+
+def test_sweep_parallel_tables_matches_serial(spark, sf_dir, tmp_path):
+    """Concurrent per-table processing (thread pool over independent
+    DAGs, commits serialized under a lock) must produce exactly the
+    serial sweep's store state."""
+    tables = {"events": ("ts", "event_id"), "orders": ("o_orderdate", "o_orderkey")}
+
+    serial_store = str(tmp_path / "serial")
+    parallel_store = str(tmp_path / "parallel")
+    serial = sweep(spark, sf_dir, serial_store, tables)
+    parallel = sweep(spark, sf_dir, parallel_store, tables, max_parallel_tables=2)
+    assert serial == parallel
+
+    def state(store):
+        vecs = sorted(
+            (r["id"], r["text"], r["source"])
+            for r in spark.read.parquet(os.path.join(store, "vectors")).collect()
+        )
+        wm = sorted(
+            (r["table_name"], r["last_updated"])
+            for r in spark.read.parquet(os.path.join(store, "watermark")).collect()
+        )
+        return vecs, wm
+
+    assert state(serial_store) == state(parallel_store)
+
+    # idle second parallel sweep
+    assert sweep(spark, sf_dir, parallel_store, tables, max_parallel_tables=2) == {
+        "events": 0,
+        "orders": 0,
+    }
