@@ -1992,6 +1992,52 @@ def dedup_embedding_neardup(spark, sf_dir):
 
 
 @_q(
+    "vec_banded_neardup",
+    """
+    WITH nplanes AS (
+      SELECT greatest(1, least(24, CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS np
+      FROM embeddings),
+    planes AS (
+      SELECT i // nplanes.np AS band, i % nplanes.np AS b,
+             list_transform(generate_series(0, 63),
+               j -> (('0x' || substr(md5('plane' || i::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT
+                     % 2000001) / 1000000.0 - 1.0) AS plane
+      FROM generate_series(0, 95) t(i), nplanes WHERE t.i < 4 * nplanes.np),
+    scored AS (
+      SELECT e.vec_id, p.band, p.b,
+             list_dot_product(e.embedding::DOUBLE[], p.plane) AS d
+      FROM embeddings e CROSS JOIN planes p),
+    buckets AS (
+      SELECT vec_id, band,
+             CAST(sum(CASE WHEN d >= 0 THEN (1 << b) ELSE 0 END) AS INT) AS bucket
+      FROM scored GROUP BY vec_id, band),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT p.id_a, p.id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cos
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.id_a
+    JOIN embeddings eb ON eb.vec_id = p.id_b
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.6
+    """,
+)
+def vec_banded_neardup(spark, sf_dir):
+    """Banded (multi-table) hyperplane LSH near-dup: candidates collide
+    in ANY of 4 independent plane sets — recovers near-neighbors that
+    straddle a single hyperplane (the recall dial single-table LSH
+    lacks). Same adaptive plane count per band as the single-table
+    path; oracle replays all bands."""
+    e = _t(spark, sf_dir, "embeddings")
+    planes = vec_ops.planes_for_corpus(_table_rows(sf_dir, "embeddings"))
+    out = vec_ops.banded_embedding_neardup(
+        e, "vec_id", "embedding", dim=64, n_tables=4, n_planes=planes, threshold=0.6
+    )
+    return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+@_q(
     "timeseries_gap_fill",
     """
     WITH bounds AS (
@@ -3792,6 +3838,7 @@ _PRIORITY = [
     "vec_ivf_trained_cells",
     "vec_lsh_bucket_histogram",
     "dedup_embedding_neardup",
+    "vec_banded_neardup",
     "vec_centroid_per_label",
     # training-data sampling / profiling
     "ml_hash_split",
@@ -3826,7 +3873,6 @@ _PRIORITY = [
     "agg_percentile_prices",
     "agg_corr_covar",
     "agg_cube_status_priority",
-    "agg_approx_sketches",
     # window / pipeline composites
     "window_range_frame_spend",
     "pipeline_training_data",

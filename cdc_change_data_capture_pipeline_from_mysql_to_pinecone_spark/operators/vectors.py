@@ -96,6 +96,78 @@ def hyperplane_buckets(
     return emb_df.withColumn("bucket", bucket.cast("int"))
 
 
+def hyperplane_buckets_banded(
+    emb_df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """Banded hyperplane LSH: ``n_tables`` independent plane sets, one
+    (band, bucket) row per table per vector (explode). Two vectors are
+    candidates if they collide in ANY band — same recall/precision
+    trade MinHash banding makes for sets, here for cosine space:
+    single-table LSH at high plane counts loses near-neighbors that
+    straddle one hyperplane; extra bands recover them at linear cost
+    (corpus × n_tables rows, still no pairwise pass).
+
+    Plane (t, b) uses the deterministic family at index t*n_planes+b,
+    so band 0 reproduces :func:`hyperplane_buckets` exactly and an SQL
+    oracle can replay every band."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(emb_df.count())
+    bands = []
+    for t in range(n_tables):
+        bucket = None
+        for b in range(n_planes):
+            plane = lit_double_array(_hyperplane(dim, t * n_planes + b))
+            d = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        bands.append(F.struct(F.lit(t).alias("band"), bucket.cast("int").alias("bucket")))
+    return emb_df.withColumn("_b", F.explode(F.array(*bands))).select(
+        "*", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    ).drop("_b")
+
+
+def banded_embedding_neardup(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup with banded LSH candidates: pairs colliding
+    in any band, deduped, then exact cosine. The per-band join keys on
+    (band, bucket) so band partitions never cross-multiply."""
+    from ..functions.vector import cosine_sim
+
+    banded = hyperplane_buckets_banded(emb_df, vec_col, dim, n_tables, n_planes)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("cos", cosine_sim(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") > threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def ivf_assign(
     emb_df: DataFrame, id_col: str, vec_col: str, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:

@@ -1,5 +1,6 @@
 from .sinks import (
     compact_parquet,
+    recover_table,
     upsert_parquet,
     upsert_parquet_partitioned,
     write_bucketed,
@@ -18,6 +19,7 @@ __all__ = [
     "write_bucketed",
     "write_partitioned",
     "compact_parquet",
+    "recover_table",
     "foreach_batch_vector_upsert",
     "iter_batches",
     "send_with_retry",

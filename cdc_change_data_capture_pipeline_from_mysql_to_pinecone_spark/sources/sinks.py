@@ -54,14 +54,69 @@ def _swap_in(path: str, tmp: str) -> None:
     leaves the aside copy recoverable; rmtree-before-replace would lose
     the table."""
     old = None
+    base = os.path.basename(path.rstrip("/"))
     if os.path.exists(path):
         # underscore prefix: invisible to Spark's file/partition listing,
-        # so a concurrent reader never sees the aside copy as data
-        old = os.path.join(os.path.dirname(path) or ".", f"_old-{uuid.uuid4().hex[:8]}")
+        # so a concurrent reader never sees the aside copy as data; the
+        # target's name is embedded so recover_table can attribute it
+        old = os.path.join(
+            os.path.dirname(path) or ".", f"_old-{base}-{uuid.uuid4().hex[:8]}"
+        )
         os.rename(path, old)
     os.rename(tmp, path)
     if old:
         shutil.rmtree(old)
+
+
+def _restore_or_clean(parent: str, base: str) -> str:
+    """If ``parent/base`` is missing but an ``_old-{base}-*`` aside
+    exists, promote the aside back; delete any remaining matching
+    asides and tmp dirs. Returns 'ok' | 'restored' | 'cleaned'."""
+    target = os.path.join(parent, base)
+    entries = os.listdir(parent) if os.path.isdir(parent) else []
+    asides = sorted(d for d in entries if d.startswith(f"_old-{base}-"))
+    tmps = [d for d in entries if d.startswith(f"{base}.tmp-")]
+    status = "ok"
+    if not os.path.exists(target) and asides:
+        os.rename(os.path.join(parent, asides.pop(0)), target)
+        status = "restored"
+    for d in asides + tmps:
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        if status == "ok":
+            status = "cleaned"
+    return status
+
+
+def recover_table(path: str) -> str:
+    """Repair a keyed table after a crash mid-swap. ``_swap_in`` has
+    one non-atomic window: after the live dir is renamed aside and
+    before the new dir is renamed in. A crash there leaves the target
+    missing with an ``_old-{name}-*`` aside holding the previous
+    committed state. Handles both whole-table swaps (upsert_parquet)
+    and per-partition swaps inside a bucketed table
+    (upsert_parquet_partitioned). Returns the strongest action taken:
+    'ok' (nothing to do), 'cleaned' (stale aside/tmp removed),
+    'restored' (a committed state promoted back).
+
+    Run at sink open (idempotent). The restored state is exactly the
+    pre-upsert commit; the interrupted upsert replays from its source,
+    and deterministic ids + last-writer-wins make the replay a no-op
+    on already-written data.
+    """
+    parent, base = os.path.split(path.rstrip("/"))
+    status = _restore_or_clean(parent or ".", base)
+    if os.path.isdir(path):
+        # partitioned layout: recover each bucket partition, sweep
+        # leftover hidden tmp dirs from interrupted partitioned writes
+        rank = {"ok": 0, "cleaned": 1, "restored": 2}
+        for d in os.listdir(path):
+            if d.startswith("_old-"):
+                part = d[len("_old-"):].rsplit("-", 1)[0]
+                status = max(status, _restore_or_clean(path, part), key=rank.get)
+            elif d.startswith("_tmp-"):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                status = max(status, "cleaned", key=rank.get)
+    return status
 
 
 def upsert_parquet_partitioned(

@@ -74,3 +74,22 @@ def test_lsh_degenerate_bucket_cap(spark):
     )
     assert uncapped.count() == 40 * 39 // 2
     assert capped.count() == 0
+
+
+def test_banded_lsh_recall_superset(spark, sf_dir):
+    """Band 0 of the banded LSH uses the same plane family as the
+    single-table path, so banded candidates are a superset: more
+    bands can only add near-dup pairs (recall dial), never lose them."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    single = vec_ops.banded_embedding_neardup(
+        e, "vec_id", "embedding", dim=64, n_tables=1, n_planes=4, threshold=0.3
+    )
+    banded = vec_ops.banded_embedding_neardup(
+        e, "vec_id", "embedding", dim=64, n_tables=4, n_planes=4, threshold=0.3
+    )
+    s = {(r["id_a"], r["id_b"]) for r in single.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in banded.collect()}
+    assert s <= b
+    assert len(b) >= len(s)

@@ -209,3 +209,60 @@ def test_compact_preserves_hive_partitions(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 200
     assert set(back.columns) == {"event_id", "event_type", "amount"}
+
+
+def test_recover_table_restores_after_crash_mid_swap(spark, tmp_path):
+    """Simulated crash in _swap_in's window (live dir renamed aside,
+    new dir not yet renamed in): recover_table must promote the aside
+    back to the committed pre-upsert state."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        recover_table,
+    )
+
+    path = str(tmp_path / "watermark")
+    v1 = spark.createDataFrame(
+        [("events", "2024-01-10", 1)], "table_name string, last_updated string, version int"
+    )
+    upsert_parquet(spark, path, v1, ["table_name"], "version")
+    # crash: the table dir is aside, nothing swapped in
+    os.rename(path, str(tmp_path / "_old-watermark-deadbeef"))
+    assert recover_table(path) == "restored"
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0]["last_updated"] == "2024-01-10"
+    assert recover_table(path) == "ok"  # idempotent
+
+
+def test_recover_table_restores_missing_partition(spark, tmp_path):
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        recover_table,
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "vectors")
+    base = spark.createDataFrame(
+        [(f"id{i}", float(i), 1) for i in range(64)],
+        "id string, score double, version int",
+    )
+    upsert_parquet_partitioned(spark, path, base, ["id"], "version", num_buckets=8)
+    parts = sorted(d for d in os.listdir(path) if d.startswith("kbucket="))
+    victim = parts[0]
+    os.rename(os.path.join(path, victim), os.path.join(path, f"_old-{victim}-cafe1234"))
+    assert recover_table(path) == "restored"
+    assert spark.read.parquet(path).count() == 64
+
+
+def test_recover_table_cleans_stale_tmp(spark, tmp_path):
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        recover_table,
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "vectors")
+    base = spark.createDataFrame(
+        [("a", 1.0, 1), ("b", 2.0, 1)], "id string, score double, version int"
+    )
+    upsert_parquet_partitioned(spark, path, base, ["id"], "version")
+    os.makedirs(os.path.join(path, "_tmp-5555abcd"))
+    assert recover_table(path) == "cleaned"
+    assert not any(d.startswith("_tmp-") for d in os.listdir(path))
+    assert spark.read.parquet(path).count() == 2
