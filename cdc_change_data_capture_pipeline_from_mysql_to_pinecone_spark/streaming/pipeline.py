@@ -161,11 +161,15 @@ def sweep(
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..sources.sinks import upsert_parquet, upsert_parquet_partitioned
+    from ..sources.sinks import recover_table, upsert_parquet, upsert_parquet_partitioned
     from ..sources.tables import load_table
 
     wm_path = os.path.join(store_dir, "watermark")
     vec_path = os.path.join(store_dir, "vectors")
+    # sink-open recovery: promote any crash-stranded aside dirs back to
+    # their committed state before reading watermarks (idempotent)
+    recover_table(wm_path)
+    recover_table(vec_path)
     # Collect watermarks eagerly: the commits below replace the
     # watermark directory, so a lazily-read wm_df would capture a file
     # listing that points at deleted part files (FAILED_READ_FILE on
