@@ -168,3 +168,50 @@ def test_udf_registration_surface(spark):
         "SELECT sum(vec_scale(CAST(id AS DOUBLE))) AS a, sum(py_add_one(id)) AS b FROM r5"
     ).collect()[0]
     assert got["a"] == 20.0 and got["b"] == 15
+
+
+def test_python_udtf_surface(spark):
+    """U4 completion: a Python UDTF (table function) — one input row
+    expands to N output rows, registered into the SQL catalog. The
+    text-span extraction shape a tokenizing pipeline uses when an
+    explode of a precomputed array won't do (per-row stateful logic)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int, is_stop boolean")
+    class Tokenize:
+        STOP = {"the", "and", "of", "to", "is"}
+
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split()):
+                yield tok.lower(), i, tok.lower() in self.STOP
+
+    spark.udtf.register("tokenize", Tokenize)
+    got = spark.sql(
+        "SELECT * FROM tokenize('The quick fox and the dog') ORDER BY pos"
+    ).collect()
+    assert [r["token"] for r in got] == ["the", "quick", "fox", "and", "the", "dog"]
+    assert [r["is_stop"] for r in got] == [True, False, False, True, True, False]
+    # lateral join form: UDTF over a table's rows
+    spark.createDataFrame([(1, "alpha beta"), (2, "gamma")], "id int, t string") \
+        .createOrReplaceTempView("docs2")
+    n = spark.sql(
+        "SELECT d.id, tk.token FROM docs2 d, LATERAL tokenize(d.t) tk"
+    ).count()
+    assert n == 3
+
+
+def test_grouped_agg_pandas_udf(spark):
+    """U4: GROUPED_AGG pandas UDF — a custom vectorized aggregate
+    (geometric mean) usable in groupBy and windows."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 100.0), ("b", 4.0), ("b", 9.0)], "k string, v double"
+    )
+    got = {r["k"]: r["g"] for r in df.groupBy("k").agg(geo_mean("v").alias("g")).collect()}
+    assert abs(got["a"] - 10.0) < 1e-9
+    assert abs(got["b"] - 6.0) < 1e-9
