@@ -135,6 +135,7 @@ def sweep(
     *,
     with_embeddings: bool = False,
     max_parallel_tables: int = 1,
+    on_error: str = "raise",
 ) -> dict[str, int]:
     """One full CDC sweep — the reference's scheduler tick end-to-end
     (controller.py:17-35): for each tracked table, read its stored
@@ -156,6 +157,13 @@ def sweep(
     thread pool, while the two store commits stay serialized under a
     lock (they read-modify-write shared directories). Safe because the
     per-table dataflows are independent until the commit.
+
+    ``on_error='continue'`` reproduces the reference's per-tick fault
+    isolation (errors logged, tick abandoned for that table only,
+    controller.py:28-29 / service.py:78-80): a failing table maps to
+    -1 in the result, its watermark is NOT advanced (so the next sweep
+    retries exactly the same delta), and every other table completes.
+    Default 'raise' fails fast — right for tests and batch jobs.
     """
     import os
     import threading
@@ -185,6 +193,19 @@ def sweep(
     store_lock = threading.Lock()
 
     def process_table(item: tuple[str, tuple[str, str]]) -> tuple[str, int]:
+        if on_error == "continue":
+            try:
+                return _process_table_inner(item)
+            except Exception as exc:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "sweep: table %s failed, watermark not advanced: %s", item[0], exc
+                )
+                return item[0], -1
+        return _process_table_inner(item)
+
+    def _process_table_inner(item: tuple[str, tuple[str, str]]) -> tuple[str, int]:
         table, (change_col, order_col) = item
         watermark = wm.get(table, "1970-01-01")
         df = load_table(spark, sf_dir, table)

@@ -128,3 +128,28 @@ def test_sweep_parallel_tables_matches_serial(spark, sf_dir, tmp_path):
         "events": 0,
         "orders": 0,
     }
+
+
+def test_sweep_error_isolation_continue(spark, sf_dir, tmp_path):
+    """Reference parity (controller.py:28-29): with on_error='continue'
+    a failing table is logged, maps to -1, leaves its watermark
+    unadvanced, and every other table completes; the next sweep retries
+    the failed table's delta."""
+    store = str(tmp_path / "store")
+    tables = {
+        "events": ("ts", "event_id"),
+        "no_such_table": ("ts", "id"),
+        "orders": ("o_orderdate", "o_orderkey"),
+    }
+    result = sweep(spark, sf_dir, store, tables, on_error="continue")
+    assert result["events"] == 1000 and result["orders"] == 1500
+    assert result["no_such_table"] == -1
+
+    wm = {r["table_name"] for r in spark.read.parquet(os.path.join(store, "watermark")).collect()}
+    assert wm == {"events", "orders"}  # failed table's watermark absent
+
+    # default mode still fails fast
+    import pytest
+
+    with pytest.raises(Exception):
+        sweep(spark, sf_dir, str(tmp_path / "s2"), {"no_such_table": ("ts", "id")})
