@@ -1452,6 +1452,54 @@ def text_contamination(spark, sf_dir):
     return out.select("doc_id", "probe_id", "shared_ngrams")
 
 
+_SQL_FRONTEND_HAVING = """
+    SELECT year(o_orderdate) AS yr, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    HAVING count(*) > 100
+"""
+
+
+@_q("sql_frontend_having", _SQL_FRONTEND_HAVING)
+def sql_frontend_having(spark, sf_dir):
+    """The SQL front-end end-to-end: identical ANSI text runs through
+    spark.sql over registered views AND through DuckDB — same rows,
+    same hash. Proves the engine's surface isn't DataFrame-only
+    (≙ the reference's users writing SQL against the same tables)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(_SQL_FRONTEND_HAVING)
+
+
+_SQL_FRONTEND_CTE = """
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, round(sp.s, 2) AS spend
+    FROM customer c JOIN spend sp ON sp.o_custkey = c.c_custkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@_q("sql_frontend_cte_exists", _SQL_FRONTEND_CTE)
+def sql_frontend_cte_exists(spark, sf_dir):
+    """CTE + correlated EXISTS through the SQL front-end — the
+    analyzer's subquery decorrelation exercised from SQL text, same
+    string executed by both engines."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, tables=("orders", "customer"))
+    return spark.sql(_SQL_FRONTEND_CTE)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (north star)
 # ---------------------------------------------------------------------------
@@ -3854,7 +3902,9 @@ _PRIORITY = [
     "stream_sessionize",
     # CDC extensions
     "cdc_scd2_history",
-    "cdc_late_data_rescan",
+    # SQL front-end (same text, both engines)
+    "sql_frontend_having",
+    "sql_frontend_cte_exists",
     # text pipeline
     "text_tfidf_topk",
     "text_chunk_token_budget",
@@ -3873,10 +3923,11 @@ _PRIORITY = [
     "agg_percentile_prices",
     "agg_corr_covar",
     "agg_cube_status_priority",
-    # window / pipeline composites
-    "window_range_frame_spend",
+    # pipeline composite
     "pipeline_training_data",
     # --- slot 51+: remaining r1-unverified, then registration order ---
+    "cdc_late_data_rescan",
+    "window_range_frame_spend",
     "agg_grouping_sets",
     "embed_documents",
     "search_end_to_end",

@@ -266,3 +266,34 @@ def test_recover_table_cleans_stale_tmp(spark, tmp_path):
     assert recover_table(path) == "cleaned"
     assert not any(d.startswith("_tmp-") for d in os.listdir(path))
     assert spark.read.parquet(path).count() == 2
+
+
+def test_partitioned_upsert_sequence_equivalence(spark, tmp_path):
+    """Property: applying N random upsert batches one at a time must
+    produce exactly the state of a single last-writer-wins pass over
+    the concatenation — the MERGE is associative over batches."""
+    import random
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        upsert_parquet_partitioned,
+    )
+
+    rng = random.Random(11)
+    path = str(tmp_path / "vectors")
+    all_rows = []
+    version = 0
+    for _batch in range(6):
+        batch = []
+        for _ in range(rng.randint(1, 30)):
+            version += 1
+            batch.append((f"id{rng.randint(0, 40)}", float(version), version))
+        all_rows.extend(batch)
+        df = spark.createDataFrame(batch, "id string, score double, version int")
+        upsert_parquet_partitioned(spark, path, df, ["id"], "version", num_buckets=4)
+
+    got = {r["id"]: (r["score"], r["version"]) for r in spark.read.parquet(path).collect()}
+    expect = {}
+    for rid, score, ver in all_rows:
+        if rid not in expect or ver > expect[rid][1]:
+            expect[rid] = (score, ver)
+    assert got == expect
