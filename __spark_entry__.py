@@ -1452,6 +1452,90 @@ def text_contamination(spark, sf_dir):
     return out.select("doc_id", "probe_id", "shared_ngrams")
 
 
+@_q(
+    "cdc_time_travel",
+    """
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+      FROM orders)
+    SELECT o_custkey, o_orderkey, epoch_us(valid_from) AS vf_us
+    FROM h
+    WHERE valid_from <= TIMESTAMP '1995-06-01'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-01')
+    """,
+)
+def cdc_time_travel(spark, sf_dir):
+    """Point-in-time lookup over SCD2 history (as-of T): each key's
+    version whose validity interval covers T — time travel for a CDC
+    store without a transactional format. Filter-only at read time;
+    the windowing was paid once building the history."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    hist = cdc.scd2_history(o, ["o_custkey"], "o_orderdate", tiebreak="o_orderkey")
+    snap = cdc.as_of(hist, "1995-06-01")
+    return snap.select(
+        "o_custkey",
+        "o_orderkey",
+        # fixture timestamps are NTZ; UTC session makes the cast exact
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("vf_us"),
+    )
+
+
+@_q(
+    "cdc_snapshot_diff",
+    """
+    WITH old_snap AS (
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1994-01-01') t WHERE rn = 1),
+    new_snap AS (
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01') t WHERE rn = 1),
+    d AS (
+      SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+             CASE WHEN o.o_custkey IS NULL THEN 'insert'
+                  WHEN n.o_custkey IS NULL THEN 'delete'
+                  WHEN (o.o_orderkey IS DISTINCT FROM n.o_orderkey)
+                    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice) THEN 'update'
+             END AS change_type,
+             o.o_orderkey AS old_orderkey, n.o_orderkey AS new_orderkey,
+             round(n.o_totalprice, 2) AS new_total
+      FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_custkey = n.o_custkey)
+    SELECT * FROM d WHERE change_type IS NOT NULL
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Change-feed generation: diff two point-in-time snapshots of a
+    keyed table into insert/update/delete rows — turns periodic full
+    snapshots into the incremental feed the reference assumes the
+    source maintains (service.py:53's change_datetime)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t1 = F.lit("1994-01-01").cast("timestamp")
+    t2 = F.lit("1996-01-01").cast("timestamp")
+    old_snap = cdc.snapshot_latest(
+        o.filter(F.col("o_orderdate") < t1), ["o_custkey"], "o_orderdate", tiebreak="o_orderkey"
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+    new_snap = cdc.snapshot_latest(
+        o.filter(F.col("o_orderdate") < t2), ["o_custkey"], "o_orderdate", tiebreak="o_orderkey"
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+    d = cdc.snapshot_diff(old_snap, new_snap, ["o_custkey"], ["o_orderkey", "o_totalprice"])
+    return d.select(
+        "o_custkey",
+        "change_type",
+        F.col("_old_o_orderkey").alias("old_orderkey"),
+        F.col("_new_o_orderkey").alias("new_orderkey"),
+        F.round("_new_o_totalprice", 2).alias("new_total"),
+    )
+
+
 _SQL_FRONTEND_HAVING = """
     SELECT year(o_orderdate) AS yr, o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
@@ -3902,13 +3986,14 @@ _PRIORITY = [
     "stream_sessionize",
     # CDC extensions
     "cdc_scd2_history",
+    "cdc_time_travel",
+    "cdc_snapshot_diff",
     # SQL front-end (same text, both engines)
     "sql_frontend_having",
     "sql_frontend_cte_exists",
     # text pipeline
     "text_tfidf_topk",
     "text_chunk_token_budget",
-    "text_bpe_regex_tokens",
     "text_scrub_pii",
     "text_repetition_ratio",
     "text_contamination",
@@ -3917,7 +4002,6 @@ _PRIORITY = [
     "join_salted_skew",
     # subqueries
     "subquery_above_avg_customers",
-    "subquery_correlated_order_above_cust_avg",
     # statistical / advanced aggregates
     "agg_stats_lineitem",
     "agg_percentile_prices",
@@ -3926,6 +4010,8 @@ _PRIORITY = [
     # pipeline composite
     "pipeline_training_data",
     # --- slot 51+: remaining r1-unverified, then registration order ---
+    "text_bpe_regex_tokens",
+    "subquery_correlated_order_above_cust_avg",
     "cdc_late_data_rescan",
     "window_range_frame_spend",
     "agg_grouping_sets",

@@ -163,6 +163,68 @@ def snapshot_latest(df: DataFrame, key_cols: list[str], change_col: str, tiebrea
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def as_of(history: DataFrame, ts, valid_from: str = "valid_from", valid_to: str = "valid_to") -> DataFrame:
+    """Point-in-time (time-travel) view over an SCD2 history: the rows
+    whose validity interval covers ``ts`` — exactly one per key that
+    existed then. A partition-pruned filter when the history is stored
+    partitioned by a coarse derivation of ``valid_from``; no join, no
+    window at read time (the windowing was paid once at history build).
+    """
+    t = F.lit(ts).cast("timestamp")
+    return history.filter(
+        (F.col(valid_from) <= t) & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-feed generation between two snapshots of a keyed table:
+    one row per changed key with ``change_type`` insert/update/delete
+    and both value payloads — the inverse of applying a CDC feed, and
+    the operator that turns periodic full snapshots into the
+    incremental feed the reference assumes exists upstream
+    (``change_datetime`` maintained by the source, service.py:53).
+
+    Full outer join on the key, change classified by null-side and
+    value inequality; unchanged keys are dropped before anything wide
+    is carried. One shuffle on the key for each side; at scale both
+    snapshots should be bucketed/partitioned on the key so the join is
+    co-located.
+    """
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_old_present"),
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_new_present"),
+        *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    # presence markers survive the outer join as true/null — robust even
+    # when compare columns are legitimately NULL in the data
+    old_exists = F.col("_old_present").isNotNull()
+    new_exists = F.col("_new_present").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+    change_type = (
+        F.when(~old_exists & new_exists, F.lit("insert"))
+        .when(old_exists & ~new_exists, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .drop("_old_present", "_new_present")
+    )
+
+
 def metadata_struct(source: str, id_col: Column, text_col: Column) -> Column:
     """Per-vector metadata payload (≙ service.py:133,145
     ``{"source", "id", "text"}``) as a flat struct (prunable)."""
