@@ -2408,8 +2408,8 @@ def q10_returned_items(spark, sf_dir):
         "c_custkey", "c_name", "n_name"
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -2441,7 +2441,7 @@ def q12_priority_shipmode(spark, sf_dir):
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
@@ -2471,7 +2471,7 @@ def q14_promo_share(spark, sf_dir):
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
@@ -2497,7 +2497,7 @@ def q18_large_orders_having(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"), F.sum("l_quantity").alias("_raw"))
         .filter(F.col("_raw") > 55)
@@ -2526,7 +2526,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
     cross-join on."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_type")
     li = _t(spark, sf_dir, "lineitem")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 40))
@@ -3258,8 +3258,10 @@ def q4_order_priority(spark, sf_dir):
 )
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: two independent dim chains (supplier⋈nation,
-    customer⋈nation) broadcast onto the fact, disjunctive nation-pair
-    predicate applied after both nations are bound (J3 + P9)."""
+    customer⋈nation) joined onto the fact, disjunctive nation-pair
+    predicate applied after both nations are bound (J3 + P9). Only the
+    supplier chain carries a broadcast hint; customer scales with the
+    fact so its join strategy is left to AQE."""
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     s = (
         _t(spark, sf_dir, "supplier")
@@ -3284,7 +3286,7 @@ def q7_volume_shipping(spark, sf_dir):
     return (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -3319,9 +3321,11 @@ def q7_volume_shipping(spark, sf_dir):
     """,
 )
 def q8_market_share(spark, sf_dir):
-    """TPC-H Q8 shape: 8-relation join; every dimension chain collapses
-    to a broadcast before touching lineitem, so the fact is scanned once
-    with three broadcast probes and one shuffle join to orders (J3)."""
+    """TPC-H Q8 shape: 8-relation join; each dimension chain collapses
+    before touching lineitem so the fact is scanned once (J3). Hints
+    only on nation/region/supplier-chain; part and customer scale with
+    the fact, so their join strategy is left to AQE (a forced fact-side
+    broadcast OOMs executors at 100 TB)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -3344,10 +3348,10 @@ def q8_market_share(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c_asia, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(

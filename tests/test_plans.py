@@ -150,3 +150,35 @@ def test_no_fact_side_broadcast_hints(spark, sf_dir):
     # detail headers only
     bhj = re.findall(r"^\(\d+\) BroadcastHashJoin", q5_plan, flags=re.M)
     assert len(bhj) == 1, q5_plan
+
+
+def _forced_bhj_count(spark, sf_dir, name):
+    """BroadcastHashJoin nodes that survive auto-broadcast being off —
+    i.e. joins we explicitly hinted."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(entrymod.queries()[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    return len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, flags=re.M)), plan
+
+
+def test_no_fact_side_broadcast_hints_tpch_family(spark, sf_dir):
+    """Regression (VERDICT r1 #3, extended): orders / customer / part
+    all scale with the scale factor, so no TPC-H-shape query may FORCE
+    a broadcast on them. Queries with zero dim hints must show zero
+    BroadcastHashJoin once auto-broadcast is off; q7/q8 keep exactly
+    their hinted nation/region/supplier-chain broadcasts."""
+    expected = {
+        "q10_returned_items": 1,  # customer ⋈ broadcast(nation) only
+        "q12_priority_shipmode": 0,
+        "q14_promo_share": 0,
+        "q18_large_orders_having": 0,
+        "q19_disjunctive_predicates": 0,
+        "q13_customer_distribution": 0,
+        "q7_volume_shipping": 1,  # supplier-chain hint only
+        "q8_market_share": 2,  # supplier-chain + nation⋈region(ASIA)
+    }
+    for name, want in expected.items():
+        n, plan = _forced_bhj_count(spark, sf_dir, name)
+        assert n == want, (name, want, n, plan)
