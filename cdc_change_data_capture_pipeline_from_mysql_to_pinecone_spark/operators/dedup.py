@@ -23,10 +23,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    MERSENNE31,
     base_hash31,
     portable_hash64,
     universal_coeffs,
-    universal_hash,
     word_shingles,
 )
 
@@ -66,8 +66,12 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_s"),
     ).select(F.col(id_col), base_hash31(F.col("_s")).alias("_h"))
+    # one parsed expr per family member: literal-folding the (a, b)
+    # coefficients into SQL text keeps driver-side plan construction at
+    # k py4j calls instead of ~10k (column-algebra construction cost is
+    # per-expression-node and dominated vec/dedup build times)
     sig_cols = [
-        F.min(universal_hash(F.col("_h"), a, b)).alias(f"_m{i}")
+        F.expr(f"min(({a} * _h + {b}) % {MERSENNE31})").alias(f"_m{i}")
         for i, (a, b) in enumerate(universal_coeffs(num_hashes))
     ]
     return (
@@ -96,22 +100,15 @@ def lsh_candidate_pairs(
     need enumerated; route oversized buckets to exact-hash dedup
     instead).
     """
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ).alias("bucket"),
-            )
+    bands = F.expr(
+        "array("
+        + ",".join(
+            f"struct({b} AS band, md5(concat_ws(',', transform("
+            f"slice(minhash, {b * rows_per_band + 1}, {rows_per_band}),"
+            " x -> CAST(x AS STRING)))) AS bucket)"
             for b in range(num_bands)
-        ]
+        )
+        + ")"
     )
     exploded = (
         sig_df.withColumn("_b", F.explode(bands))
@@ -121,14 +118,9 @@ def lsh_candidate_pairs(
     # the signatures once (a self-join would re-evaluate the whole
     # upstream for each side) and shuffles only (band, bucket, id).
     ids = F.array_sort(F.collect_list("id"))
-    pair_expand = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    pair_expand = F.expr(
+        "flatten(transform(_ids, (x, i) -> transform("
+        "slice(_ids, i + 2, size(_ids)), y -> struct(x AS id_a, y AS id_b))))"
     )
     grouped = exploded.groupBy("band", "bucket").agg(ids.alias("_ids")).filter(F.size("_ids") > 1)
     if max_bucket_size is not None:
@@ -186,15 +178,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     ).withColumn("_h", portable_hash64(F.col("_tok")))
     bit_sums = toks.groupBy(id_col).agg(
         *[
-            F.sum(F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"_b{b}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(_h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+            ).alias(f"_b{b}")
             for b in range(bits)
         ]
     )
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return bit_sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN _b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return bit_sums.select(F.col(id_col), F.expr(f"CAST({sig} AS BIGINT)").alias("simhash"))
 
 
 def connected_components(

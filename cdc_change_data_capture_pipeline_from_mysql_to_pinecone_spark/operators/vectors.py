@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sim, dot, lit_double_array
+from ..functions.vector import cosine_sim, lit_double_array
 
 
 def cosine_topk(emb_df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10) -> DataFrame:
@@ -73,6 +73,27 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
+def _plane_sql(dim: int, plane_idx: int) -> str:
+    """The plane as one SQL array literal (see lit_double_array for why
+    text beats element-wise column construction)."""
+    return "array(" + ",".join(f"{v!r}D" for v in _hyperplane(dim, plane_idx)) + ")"
+
+
+def _bucket_sql(vec_col: str, dim: int, plane_indices: list[int]) -> str:
+    """SQL text for the LSH bucket id over the given plane-family
+    indices. One parsed expression replaces ~10 py4j round-trips per
+    plane of column algebra — same operations, so bit-identical
+    results."""
+    terms = []
+    for bit, p in enumerate(plane_indices):
+        d = (
+            f"aggregate(zip_with(`{vec_col}`, {_plane_sql(dim, p)}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << bit} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def hyperplane_buckets(
     emb_df: DataFrame, vec_col: str, dim: int, n_planes: int | None = 4
 ) -> DataFrame:
@@ -83,17 +104,9 @@ def hyperplane_buckets(
     :func:`planes_for_corpus`."""
     if n_planes is None:
         n_planes = planes_for_corpus(emb_df.count())
-    bucket = None
-    for b in range(n_planes):
-        plane = lit_double_array(_hyperplane(dim, b))
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return emb_df.withColumn("bucket", bucket.cast("int"))
+    return emb_df.withColumn(
+        "bucket", F.expr(_bucket_sql(vec_col, dim, list(range(n_planes))))
+    )
 
 
 def hyperplane_buckets_banded(
@@ -116,20 +129,17 @@ def hyperplane_buckets_banded(
     oracle can replay every band."""
     if n_planes is None:
         n_planes = planes_for_corpus(emb_df.count())
-    bands = []
-    for t in range(n_tables):
-        bucket = None
-        for b in range(n_planes):
-            plane = lit_double_array(_hyperplane(dim, t * n_planes + b))
-            d = F.aggregate(
-                F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        bands.append(F.struct(F.lit(t).alias("band"), bucket.cast("int").alias("bucket")))
-    return emb_df.withColumn("_b", F.explode(F.array(*bands))).select(
+    bands = F.expr(
+        "array("
+        + ",".join(
+            f"struct({t} AS band, "
+            + _bucket_sql(vec_col, dim, [t * n_planes + b for b in range(n_planes)])
+            + " AS bucket)"
+            for t in range(n_tables)
+        )
+        + ")"
+    )
+    return emb_df.withColumn("_b", F.explode(bands)).select(
         "*", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     ).drop("_b")
 
@@ -179,17 +189,14 @@ def ivf_assign(
     A production IVF trains centroids with k-means; the operator takes
     them as input so the quantizer is pluggable (and deterministic in
     tests: sampled corpus vectors)."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(F.col(vec_col), lit_double_array(cvec)).alias("score"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    best = F.array_max(scored)
-    return emb_df.withColumn("cell", best.getField("cell"))
+    scored = "array(" + ",".join(
+        f"struct(aggregate(zip_with(`{vec_col}`, "
+        + "array(" + ",".join(f"{float(v)!r}D" for v in cvec) + "), "
+        + "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+        + f" AS score, {cid} AS cell)"
+        for cid, cvec in centroids
+    ) + ")"
+    return emb_df.withColumn("cell", F.expr(f"array_max({scored}).cell"))
 
 
 def ivf_topk(
