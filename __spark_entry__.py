@@ -3563,6 +3563,274 @@ def q22_global_sales_opportunity(spark, sf_dir):
     )
 
 
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+                FROM lineitem GROUP BY l_partkey, l_suppkey),
+         eligible AS (SELECT ps.l_partkey, ps.supplycost, s_name, s_acctbal, n_name
+                      FROM ps, supplier, nation, region
+                      WHERE s_suppkey = ps.l_suppkey AND s_nationkey = n_nationkey
+                        AND n_regionkey = r_regionkey AND r_name = 'ASIA')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+    FROM part, eligible
+    WHERE p_partkey = eligible.l_partkey AND p_size = 10
+      AND supplycost = (SELECT min(e2.supplycost) FROM eligible e2
+                        WHERE e2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape, adapted: the fixtures ship no partsupp table, so
+    lineitem acts as the part<->supplier bridge (supply cost := min
+    l_extendedprice per (part, supplier) — the same surrogate q17/q21
+    use). The correlated min-cost subquery decorrelates into a per-part
+    min aggregate joined back on (partkey, cost) — the aggregate scales
+    with |part|, never |lineitem|, and the supplier->nation->region
+    chain is a true dim broadcast. LIMIT rides TakeOrderedAndProject
+    (no global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = ps.join(F.broadcast(dim), ps.l_suppkey == dim.s_suppkey).select(
+        "l_partkey", "supplycost", "s_name", "s_acctbal", "n_name"
+    )
+    best = eligible.groupBy(F.col("l_partkey").alias("_bp")).agg(
+        F.min("supplycost").alias("_best")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 10).select("p_partkey", "p_name")
+    return (
+        eligible.join(
+            best,
+            (F.col("l_partkey") == F.col("_bp")) & (F.col("supplycost") == F.col("_best")),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year,
+           CAST((sum(amount_e6) + 5000) // 10000 AS BIGINT) / 100.0 AS sum_profit
+    FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount - l_tax) * 10000) AS BIGINT) AS amount_e6
+          FROM lineitem, part, supplier, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%gear%') profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape, adapted: profit per nation per year over a
+    part-name filtered slice; the partsupp cost term becomes the tax
+    term (cost := l_extendedprice * l_tax), keeping the
+    5-relation join + two-level aggregate intact. Supplier->nation is
+    the only hinted broadcast; part (filtered but SF-scaled) and orders
+    join strategies are left to AQE. Profit is accumulated in integer
+    micro-dollars and rounded half-up by integer division — its sums
+    land on exact .xx5 boundaries where double rounding diverges
+    between engines (see window_moving_avg_nth)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount_e6 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount") - F.col("l_tax")) * 10000
+    ).cast("bigint")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount_e6).alias("_e6"))
+        .select(
+            "nation",
+            "o_year",
+            (F.expr("(_e6 + 5000) div 10000") / F.lit(100.0)).alias("sum_profit"),
+        )
+    )
+
+
+@_q(
+    "q11_important_stock",
+    """
+    WITH pv AS (SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+                FROM lineitem, supplier, nation
+                WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                  AND n_name = 'NATION_3'
+                GROUP BY l_partkey)
+    SELECT l_partkey, value_cents
+    FROM pv
+    WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM pv)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape, adapted: per-part inventory value held by one
+    nation's suppliers, kept when above a fraction of the global total
+    (HAVING vs an ungrouped scalar subquery). Value is summed in
+    integer cents so the threshold comparison is exact and
+    partition-order-independent in both engines (double sums differ in
+    the last ulp between engines; `value * 1000 > total` stays in
+    integer domain — headroom to ~9e15 total cents). The scalar total
+    re-aggregates the per-part aggregate (tiny) and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.col(
+        "l_quantity"
+    ).cast("bigint")
+    pv = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = pv.agg(F.sum("value_cents").alias("_total"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("_total"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@_q(
+    "q16_parts_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#3'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0::DOUBLE)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape, adapted: distinct-supplier counts per part
+    class, excluding a denylist (NOT IN -> anti join; negative-balance
+    suppliers stand in for the complaints LIKE). The denylist is a true
+    broadcast (filtered supplier keys); the distinct-count shuffles
+    (class, suppkey) pairs once — no row ever carries more than the
+    grouping key."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_part_promo_suppliers",
+    """
+    WITH lif AS (SELECT l_suppkey, l_partkey, l_quantity
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1997-01-01'),
+         sp AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+                FROM lif GROUP BY l_suppkey, l_partkey),
+         pq AS (SELECT l_partkey AS t_partkey,
+                       0.3::DOUBLE * sum(l_quantity) AS qty_threshold
+                FROM lif GROUP BY l_partkey)
+    SELECT s_name, n_name
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey
+      AND s_suppkey IN (SELECT sp.l_suppkey FROM sp, pq, part
+                        WHERE sp.l_partkey = t_partkey
+                          AND sp.l_partkey = p_partkey
+                          AND p_name LIKE 'small%'
+                          AND qty > qty_threshold)
+    """,
+)
+def q20_part_promo_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape, adapted: suppliers who shipped an outsized
+    share (> 30%) of any promo-class part's 1996 volume — the
+    availqty-vs-half-sum correlated subquery becomes share-of-part
+    volume over the lineitem bridge. Both aggregates reuse one
+    filtered scan; the IN-list collapses to a semi join. Quantities
+    are integral doubles, so the per-part sums are exact and the
+    single 0.3*sum product is bit-identical across engines."""
+    lif = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_partkey", "l_quantity")
+    )
+    sp = lif.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    pq = lif.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.3) * F.sum("l_quantity")).alias("qty_threshold")
+    )
+    pp = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qual = (
+        sp.join(pq, F.col("l_partkey") == F.col("t_partkey"))
+        .join(pp, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty") > F.col("qty_threshold"))
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops: deterministic splits / sampling / profiling /
 # TF-IDF (north star; operators.sampling). Hash-deterministic by key+seed —
@@ -4014,6 +4282,12 @@ _PRIORITY = [
     # pipeline composite
     "pipeline_training_data",
     # --- slot 51+: remaining r1-unverified, then registration order ---
+    # full-22 TPC-H completion (r2): rotate into the gate window next round
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_part_promo_suppliers",
     "text_bpe_regex_tokens",
     "subquery_correlated_order_above_cust_avg",
     "cdc_late_data_rescan",
