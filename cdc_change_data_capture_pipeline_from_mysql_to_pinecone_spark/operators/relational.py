@@ -102,7 +102,12 @@ def consecutive_pairs(
     wb = Window.partitionBy("_b").orderBy(key_col)
     within = d.withColumn(out_col, F.lead(val_col).over(wb))
     firsts = d.groupBy("_b").agg(F.min_by(val_col, F.col(key_col)).alias("_first"))
-    wfill = Window.orderBy("_b")  # one row per non-empty bucket
+    # One row per non-empty bucket: n/bucket_width rows by construction,
+    # sized to fit a single task (see docstring). The constant partition
+    # key makes that single-task execution explicit and intended — this
+    # is NOT an accidental whole-table window (a k²/2 self-join
+    # alternative would be strictly worse at k = n/bucket_width rows).
+    wfill = Window.partitionBy(F.lit(0)).orderBy("_b")
     fill = firsts.withColumn("_bnext", F.lead("_first").over(wfill)).select("_b", "_bnext")
     return (
         within.join(fill, "_b", "left")
