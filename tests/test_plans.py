@@ -135,10 +135,13 @@ def test_minhash_partial_min(spark, sf_dir):
 
 
 def test_no_fact_side_broadcast_hints(spark, sf_dir):
-    """Regression (VERDICT r1 #3): orders/customer grow with the scale
-    factor, so q3/q5 must not FORCE a broadcast on them — with the
-    auto-broadcast threshold disabled, the only BroadcastHashJoin left
-    must be q5's hinted dim chain (supplier x nation x region)."""
+    """Regression (VERDICT r1 #3, tightened r3 per ADVICE): every
+    SF-scaled relation — orders, customer, part, AND supplier (SF*10k
+    rows) — must carry no forced broadcast hint. With the
+    auto-broadcast threshold disabled, q3 and q5 must show zero
+    BroadcastHashJoin: q5's supplier⋈nation⋈region chain is
+    supplier-derived and unbounded at 100 TB, so its broadcast is
+    AQE's runtime call, never forced."""
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         q3_plan = explain_str(entrymod.queries()["q3_shipping_priority"](spark, sf_dir))
@@ -149,7 +152,7 @@ def test_no_fact_side_broadcast_hints(spark, sf_dir):
     # formatted plans list each node twice (tree + details); count the
     # detail headers only
     bhj = re.findall(r"^\(\d+\) BroadcastHashJoin", q5_plan, flags=re.M)
-    assert len(bhj) == 1, q5_plan
+    assert len(bhj) == 0, q5_plan
 
 
 def _forced_bhj_count(spark, sf_dir, name):
@@ -164,20 +167,29 @@ def _forced_bhj_count(spark, sf_dir, name):
 
 
 def test_no_fact_side_broadcast_hints_tpch_family(spark, sf_dir):
-    """Regression (VERDICT r1 #3, extended): orders / customer / part
-    all scale with the scale factor, so no TPC-H-shape query may FORCE
-    a broadcast on them. Queries with zero dim hints must show zero
-    BroadcastHashJoin once auto-broadcast is off; q7/q8 keep exactly
-    their hinted nation/region/supplier-chain broadcasts."""
+    """Regression (VERDICT r1 #3; tightened r3 per ADVICE): every
+    SF-scaled relation — orders, customer, part, supplier, and any
+    frame derived from them — must carry no forced broadcast hint.
+    The only hints that survive auto-broadcast being disabled are on
+    constant-cardinality frames: nation (25 rows), region (5),
+    nation⋈region key lists, and 1-row scalar aggregates."""
     expected = {
+        "q2_min_cost_supplier": 2,  # broadcast(nation) + broadcast(region)
+        "q7_volume_shipping": 0,  # r3: supplier-chain hint dropped
+        "q8_market_share": 1,  # nation⋈region(ASIA) key list only
+        "q9_product_type_profit": 1,  # broadcast(nation) only
         "q10_returned_items": 1,  # customer ⋈ broadcast(nation) only
+        "q11_important_stock": 1,  # broadcast(nation) only
         "q12_priority_shipmode": 0,
+        "q13_customer_distribution": 0,
         "q14_promo_share": 0,
+        "q15_top_supplier": 1,  # 1-row max(total_revenue) only
+        "q16_parts_supplier_count": 0,  # r3: denylist hint dropped
+        "q17_small_quantity_revenue": 0,  # r3: part-derived hints dropped
         "q18_large_orders_having": 0,
         "q19_disjunctive_predicates": 0,
-        "q13_customer_distribution": 0,
-        "q7_volume_shipping": 1,  # supplier-chain hint only
-        "q8_market_share": 2,  # supplier-chain + nation⋈region(ASIA)
+        "q20_part_promo_suppliers": 1,  # broadcast(nation) only
+        "q21_suppliers_kept_waiting": 0,  # r3: supplier hint dropped
     }
     for name, want in expected.items():
         n, plan = _forced_bhj_count(spark, sf_dir, name)
