@@ -134,11 +134,18 @@ def salted_join(
     deterministic plans. Cost: small side replicated x buckets, so
     keep it for genuinely small dimension sides.
 
-    Inner-only: replicating the small side makes outer semantics wrong
-    (unmatched small rows would surface once per salt bucket).
+    Outer semantics: big-preserving ('left') falls out of the salted
+    join directly — each big row carries exactly ONE salt value, so a
+    null-extended miss surfaces once, never per-bucket. Small-preserving
+    ('right'/'full') cannot ride the replicated side (an unmatched small
+    row would surface ``salt_buckets`` times); those rows are recovered
+    by a key anti-join against the big side's distinct keys — a second
+    small shuffle on the same key, null-extended and unioned in.
     """
-    if how != "inner":
-        raise ValueError(f"salted_join supports how='inner' only, got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"salted_join supports inner/left/right/full, got {how!r}"
+        )
     # deterministic salt: hash of the whole row, stable across runs and
     # repartitions (F.rand would depend on partition order)
     salted_big = big.withColumn(
@@ -146,8 +153,25 @@ def salted_join(
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
     salted_small = small.select("*", salts)
-    out = salted_big.join(salted_small, [on, "_salt"], how)
-    return out.drop("_salt")
+    base_how = "left" if how in ("left", "full") else "inner"
+    out = salted_big.join(salted_small, [on, "_salt"], base_how).drop("_salt")
+    if how in ("right", "full"):
+        # unmatched small rows: key never present in big (equi-join, so
+        # match status is a pure key property; NULL keys never match and
+        # correctly survive the anti join as unmatched)
+        unmatched = small.join(big.select(on).distinct(), [on], "left_anti")
+        big_types = {f.name: f.dataType for f in big.schema.fields}
+        filled = unmatched.select(
+            F.col(on),
+            *[
+                F.lit(None).cast(big_types[c]).alias(c)
+                for c in big.columns
+                if c != on
+            ],
+            *[F.col(c) for c in small.columns if c != on],
+        )
+        out = out.unionByName(filled)
+    return out
 
 
 def binned_range_join(
@@ -173,12 +197,20 @@ def binned_range_join(
     typical interval width, so a 100 TB x 100 TB band join shuffles
     linearly instead of multiplying.
 
-    Inner-only: the post-join residual filter would discard
-    null-extended outer rows, and exploded intervals would surface
-    unmatched outer rows once per overlapped bin.
+    Outer semantics can't ride the binned join directly (the residual
+    filter would discard null-extended rows, and an exploded interval
+    would surface once per overlapped bin): unmatched rows of the
+    preserved side(s) are recovered with a whole-row null-safe
+    anti-join against the inner result's distinct preserved-side rows,
+    then null-extended and unioned in. Identical duplicate rows share
+    one match status, so multiplicity is preserved exactly like a
+    plain outer join. Cost: one extra shuffle per preserved side, on
+    the same derived keys — still no cartesian pass.
     """
-    if how != "inner":
-        raise ValueError(f"binned_range_join supports how='inner' only, got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"binned_range_join supports inner/left/right/full, got {how!r}"
+        )
     pb = points.withColumn(
         "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
     )
@@ -191,7 +223,35 @@ def binned_range_join(
             )
         ),
     )
-    out = pb.join(ib, "_bin", how).filter(
-        F.col(point_col).between(F.col(lo_col), F.col(hi_col))
+    inner = (
+        pb.join(ib, "_bin")
+        .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("_bin")
     )
-    return out.drop("_bin")
+    if how == "inner":
+        return inner
+    out = inner
+
+    def _unmatched(side: DataFrame, other: DataFrame) -> DataFrame:
+        """Rows of ``side`` absent (null-safely, whole-row) from the
+        inner result, null-extended over ``other``'s columns."""
+        matched = inner.select(*side.columns).distinct().alias("_m")
+        s = side.alias("_s")
+        cond = None
+        for c in side.columns:
+            eq = F.col(f"_s.{c}").eqNullSafe(F.col(f"_m.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        other_types = {f.name: f.dataType for f in other.schema.fields}
+        return s.join(matched, cond, "left_anti").select(
+            "*",
+            *[
+                F.lit(None).cast(other_types[c]).alias(c)
+                for c in other.columns
+            ],
+        )
+
+    if how in ("left", "full"):
+        out = out.unionByName(_unmatched(points, intervals))
+    if how in ("right", "full"):
+        out = out.unionByName(_unmatched(intervals, points))
+    return out

@@ -38,8 +38,10 @@ def plan_report(df: DataFrame) -> dict:
     full = explain_str(df)
     # node counts come from the plan tree only — the formatted detail
     # section repeats every node name and would double-count; pushed
-    # filters live in the detail section.
-    tree = full.split("\n\n")[0]
+    # filters live in the detail section. After an AQE query has run,
+    # the tree also echoes the pre-adaptive plan under '== Initial
+    # Plan ==' — count only the plan that actually executed.
+    tree = full.split("\n\n")[0].split("== Initial Plan ==")[0]
     return {
         "exchanges": sum(
             1 for ln in tree.splitlines() if "Exchange" in ln and "BroadcastExchange" not in ln
