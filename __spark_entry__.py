@@ -4169,6 +4169,96 @@ def join_salted_skew(spark, sf_dir):
 
 
 @_q(
+    "join_salted_outer",
+    """
+    WITH o AS (SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice
+               FROM orders WHERE o_orderstatus = 'F'),
+         c AS (SELECT c_custkey, c_name, c_nationkey
+               FROM customer WHERE c_nationkey < 5)
+    SELECT c_nationkey,
+           count(*)                       AS n_rows,
+           count(o_orderkey)              AS n_orders,
+           count(c_name)                  AS n_custs,
+           round(sum(o_totalprice), 2)    AS total
+    FROM o FULL OUTER JOIN c USING (c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def join_salted_outer(spark, sf_dir):
+    """FULL OUTER variant of the skew-resistant salted join
+    (operators.relational.salted_join, how='full'): big-side misses
+    null-extend once (each big row carries exactly one salt), and
+    unmatched small rows are recovered by a key anti-join — never once
+    per salt bucket. Oracle is the plain full outer join."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 5)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    joined = relational.salted_join(o, c, on="c_custkey", how="full", salt_buckets=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.count("c_name").alias("n_custs"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_q(
+    "join_range_binned_outer",
+    """
+    WITH s AS (SELECT s_suppkey, s_acctbal - 50 AS lo, s_acctbal + 50 AS hi
+               FROM supplier WHERE s_nationkey < 3),
+         j AS (SELECT c.c_custkey, c.c_acctbal, s.s_suppkey
+               FROM customer c FULL OUTER JOIN s
+                 ON c.c_acctbal BETWEEN s.lo AND s.hi)
+    SELECT (s_suppkey IS NOT NULL) AS has_interval,
+           (c_custkey IS NOT NULL) AS has_point,
+           count(*)                         AS n_rows,
+           count(DISTINCT c_custkey)        AS n_custs,
+           count(DISTINCT s_suppkey)        AS n_supps,
+           round(sum(c_acctbal), 2)         AS bal_sum
+    FROM j
+    GROUP BY has_interval, has_point
+    """,
+)
+def join_range_binned_outer(spark, sf_dir):
+    """FULL OUTER variant of the binned band join
+    (operators.relational.binned_range_join, how='full'): unmatched
+    points and unmatched intervals each surface exactly once via a
+    whole-row null-safe anti-join against the inner result — an
+    exploded interval never null-extends per overlapped bin. Oracle is
+    the plain (BNL) full outer range join."""
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 3)
+        .select(
+            "s_suppkey",
+            (F.col("s_acctbal") - 50).alias("lo"),
+            (F.col("s_acctbal") + 50).alias("hi"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = relational.binned_range_join(
+        c, s, point_col="c_acctbal", lo_col="lo", hi_col="hi", bin_width=100.0, how="full"
+    )
+    return joined.groupBy(
+        F.col("s_suppkey").isNotNull().alias("has_interval"),
+        F.col("c_custkey").isNotNull().alias("has_point"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_custkey").alias("n_custs"),
+        F.countDistinct("s_suppkey").alias("n_supps"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+    )
+
+
+@_q(
     "agg_corr_covar",
     """
     SELECT l_returnflag,

@@ -82,9 +82,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Spark 4 defaults spark.sql.parquet.inferTimestampNTZ.enabled=true,
+    # which reads the fixtures' tz-naive timestamp[us] columns as
+    # TIMESTAMP_NTZ — and unix_micros()/withWatermark() reject NTZ. The
+    # engine's output convention is epoch micros of the stored instant
+    # (entry module docstring), i.e. classic TimestampType semantics, so
+    # force the pre-4.x read behavior. Set here (not only in get_spark)
+    # because the driver harness passes its own SparkSession.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Defensive: if a future runtime ignores the conf, normalize any NTZ
+    # column back to TimestampType (values preserved under UTC session tz).
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     _DF_CACHE[key] = df
     return df
 

@@ -282,6 +282,8 @@ def run_streaming_pipeline(
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # keep tz-naive parquet timestamps as TimestampType (see sources.tables)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     raw_schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(raw_schema).option(
         "pathGlobFilter", f"{table}*.parquet"

@@ -85,3 +85,59 @@ def test_binned_range_join_equijoin_plan_and_parity(spark, sf_dir):
     ).select("s_suppkey", "c_custkey")
     got = binned.select("s_suppkey", "c_custkey")
     assert got.exceptAll(naive).count() == 0 and naive.exceptAll(got).count() == 0
+
+
+def test_salted_outer_join_matches_plain(spark, sf_dir):
+    """left/right/full salted joins must equal the plain outer joins
+    row-for-row (exceptAll both ways = multiplicity-exact): unmatched
+    big rows surface once (single salt per row), unmatched small rows
+    once (anti-join recovery), never per-bucket."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 5)
+        .select("c_custkey", "c_name")
+    )
+    for how in ("left", "right", "full"):
+        plain = o.join(c, "c_custkey", how)
+        salted = salted_join(o, c, "c_custkey", how=how, salt_buckets=8).select(
+            *plain.columns
+        )
+        assert salted.exceptAll(plain).count() == 0, how
+        assert plain.exceptAll(salted).count() == 0, how
+
+
+def test_binned_range_outer_join_matches_plain(spark, sf_dir):
+    """Outer binned range joins: parity with the BNL outer range join
+    (exactly-once unmatched surfacing despite interval bin explosion)
+    and no nested-loop operator in the physical plan."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        binned_range_join,
+    )
+
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 3)
+        .select(
+            "s_suppkey",
+            (F.col("s_acctbal") - 50).alias("lo"),
+            (F.col("s_acctbal") + 50).alias("hi"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    for how in ("left", "right", "full"):
+        plain = c.join(
+            s, F.col("c_acctbal").between(F.col("lo"), F.col("hi")), how
+        ).select("c_custkey", "c_acctbal", "s_suppkey")
+        binned = binned_range_join(
+            c, s, point_col="c_acctbal", lo_col="lo", hi_col="hi",
+            bin_width=100.0, how=how,
+        ).select("c_custkey", "c_acctbal", "s_suppkey")
+        plan = binned._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+        assert binned.exceptAll(plain).count() == 0, how
+        assert plain.exceptAll(binned).count() == 0, how

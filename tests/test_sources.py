@@ -43,6 +43,47 @@ def test_json_lines_parse(spark, sf_dir):
     assert parsed.filter(F.col("k").isNotNull()).count() == e.count()
 
 
+def test_timestamp_columns_are_instant_typed(spark, sf_dir):
+    """Environment-drift guard: Spark 4.1 started reading tz-naive
+    parquet timestamps as TIMESTAMP_NTZ (inferTimestampNTZ default
+    flip), which broke unix_micros()/withWatermark(). load_table must
+    always yield classic TimestampType so the next runtime bump fails
+    here, not in the driver gate."""
+    from pyspark.sql.types import TimestampType
+
+    e = load_table(spark, sf_dir, "events")
+    assert isinstance(e.schema["ts"].dataType, TimestampType), e.schema["ts"].dataType
+    # unix_micros smoke: the engine's declared output convention —
+    # epoch micros of the stored instant, independent of session tz.
+    row = e.select(F.unix_micros("ts").alias("us"), F.col("ts")).orderBy("us").first()
+    assert row["us"] == int(row["ts"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1_000_000)
+
+
+def test_timestamp_instant_typed_on_foreign_session(spark, sf_dir):
+    """The driver harness passes its OWN SparkSession (built without
+    our configs). load_table must still produce TimestampType via the
+    runtime conf set — simulate by flipping the conf to the Spark 4
+    default before loading a fresh (uncached) read."""
+    from pyspark.sql.types import TimestampType
+
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # confirm the drifted default actually produces NTZ here,
+        # otherwise this test guards nothing
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import tables
+
+        tables._DF_CACHE.clear()
+        e = load_table(spark, sf_dir, "events")
+        assert isinstance(e.schema["ts"].dataType, TimestampType)
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import tables
+
+        tables._DF_CACHE.clear()
+
+
 def test_jdbc_options_contract():
     """The MySQL path must range-partition on the PK (bounded-memory
     scans; the reference fetchall's the whole delta, service.py:59)."""

@@ -205,8 +205,8 @@ def test_grouped_agg_pandas_udf(spark):
     (geometric mean) usable in groupBy and windows."""
     import numpy as np
 
-    @F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
-    def geo_mean(v: pd.Series) -> float:
+    @F.pandas_udf(T.DoubleType())
+    def geo_mean(v: pd.Series) -> float:  # Series -> scalar = GROUPED_AGG
         return float(np.exp(np.log(v[v > 0]).mean()))
 
     df = spark.createDataFrame(
