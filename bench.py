@@ -123,6 +123,18 @@ def main() -> None:
         sweep,
     )
 
+    # Warm the sweep-only machinery (python UDF workers, Arrow serde,
+    # foreach-writer codegen) with a tiny sf0.001 pass — the query-loop
+    # warm-up never exercises this path, and its one-time init (~6 s)
+    # is the same fixed cost the min-of-3 policy excludes above.
+    warm_store = tempfile.mkdtemp(prefix="bench_sweep_warm_")
+    try:
+        sweep(spark, "/root/testdata/sf0.001", warm_store, {"events": ("ts", "event_id")})
+    except Exception:
+        pass  # warm-up is best-effort; the timed run surfaces real errors
+    finally:
+        shutil.rmtree(warm_store, ignore_errors=True)
+
     store = tempfile.mkdtemp(prefix="bench_sweep_")
     sweep_rows = 0
     sweep_sec = None

@@ -75,7 +75,9 @@ def _restore_or_clean(parent: str, base: str) -> str:
     target = os.path.join(parent, base)
     entries = os.listdir(parent) if os.path.isdir(parent) else []
     asides = sorted(d for d in entries if d.startswith(f"_old-{base}-"))
-    tmps = [d for d in entries if d.startswith(f"{base}.tmp-")]
+    tmps = [
+        d for d in entries if d.startswith((f"{base}.tmp-", f"{base}.regrow-"))
+    ]
     status = "ok"
     if not os.path.exists(target) and asides:
         os.rename(os.path.join(parent, asides.pop(0)), target)
@@ -119,14 +121,73 @@ def recover_table(path: str) -> str:
     return status
 
 
+#: Auto-sizing target: keys per bucket before the table doubles its
+#: bucket count. ~1M rows/bucket keeps a 384-dim float vector bucket
+#: around 1.5 GB — one comfortably-rewritable MERGE unit.
+DEFAULT_BUCKET_ROWS = 1_000_000
+
+
+def _pow2_at_least(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _nbuckets_marker(path: str) -> str:
+    # underscore prefix: invisible to Spark's file listing
+    return os.path.join(path, "_nbuckets")
+
+
+def _read_nbuckets(path: str, bucket_col: str) -> int | None:
+    """The table's committed bucket count. Source of truth is the
+    ``_nbuckets`` marker; tables written before the marker existed are
+    inferred as the smallest power of two covering the observed bucket
+    ids (exact for power-of-two-created tables, which is all of them)."""
+    marker = _nbuckets_marker(path)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    if os.path.isdir(path):
+        ids = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith(f"{bucket_col}=")
+        ]
+        if ids:
+            return max(16, _pow2_at_least(max(ids) + 1))
+    return None
+
+
+def _write_nbuckets(path: str, n: int) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(_nbuckets_marker(path), "w") as fh:
+        fh.write(str(n))
+
+
+def _footer_rows(path: str) -> int:
+    """Total committed rows from parquet footers — pure metadata, no
+    Spark job (on object storage this is the same cheap footer read)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 def upsert_parquet_partitioned(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     key_cols: list[str],
     version_col: str,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     bucket_col: str = "kbucket",
+    target_bucket_rows: int = DEFAULT_BUCKET_ROWS,
 ) -> int:
     """MERGE ``updates`` into a hash-bucketed keyed parquet table,
     rewriting ONLY the bucket partitions the updates touch. Returns the
@@ -141,9 +202,34 @@ def upsert_parquet_partitioned(
     and leaves the rest byte-identical. At 100 TB the same call site
     targets Delta/Iceberg MERGE; the layout (hash-partitioned by key)
     is what makes that MERGE file-skipping-friendly too.
+
+    Bucket sizing: the count is a property of the TABLE, not the call —
+    it is persisted in an ``_nbuckets`` marker at creation and every
+    later merge uses it (a conflicting explicit ``num_buckets`` raises:
+    mixing counts would scatter keys across mismatched buckets). On
+    creation the count is derived from the first batch
+    (``rows / target_bucket_rows``, power of two, min 16) unless given
+    explicitly; when the table outgrows ~2x ``target_bucket_rows`` per
+    bucket, the merge finishes with a one-off re-bucketing rewrite that
+    doubles the count — O(table), but only log2(growth) times over the
+    table's life, the same amortization LSM/consistent-hash stores use.
+    A fixed count would mean ~6 TB buckets at 100 TB, and every
+    widely-spread micro-batch rewriting the whole table.
     """
+    existing = _read_nbuckets(path, bucket_col)
+    if existing is not None:
+        if num_buckets is not None and num_buckets != existing:
+            raise ValueError(
+                f"table at {path} is bucketed {existing}-way; "
+                f"num_buckets={num_buckets} would corrupt the key mapping"
+            )
+        n = existing
+    elif num_buckets is not None:
+        n = num_buckets
+    else:
+        n = max(16, _pow2_at_least(-(-updates.count() // target_bucket_rows)))
     keyed = updates.withColumn(
-        bucket_col, F.pmod(F.hash(*key_cols), F.lit(num_buckets)).cast("int")
+        bucket_col, F.pmod(F.hash(*key_cols), F.lit(n)).cast("int")
     )
     touched = sorted(r[0] for r in keyed.select(bucket_col).distinct().collect())
     if not touched:
@@ -175,7 +261,41 @@ def upsert_parquet_partitioned(
         if os.path.exists(src):
             _swap_in(os.path.join(path, f"{bucket_col}={b}"), src)
     shutil.rmtree(tmp, ignore_errors=True)
+    if existing is None:
+        _write_nbuckets(path, n)
+    _maybe_grow_buckets(spark, path, key_cols, version_col, bucket_col, n, target_bucket_rows)
     return len(touched)
+
+
+def _maybe_grow_buckets(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+    bucket_col: str,
+    n: int,
+    target_bucket_rows: int,
+) -> int:
+    """Double (or more) the bucket count once the table averages past
+    2x ``target_bucket_rows`` per bucket. One O(table) re-bucketing
+    rewrite, amortized log2(growth) times over the table's life; the
+    decision itself is a footer-metadata read, no Spark job."""
+    total = _footer_rows(path)
+    if total <= 2 * target_bucket_rows * n:
+        return n
+    n2 = max(n * 2, _pow2_at_least(-(-total // target_bucket_rows)))
+    rebucketed = (
+        spark.read.parquet(path)
+        .drop(bucket_col)
+        .withColumn(bucket_col, F.pmod(F.hash(*key_cols), F.lit(n2)).cast("int"))
+    )
+    tmp = f"{path}.regrow-{uuid.uuid4().hex[:8]}"
+    rebucketed.repartition(*[F.col(c) for c in key_cols]).write.mode(
+        "overwrite"
+    ).partitionBy(bucket_col).parquet(tmp)
+    _write_nbuckets(tmp, n2)
+    _swap_in(path, tmp)
+    return n2
 
 
 def write_bucketed(
