@@ -53,3 +53,41 @@ def test_multi_probe_recall_superset(spark, sf_dir):
     # exact-vs-ann sanity: multi-probe top-1 equals brute-force top-1
     brute = vec_ops.cosine_topk(e, "vec_id", "embedding", q, k=1).collect()[0]
     assert multi.collect()[0]["vec_id"] == brute["vec_id"]
+
+
+def test_ivf_assign_broadcast_path_matches_literal(spark, sf_dir):
+    """Above IVF_LITERAL_MAX_K the centroids travel as one broadcast
+    array row instead of literal plan text; both paths evaluate the
+    identical struct-argmax so assignments must be equal."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # 40 deterministic centroids (> threshold 32) from corpus vectors
+    seeds = vec_ops.train_ivf_centroids(e, "vec_id", "embedding", k=40, iters=0)
+    lit = vec_ops.ivf_assign(e, "vec_id", "embedding", seeds, literal_max_k=64)
+    bc = vec_ops.ivf_assign(e, "vec_id", "embedding", seeds, literal_max_k=8)
+    a = {r["vec_id"]: r["cell"] for r in lit.select("vec_id", "cell").collect()}
+    b = {r["vec_id"]: r["cell"] for r in bc.select("vec_id", "cell").collect()}
+    assert a == b
+    # ivf_topk rides the same switch: same answer both sides of it
+    q = _query_vec(spark, sf_dir)
+    t_lit = vec_ops.ivf_topk(e, "vec_id", "embedding", q, seeds, k=5, literal_max_k=64)
+    t_bc = vec_ops.ivf_topk(e, "vec_id", "embedding", q, seeds, k=5, literal_max_k=8)
+    assert [tuple(r) for r in t_lit.collect()] == [tuple(r) for r in t_bc.collect()]
+
+
+def test_ivf_assign_large_k_plan_stays_small(spark):
+    """k=1000 centroids must NOT inline into the plan: analyzed plan
+    text stays O(1) in k (the literal path would be ~ k x dim floats of
+    SQL — driver planning death at k=65k; VERDICT r3)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(50)],
+        "vec_id int, embedding array<double>",
+    )
+    cents = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(1000)]
+    assigned = vec_ops.ivf_assign(df, "vec_id", "embedding", cents)
+    plan = assigned._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 50_000, len(plan)
+    # and it still computes: every row lands in a cell
+    assert assigned.filter(assigned.cell.isNotNull()).count() == 50
