@@ -250,6 +250,126 @@ def sweep(
     return processed
 
 
+def run_multi_table_streaming(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    tables: dict[str, tuple[str, str]],
+    *,
+    with_embeddings: bool = False,
+    trigger_seconds: int = 300,
+    available_now: bool = True,
+    await_seconds: int = 120,
+    block: bool = True,
+) -> list:
+    """Streaming-native multi-table composition — parity with the
+    reference's tick loop over every tracked table
+    (controller/controller.py:25-27), minus its head-of-line blocking:
+    ONE streaming query PER TABLE, each with its own checkpoint, so
+    each table's offsets (and therefore its committed watermark)
+    advance independently — a backlogged table never delays another's
+    freshness, and Spark schedules the per-table micro-batches
+    concurrently on the shared executors.
+
+    Every micro-batch runs the same ``cdc_tick`` DAG the batch ``sweep``
+    uses and commits into the same keyed store (hash-bucketed
+    ``vectors``, last-writer-wins ``watermark``), so batch and
+    streaming modes are interchangeable over one store. Store commits
+    serialize under a lock (read-modify-write of shared directories);
+    everything upstream of the commit is independent per table.
+
+    ``block=False`` returns the started queries immediately — callers
+    (tests, service managers) poll the store and stop them.
+    """
+    import datetime as _dt
+    import os
+    import threading
+
+    from ..sources.sinks import recover_table, upsert_parquet, upsert_parquet_partitioned
+    from ..sources.tables import _nanos_ts_columns
+
+    wm_path = os.path.join(store_dir, "watermark")
+    vec_path = os.path.join(store_dir, "vectors")
+    recover_table(wm_path)
+    recover_table(vec_path)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    lock = threading.Lock()
+
+    def make_process(table: str, change_col: str, order_col: str, ns_cols: list[str]):
+        def process(batch_df: DataFrame, epoch_id: int) -> None:
+            for c in ns_cols:
+                batch_df = batch_df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                )
+            # the micro-batch IS the delta (offsets track progress), so
+            # the tick runs with the epoch-min watermark
+            sink_rows, new_wm = cdc_tick(
+                batch_df,
+                source=table,
+                change_col=change_col,
+                order_col=order_col,
+                watermark="1970-01-01",
+                with_embeddings=with_embeddings,
+            )
+            wm_row = new_wm.collect()[0]
+            if wm_row["batch_rows"] == 0:
+                return
+            lu = wm_row["last_updated"]
+            if isinstance(lu, _dt.date) and not isinstance(lu, _dt.datetime):
+                # date-typed change columns (o_orderdate) widen to
+                # midnight timestamps in the shared watermark table
+                lu = _dt.datetime(lu.year, lu.month, lu.day)
+            vec_updates = sink_rows.select(
+                "id",
+                F.col("metadata.text").alias("text"),
+                F.lit(table).alias("source"),
+                F.unix_micros(F.lit(lu)).alias("version"),
+            )
+            with lock:
+                upsert_parquet_partitioned(spark, vec_path, vec_updates, ["id"], "version")
+                wm_update = spark.createDataFrame(
+                    [(table, lu, wm_row["batch_rows"])],
+                    "table_name string, last_updated timestamp, batch_rows long",
+                ).withColumn("version", F.unix_micros("last_updated"))
+                upsert_parquet(spark, wm_path, wm_update, ["table_name"], "version")
+
+        return process
+
+    queries = []
+    for table, (change_col, order_col) in tables.items():
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        ns_cols = _nanos_ts_columns(path)
+        if ns_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(path).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{table}*.parquet")
+            .parquet(sf_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(
+                make_process(table, change_col, order_col, ns_cols)
+            )
+            .option("checkpointLocation", os.path.join(store_dir, f"_checkpoint-{table}"))
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+        else:
+            q = writer.trigger(processingTime=f"{trigger_seconds} seconds").start()
+        queries.append(q)
+    if not block:
+        return queries
+    try:
+        for q in queries:
+            q.awaitTermination(await_seconds)
+    finally:
+        for q in queries:
+            if q.isActive:
+                q.stop()
+    return queries
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     sf_dir: str,

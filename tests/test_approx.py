@@ -27,6 +27,35 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05, r
 
 
+def test_registry_sketch_query_within_bounds(spark, sf_dir):
+    """The rows-only registry query agg_approx_sketches must itself
+    satisfy the sketch error contracts per group: HLL++ distinct within
+    5% of exact, approximate p50 within 5%-of-spread of exact p50 —
+    the bound the driver's rows-only check can't see (VERDICT r3 #9)."""
+    import __spark_entry__ as entry
+
+    got = {
+        r["l_returnflag"]: r
+        for r in entry.queries()["agg_approx_sketches"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("spread"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for flag, r in got.items():
+        e = exact[flag]
+        assert abs(r["approx_orders"] - e["n"]) / e["n"] < 0.05, (flag, r, e)
+        assert abs(r["approx_p50"] - e["p50"]) / e["spread"] < 0.05, (flag, r, e)
+
+
 def test_percentile_approx_brackets_exact(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     r = li.agg(
