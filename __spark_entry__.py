@@ -4365,68 +4365,65 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Registry surfacing order (round 3 rotation). The driver's correctness
-# gate samples the dict from the front (50 entries per round: r1 took the
-# registration-order head, r2 took the previous _PRIORITY head). Slots
-# 1-35 are now the only queries never driver-verified in r1/r2 -- the r2
-# TPC-H completions (q2/q9/q11/q16/q20), grouping-sets/set-ops/range-frame
-# shapes, the scalar/array/map suites, late-data rescan, gap fill, the
-# text/vec leftovers and the rows-only embed/search pair -- so
-# CORRECTNESS_r03 completes 135/135 queries driver-verified at least
-# once. Slots 36-50 pad with the least-recently-verified r1 entries.
+# Registry surfacing order (round 4 rotation). The driver's correctness
+# gate samples the dict from the front (50 entries per round). Slots
+# 1-13: the r3 TIMESTAMP_NTZ casualties -- every query the Spark-4
+# runtime bump broke (all green locally after the session/load_table
+# fix) so CORRECTNESS_r04 records their recovery. Slots 14-15: the new
+# outer-join scale variants (salted/binned full outer), never
+# driver-verified. Slots 16-50: least-recently-verified padding
+# (r1/r2-verified entries that were not in the r3 sample window).
 _PRIORITY = [
-    # --- slots 1-35: never driver-verified (r1, r2) ---
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_count",
-    "q20_part_promo_suppliers",
-    "window_range_frame_spend",
-    "window_moving_avg_nth",
-    "agg_grouping_sets",
-    "set_ops_all_variants",
-    "agg_collect_nations",
-    "agg_minby_maxby_events",
-    "agg_bitwise_events",
-    "agg_boolean_lineitem",
-    "agg_approx_sketches",
-    "unpivot_customer_metrics",
-    "subquery_correlated_order_above_cust_avg",
-    "cdc_late_data_rescan",
-    "timeseries_gap_fill",
-    "join_cross_region_nation",
-    "scalar_math_lineitem",
-    "scalar_datetime_parse_roundtrip",
-    "scalar_try_cast_safe",
-    "scalar_regexp_advanced",
-    "array_ops_documents",
-    "array_hof_documents",
-    "array_posexplode_tokens",
-    "map_ops_events",
-    "text_normalize_stopwords",
-    "text_top_bigram_per_lang",
-    "text_fingerprint",
-    "text_bpe_regex_tokens",
-    "vec_l2_normalize",
-    "vec_label_norms",
-    "embed_documents",
-    "search_end_to_end",
-    # --- slots 36-50: r1-verified padding (least recently checked) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "join_outer_customer_orders",
-    "join_semi_customers_with_open_orders",
-    "join_anti_customers_without_orders",
-    "join_full_outer_keys",
-    "join_theta_acctbal_band",
-    "agg_distinct_by_status",
-    "agg_rollup_region_nation",
-    "window_rank_orders_per_customer",
+    "cdc_incremental_scan",
+    "cdc_watermark_next",
+    "cdc_watermark_upsert",
+    "cdc_snapshot_latest",
+    "asof_join_purchase_click",
+    "cdc_catalog_watermark_join",
+    "cdc_scd2_history",
     "window_lag_event_gaps",
-    "window_running_revenue",
-    "window_first_last_value",
-    "window_share_of_total",
+    "sort_nulls_ordering",
+    "agg_minby_maxby_events",
+    "timeseries_gap_fill",
+    "funnel_signup_to_purchase",
+    "stream_tumbling_window",
+    "join_salted_outer",
+    "join_range_binned_outer",
+    "sort_topk_lineitem",
+    "set_ops_customer_years",
+    "scalar_string_part",
+    "scalar_string_extended",
+    "scalar_datetime_orders",
+    "scalar_encoding_misc",
+    "scalar_json_events",
+    "case_pred_orders",
+    "agg_price_histogram",
+    "scalar_conditional_lineitem",
+    "pivot_priority_status",
+    "cdc_serialize_rows",
+    "cdc_chunk_documents",
+    "window_ranking_suite",
+    "string_similarity_parts",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "dedup_cluster_survivors",
+    "dedup_jaccard_consecutive",
+    "dedup_minhash_est_jaccard",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_top_terms",
+    "text_scrub_pii",
+    "text_repetition_ratio",
+    "text_contamination",
+    "cdc_time_travel",
+    "cdc_snapshot_diff",
+    "sql_frontend_having",
+    "sql_frontend_cte_exists",
+    "vec_knn_bruteforce",
 ]
 
 
