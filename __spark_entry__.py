@@ -4264,6 +4264,44 @@ def join_range_binned_outer(spark, sf_dir):
     )
 
 
+def _zorder_oracle_sql() -> str:
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.plans.layout import (
+        zorder_sql,
+    )
+
+    z = zorder_sql([("c_acctbal", -1000.0, 10000.0), ("c_nationkey", 0.0, 25.0)], 8)
+    return f"""
+    SELECT zbucket, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM (SELECT c_custkey, ({z} >> 8) AS zbucket FROM customer) t
+    GROUP BY zbucket
+    """
+
+
+@_q("layout_zorder_key", _zorder_oracle_sql())
+def layout_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout key ([EXT] data-layout scale path,
+    plans.layout): bits of range-normalized (c_acctbal, c_nationkey)
+    interleaved into one BIGINT — the clustering key behind
+    multi-column file pruning at 100 TB (lakehouse OPTIMIZE ZORDER on
+    plain parquet). Pure integer expressions, identical SQL text on
+    both engines; aggregated per key-prefix bucket so the oracle
+    hashes the full key distribution."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.plans.layout import (
+        zorder_sql,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    z = zorder_sql([("c_acctbal", -1000.0, 10000.0), ("c_nationkey", 0.0, 25.0)], 8)
+    return (
+        c.select("c_custkey", F.expr(f"({z} >> 8)").alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+    )
+
+
 @_q(
     "agg_corr_covar",
     """
