@@ -2338,6 +2338,42 @@ def stream_tumbling_window(spark, sf_dir):
 
 
 @_q(
+    "stream_sliding_window",
+    """
+    WITH base AS (
+      SELECT epoch_us(ts) AS us, event_type, value FROM events
+    ), assigned AS (
+      SELECT (us - us % 300000000) - k.k * 300000000 AS win_start_us,
+             event_type, value
+      FROM base, (SELECT 0 AS k UNION ALL SELECT 1) k
+      WHERE us >= (us - us % 300000000) - k.k * 300000000
+        AND us <  (us - us % 300000000) - k.k * 300000000 + 600000000
+    )
+    SELECT win_start_us, event_type, count(*) AS n,
+           round(sum(value), 3) AS sum_value
+    FROM assigned GROUP BY win_start_us, event_type
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding event-time window aggregation (T5): width 10 min, slide
+    5 min — every event contributes to width/slide windows. The oracle
+    unrolls the window assignment (each event lands in exactly two
+    5-min-aligned starts), which is precisely what Spark's window()
+    expands to before the aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@_q(
     "stream_sessionize",
     """
     WITH g AS (
@@ -4427,6 +4463,8 @@ _PRIORITY = [
     "stream_tumbling_window",
     "join_salted_outer",
     "join_range_binned_outer",
+    "layout_zorder_key",
+    "stream_sliding_window",
     "sort_topk_lineitem",
     "set_ops_customer_years",
     "scalar_string_part",
@@ -4460,8 +4498,6 @@ _PRIORITY = [
     "cdc_time_travel",
     "cdc_snapshot_diff",
     "sql_frontend_having",
-    "sql_frontend_cte_exists",
-    "vec_knn_bruteforce",
 ]
 
 

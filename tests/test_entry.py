@@ -21,5 +21,6 @@ def test_registry_priority_order():
                   "sort_nulls_ordering", "agg_minby_maxby_events",
                   "timeseries_gap_fill", "funnel_signup_to_purchase",
                   "stream_tumbling_window", "join_salted_outer",
-                  "join_range_binned_outer", "dedup_lsh_candidates"):
+                  "join_range_binned_outer", "layout_zorder_key",
+                  "stream_sliding_window", "dedup_lsh_candidates"):
         assert probe in front, probe

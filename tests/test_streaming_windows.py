@@ -158,3 +158,41 @@ def test_stream_stream_join_with_watermarks(spark, sf_dir):
         "inner",
     ).count()
     assert got == want and want > 0
+
+
+def test_sliding_window_streaming_matches_batch(spark, sf_dir):
+    """Sliding windows in streaming mode (T5): width 10 min, slide
+    5 min — the closed-window stream output must agree with the batch
+    sliding aggregation on every emitted window."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slide_agg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in spark.table("slide_agg").collect()
+    }
+    assert got  # closed windows were emitted
+    batch = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+        .collect()
+    }
+    # append mode emits only watermark-closed windows; each one must
+    # match the batch result exactly
+    for key, n in got.items():
+        assert batch[key] == n, key
