@@ -313,6 +313,43 @@ def test_recover_table_cleans_stale_tmp(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
 
 
+def test_recover_table_after_crash_mid_regrow(spark, tmp_path):
+    """Crash during the bucket-growth rewrite has two windows:
+    (a) regrow tmp written but swap not started — the stale
+    ``{base}.regrow-*`` dir must be swept, committed table untouched;
+    (b) inside _swap_in (table aside, regrow dir not yet renamed in) —
+    the aside must be promoted back to the pre-growth state."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        recover_table,
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "vectors")
+    base = spark.createDataFrame(
+        [(f"id{i}", float(i), 1) for i in range(32)],
+        "id string, score double, version int",
+    )
+    upsert_parquet_partitioned(spark, path, base, ["id"], "version", num_buckets=8)
+
+    # (a) stale regrow tmp next to the live table
+    os.makedirs(str(tmp_path / "vectors.regrow-deadbeef"))
+    assert recover_table(path) == "cleaned"
+    assert not os.path.exists(str(tmp_path / "vectors.regrow-deadbeef"))
+    assert spark.read.parquet(path).count() == 32
+
+    # (b) crash inside the regrow swap: table renamed aside
+    os.rename(path, str(tmp_path / "_old-vectors-12345678"))
+    assert recover_table(path) == "restored"
+    df = spark.read.parquet(path)
+    assert df.count() == 32
+    # committed bucket count survives the recovery
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.sinks import (
+        _read_nbuckets,
+    )
+
+    assert _read_nbuckets(path, "kbucket") == 8
+
+
 def test_partitioned_upsert_sequence_equivalence(spark, tmp_path):
     """Property: applying N random upsert batches one at a time must
     produce exactly the state of a single last-writer-wins pass over

@@ -215,3 +215,61 @@ def test_grouped_agg_pandas_udf(spark):
     got = {r["k"]: r["g"] for r in df.groupBy("k").agg(geo_mean("v").alias("g")).collect()}
     assert abs(got["a"] - 10.0) < 1e-9
     assert abs(got["b"] - 6.0) < 1e-9
+
+
+def test_transform_with_state_in_pandas(spark, sf_dir):
+    """T6 forward-compat: Spark 4's transformWithStateInPandas is the
+    successor of applyInPandasWithState. In this container its driver
+    worker needs google.protobuf, which is not importable — the test
+    skips there (env-bound, like the embedding model) and validates
+    the modern API the moment the runtime gains it."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "driver worker cannot start in this container")
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("total", T.LongType())]
+    )
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.count = handle.getValueState(
+                "count", T.StructType([T.StructField("n", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "total": [n]})
+
+        def close(self):
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = _events_stream(spark, sf_dir).groupBy("user_id").transformWithStateInPandas(
+            CountProcessor(), outputStructType=out_schema,
+            outputMode="Update", timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("twsip_out")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT sum(total) AS s FROM twsip_out "
+            "WHERE (user_id, total) IN (SELECT user_id, max(total) FROM twsip_out GROUP BY user_id)"
+        ).collect()[0]
+        assert rows["s"] == 1000
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
