@@ -2374,6 +2374,56 @@ def stream_sliding_window(spark, sf_dir):
 
 
 @_q(
+    "timeseries_multigrain_rollup",
+    """
+    WITH base AS (
+      SELECT epoch_us(ts) AS us, event_type, value FROM events
+    )
+    SELECT grain, bucket_us, event_type,
+           count(*) AS n, round(sum(value), 3) AS val_sum
+    FROM (
+      SELECT 'hour' AS grain, us - us % 3600000000 AS bucket_us,
+             event_type, value FROM base
+      UNION ALL
+      SELECT 'day' AS grain, us - us % 86400000000 AS bucket_us,
+             event_type, value FROM base
+    ) g
+    GROUP BY grain, bucket_us, event_type
+    """,
+)
+def timeseries_multigrain_rollup(spark, sf_dir):
+    """Multi-granularity time-bucket rollup (hypertable
+    continuous-aggregate shape): hour and day buckets computed in ONE
+    pass via grouping sets over pre-derived buckets — the scan is read
+    once and the partial aggregate combines map-side for both grains,
+    instead of one job per granularity. At 100 TB the single-scan
+    property is the whole point (a grain-per-job loop reads the table
+    G times)."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    pre = e.select(
+        (us - us % F.lit(3_600_000_000)).alias("hour_us"),
+        (us - us % F.lit(86_400_000_000)).alias("day_us"),
+        "event_type",
+        "value",
+    )
+    rolled = (
+        pre.groupingSets(
+            [["hour_us", "event_type"], ["day_us", "event_type"]],
+            "hour_us", "day_us", "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("val_sum"))
+    )
+    return rolled.select(
+        F.when(F.col("hour_us").isNotNull(), F.lit("hour")).otherwise(F.lit("day")).alias("grain"),
+        F.coalesce("hour_us", "day_us").alias("bucket_us"),
+        "event_type",
+        "n",
+        "val_sum",
+    )
+
+
+@_q(
     "stream_sessionize",
     """
     WITH g AS (
@@ -4465,6 +4515,7 @@ _PRIORITY = [
     "join_range_binned_outer",
     "layout_zorder_key",
     "stream_sliding_window",
+    "timeseries_multigrain_rollup",
     "sort_topk_lineitem",
     "set_ops_customer_years",
     "scalar_string_part",
@@ -4497,7 +4548,6 @@ _PRIORITY = [
     "text_contamination",
     "cdc_time_travel",
     "cdc_snapshot_diff",
-    "sql_frontend_having",
 ]
 
 

@@ -211,3 +211,17 @@ def test_no_fact_side_broadcast_hints_tpch_family(spark, sf_dir):
     for name, want in expected.items():
         n, plan = _forced_bhj_count(spark, sf_dir, name)
         assert n == want, (name, want, n, plan)
+
+
+def test_multigrain_rollup_single_scan(spark, sf_dir):
+    """timeseries_multigrain_rollup must roll up all granularities in
+    ONE table pass: exactly one FileScan, fan-out via Expand, and a
+    partial aggregate before the exchange (a grain-per-job loop would
+    read the table G times — the 100 TB anti-pattern)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["timeseries_multigrain_rollup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan
+    assert "partial_count" in plan  # map-side combine for both grains
