@@ -1305,6 +1305,91 @@ def _duck_cluster_survivors_sql(num_hashes: int = 16, num_bands: int = 4, rows_p
     """
 
 
+def _duck_cluster_labels_cte() -> str:
+    """Shared recursive-CTE prefix: doubled corpus -> minhash -> LSH
+    bands -> candidate pairs -> min-reachable-label components (the
+    DuckDB mirror of dedup.connected_components)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        MERSENNE31,
+        universal_coeffs,
+    )
+
+    num_hashes, num_bands, rows_per_band = 16, 4, 4
+    coeffs = universal_coeffs(num_hashes)
+    hash_cols = ",\n           ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {MERSENNE31})) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band))
+        + ")) AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+    WITH RECURSIVE
+    u AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents),
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM u),
+    sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
+    bh AS (SELECT doc_id,
+                  list_transform(shingles,
+                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS base
+           FROM sh),
+    sig AS (SELECT doc_id, {hash_cols} FROM bh),
+    bands AS ({band_rows}),
+    pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (SELECT doc_id, doc_id FROM u
+                    UNION
+                    SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+    labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a)
+    """
+
+
+def _duck_leakage_split_sql() -> str:
+    return (
+        _duck_cluster_labels_cte()
+        + """
+    SELECT doc_id, label AS cluster_label,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, label,
+                 ('0x' || substr(md5(label::VARCHAR || '#seed42'), 1, 15))::BIGINT
+                   % 10000 AS b
+          FROM labels) t
+    """
+    )
+
+
+@_q("ml_split_leakage_safe", _duck_leakage_split_sql())
+def ml_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split
+    (operators.sampling.leakage_safe_split): rows split by their
+    near-dup CLUSTER label (LSH pairs -> connected components), so a
+    test document can never be a near-copy of a training document. The
+    corpus is doubled so every row provably has a near-dup that must
+    co-locate; the oracle recomputes clusters with a recursive CTE and
+    hashes the same label."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    sig = dedup.minhash_signatures(doubled, "text", "doc_id", num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", num_bands=4, rows_per_band=4)
+    comp = dedup.connected_components(pairs)
+    out = leakage_safe_split(
+        doubled, "doc_id", comp, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+    return out.select("doc_id", "cluster_label", "split")
+
+
 @_q("dedup_cluster_survivors", _duck_cluster_survivors_sql())
 def dedup_cluster_survivors(spark, sf_dir):
     """Full dedup pipeline tail: LSH candidate pairs -> connected
@@ -2375,6 +2460,7 @@ def stream_sliding_window(spark, sf_dir):
 
 @_q(
     "timeseries_multigrain_rollup",
+    "ml_split_leakage_safe",
     """
     WITH base AS (
       SELECT epoch_us(ts) AS us, event_type, value FROM events
@@ -4516,6 +4602,7 @@ _PRIORITY = [
     "layout_zorder_key",
     "stream_sliding_window",
     "timeseries_multigrain_rollup",
+    "ml_split_leakage_safe",
     "sort_topk_lineitem",
     "set_ops_customer_years",
     "scalar_string_part",

@@ -134,3 +134,27 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             "(col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+    label_col: str = "cluster_label",
+) -> DataFrame:
+    """Split by near-dup CLUSTER, not by row: every member of a cluster
+    (from dedup.connected_components over LSH candidate pairs) hashes
+    into the same split, so the test set cannot contain near-copies of
+    training rows — the contamination channel a plain per-row
+    hash_split leaves open. Unpaired rows are their own singleton
+    cluster (label = own id). Same determinism properties as
+    hash_split: no RNG, stable under repartition; the only extra cost
+    is the label join (one shuffle on the id)."""
+    joined = df.join(components, df[id_col] == components.id, "left")
+    labeled = joined.withColumn(
+        label_col, F.coalesce(F.col("component"), df[id_col])
+    ).drop("id", "component")
+    return hash_split(labeled, label_col, fractions, seed, split_col)

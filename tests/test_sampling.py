@@ -109,3 +109,43 @@ def test_profile_is_single_job_single_scan(spark, sf_dir):
     )
     # one parquet scan feeding one aggregate, not one scan per column
     assert plan.count("Scan parquet") == 1
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """Every near-dup cluster must land in exactly one split, and the
+    plain per-row hash_split must demonstrably violate that on the same
+    corpus (the contamination channel this operator closes)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import dedup
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    sig = dedup.minhash_signatures(doubled, "text", "doc_id", num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", num_bands=4, rows_per_band=4)
+    comp = dedup.connected_components(pairs)
+
+    safe = leakage_safe_split(
+        doubled, "doc_id", comp, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    per_cluster = safe.groupBy("cluster_label").agg(
+        F.countDistinct("split").alias("k"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_cluster.filter(F.col("k") > 1).count() == 0
+    # doubling guarantees multi-member clusters exist, so the invariant
+    # is non-vacuous
+    assert per_cluster.filter(F.col("n") > 1).count() > 0
+
+    # the naive split DOES scatter at least one cluster across splits
+    naive = hash_split(doubled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    leaked = (
+        naive.join(comp, naive.doc_id == comp.id)
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leaked > 0
