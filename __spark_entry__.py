@@ -2460,7 +2460,6 @@ def stream_sliding_window(spark, sf_dir):
 
 @_q(
     "timeseries_multigrain_rollup",
-    "ml_split_leakage_safe",
     """
     WITH base AS (
       SELECT epoch_us(ts) AS us, event_type, value FROM events
@@ -4634,7 +4633,6 @@ _PRIORITY = [
     "text_repetition_ratio",
     "text_contamination",
     "cdc_time_travel",
-    "cdc_snapshot_diff",
 ]
 
 
