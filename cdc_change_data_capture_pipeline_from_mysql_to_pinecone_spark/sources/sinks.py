@@ -155,7 +155,11 @@ def _read_nbuckets(path: str, bucket_col: str) -> int | None:
             if d.startswith(f"{bucket_col}=")
         ]
         if ids:
-            return max(16, _pow2_at_least(max(ids) + 1))
+            # marker-less legacy table: the smallest power of two
+            # covering the observed ids (exact when the high bucket is
+            # populated; a conflicting explicit count raises upstream
+            # rather than silently corrupting the key mapping)
+            return _pow2_at_least(max(ids) + 1)
     return None
 
 
