@@ -143,3 +143,28 @@ def test_multi_table_streaming_independent_watermarks(spark, sf_dir, tmp_path):
         "events",
         "orders",
     }
+
+
+def test_multi_table_streaming_available_now(spark, sf_dir, tmp_path):
+    """Catch-up mode (availableNow): one pass over both tables drains
+    them, commits each watermark to its own max, then terminates."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        run_multi_table_streaming,
+    )
+
+    store = str(tmp_path / "store")
+    run_multi_table_streaming(
+        spark,
+        sf_dir,
+        store,
+        {"events": ("ts", "event_id"), "orders": ("o_orderdate", "o_orderkey")},
+        available_now=True,
+    )
+    wm = {
+        r["table_name"]: r["last_updated"]
+        for r in spark.read.parquet(os.path.join(store, "watermark")).collect()
+    }
+    assert set(wm) == {"events", "orders"}
+    assert wm["events"] == load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    vecs = spark.read.parquet(os.path.join(store, "vectors"))
+    assert vecs.filter(F.col("source") == "events").count() == 10  # 1000 rows / 100-chunk
