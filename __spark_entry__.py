@@ -2459,6 +2459,51 @@ def stream_sliding_window(spark, sf_dir):
 
 
 @_q(
+    "stream_session_window_native",
+    """
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) AS us, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    ), g AS (
+      SELECT event_type, us, value,
+             sum(brk) OVER (PARTITION BY event_type ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT event_type,
+           min(us) AS sess_start_us,
+           max(us) + 1800000000 AS sess_end_us,
+           count(*) AS n,
+           round(sum(value), 3) AS val_sum
+    FROM g GROUP BY event_type, sid
+    """,
+)
+def stream_session_window_native(spark, sf_dir):
+    """Native session_window aggregation (T5's third window type, the
+    built-in API — stream_sessionize is the same semantics from first
+    principles with lag+cumsum): 30-min-gap sessions per event_type;
+    start = first event, end = last event + gap. Oracle is the classic
+    gap-and-islands construction, proving the built-in against first
+    principles."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("val_sum"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("w.end")).alias("sess_end_us"),
+            "n",
+            "val_sum",
+        )
+    )
+
+
+@_q(
     "timeseries_multigrain_rollup",
     """
     WITH base AS (
@@ -4602,6 +4647,7 @@ _PRIORITY = [
     "stream_sliding_window",
     "timeseries_multigrain_rollup",
     "ml_split_leakage_safe",
+    "stream_session_window_native",
     "sort_topk_lineitem",
     "set_ops_customer_years",
     "scalar_string_part",
@@ -4632,7 +4678,6 @@ _PRIORITY = [
     "text_scrub_pii",
     "text_repetition_ratio",
     "text_contamination",
-    "cdc_time_travel",
 ]
 
 
