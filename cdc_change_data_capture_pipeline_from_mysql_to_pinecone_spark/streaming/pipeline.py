@@ -136,6 +136,8 @@ def sweep(
     with_embeddings: bool = False,
     max_parallel_tables: int = 1,
     on_error: str = "raise",
+    chunk_size: int = cdc.CHUNK_SIZE,
+    target_bucket_rows: int | None = None,
 ) -> dict[str, int]:
     """One full CDC sweep — the reference's scheduler tick end-to-end
     (controller.py:17-35): for each tracked table, read its stored
@@ -215,6 +217,7 @@ def sweep(
             change_col=change_col,
             order_col=order_col,
             watermark=watermark,
+            chunk_size=chunk_size,
             with_embeddings=with_embeddings,
         )
         wm_row = new_wm.collect()[0]
@@ -231,7 +234,18 @@ def sweep(
             # vectors grow with the corpus: hash-bucketed layout so each
             # micro-batch rewrites only the buckets it touches (O(batch),
             # not O(table); the plain upsert stays for the tiny watermark)
-            upsert_parquet_partitioned(spark, vec_path, vec_updates, ["id"], "version")
+            upsert_parquet_partitioned(
+                spark,
+                vec_path,
+                vec_updates,
+                ["id"],
+                "version",
+                **(
+                    {"target_bucket_rows": target_bucket_rows}
+                    if target_bucket_rows is not None
+                    else {}
+                ),
+            )
             wm_update = spark.createDataFrame(
                 [(table, wm_row["last_updated"], wm_row["batch_rows"])],
                 "table_name string, last_updated timestamp, batch_rows long",

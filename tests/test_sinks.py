@@ -379,3 +379,106 @@ def test_partitioned_upsert_sequence_equivalence(spark, tmp_path):
         if rid not in expect or ver > expect[rid][1]:
             expect[rid] = (score, ver)
     assert got == expect
+
+
+def test_partitioned_upsert_markerless_explicit_count(spark, tmp_path):
+    """Regression (ADVICE r4, medium): for a marker-less legacy table
+    an explicit ``num_buckets`` is authoritative — the pow2 inference
+    cannot reconstruct a non-power-of-two creation count, and trusting
+    it would scatter keys across mismatched buckets. The trusted count
+    is validated against the observed bucket ids and persisted."""
+    import pytest
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        upsert_parquet_partitioned,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.sinks import (
+        _nbuckets_marker,
+        _read_nbuckets,
+    )
+
+    path = str(tmp_path / "vectors")
+    mk = lambda lo, hi, v: spark.createDataFrame(  # noqa: E731
+        [(f"id{i}", float(i), v) for i in range(lo, hi)],
+        "id string, score double, version int",
+    )
+    # created with a non-power-of-two explicit count, marker then lost
+    upsert_parquet_partitioned(spark, path, mk(0, 60, 1), ["id"], "version", num_buckets=6)
+    os.remove(_nbuckets_marker(path))
+
+    # wrong explicit count (an observed id is out of range): refuse
+    with pytest.raises(ValueError):
+        upsert_parquet_partitioned(spark, path, mk(0, 1, 2), ["id"], "version", num_buckets=4)
+
+    # correct explicit count: trusted over the pow2 inference (which
+    # would say 8), persisted, and the merge lands keys in their
+    # original buckets — no key ends up split across two buckets
+    upsert_parquet_partitioned(spark, path, mk(0, 30, 2), ["id"], "version", num_buckets=6)
+    assert _read_nbuckets(path, "kbucket") == 6
+    df = spark.read.parquet(path)
+    assert df.count() == 60  # updates merged, not duplicated
+    assert df.filter(F.col("id") == "id10").first()["version"] == 2
+    spread = (
+        df.groupBy("id")
+        .agg(F.countDistinct("kbucket").alias("nb"))
+        .agg(F.max("nb"))
+        .collect()[0][0]
+    )
+    assert spread == 1
+
+
+def test_partitioned_upsert_rows_maintained_incrementally(spark, tmp_path, monkeypatch):
+    """Regression (VERDICT r4 defect 1): on the steady path the merge
+    must not walk the whole table for the regrow decision — footer
+    reads touch ONLY the touched bucket directories, and the committed
+    row count is carried in the marker."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        upsert_parquet_partitioned,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import sinks
+
+    path = str(tmp_path / "vectors")
+    mk = lambda lo, hi, v: spark.createDataFrame(  # noqa: E731
+        [(f"id{i}", float(i), v) for i in range(lo, hi)],
+        "id string, score double, version int",
+    )
+    upsert_parquet_partitioned(spark, path, mk(0, 50, 1), ["id"], "version", num_buckets=8)
+    assert sinks._read_marker(path) == (8, 50)
+
+    walked = []
+    real = sinks._footer_rows
+
+    def spy(p):
+        walked.append(p)
+        return real(p)
+
+    monkeypatch.setattr(sinks, "_footer_rows", spy)
+    upsert_parquet_partitioned(spark, path, mk(40, 70, 2), ["id"], "version")
+    assert walked, "row accounting should footer-read the touched buckets"
+    assert all(os.path.basename(p).startswith("kbucket=") for p in walked), walked
+    assert sinks._read_marker(path) == (8, 70)
+    assert spark.read.parquet(path).count() == 70
+
+
+def test_partitioned_upsert_legacy_bare_int_marker(spark, tmp_path):
+    """A pre-rows marker (bare int) keeps working: one full-table walk
+    re-establishes the count, after which the marker is upgraded to the
+    JSON form and the steady path is incremental again."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        upsert_parquet_partitioned,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import sinks
+
+    path = str(tmp_path / "vectors")
+    mk = lambda lo, hi, v: spark.createDataFrame(  # noqa: E731
+        [(f"id{i}", float(i), v) for i in range(lo, hi)],
+        "id string, score double, version int",
+    )
+    upsert_parquet_partitioned(spark, path, mk(0, 50, 1), ["id"], "version", num_buckets=8)
+    with open(sinks._nbuckets_marker(path), "w") as fh:
+        fh.write("8")  # legacy format
+    assert sinks._read_marker(path) == (8, None)
+
+    upsert_parquet_partitioned(spark, path, mk(0, 10, 2), ["id"], "version")
+    assert sinks._read_marker(path) == (8, 50)
+    assert spark.read.parquet(path).filter(F.col("id") == "id3").first()["version"] == 2
