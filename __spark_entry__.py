@@ -2374,7 +2374,17 @@ def pipeline_training_data(spark, sf_dir):
     """Composite training-data pipeline (the north-star use case end
     to end): quality filter -> fingerprint dedup -> per-language token
     budget. One scan, one dedup shuffle, one agg shuffle — each stage
-    is the operator tested standalone elsewhere."""
+    is the operator tested standalone elsewhere.
+
+    The dedup survivor (first doc_id per fingerprint) is picked with
+    a hash aggregate — groupBy(fp).min_by(needed-cols, doc_id) —
+    not a row_number window: the window is sort-based with no partial
+    aggregation (every quality row shuffles and sorts), while min_by
+    combines map-side, so only one small struct per fingerprint per
+    input partition crosses the dedup shuffle and the text bodies
+    never do. Measured -7% at sf0.1 (r5 interleaved A/B); at 100 TB
+    the shuffle-volume difference is the whole table vs one row per
+    distinct fingerprint per partition."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     n_chars = F.length("text")
@@ -2382,12 +2392,13 @@ def pipeline_training_data(spark, sf_dir):
     quality = d.select(
         "doc_id", "lang", "text", toks.alias("n_tokens"), n_chars.alias("n_chars")
     ).filter((toks >= 20) & (n_punct / n_chars <= 0.2))
-    w = Window.partitionBy(text_ops.fingerprint(F.col("text"))).orderBy("doc_id")
-    deduped = quality.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    return deduped.groupBy("lang").agg(
+    survivors = quality.groupBy(text_ops.fingerprint(F.col("text")).alias("_fp")).agg(
+        F.min_by(F.struct("lang", "n_tokens", "n_chars"), "doc_id").alias("s")
+    )
+    return survivors.groupBy(F.col("s.lang").alias("lang")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.ceil(F.sum("n_chars") / F.lit(4)).cast("long").alias("bpe_budget"),
+        F.sum("s.n_tokens").cast("long").alias("total_tokens"),
+        F.ceil(F.sum("s.n_chars") / F.lit(4)).cast("long").alias("bpe_budget"),
     )
 
 
@@ -2528,7 +2539,12 @@ def timeseries_multigrain_rollup(spark, sf_dir):
     once and the partial aggregate combines map-side for both grains,
     instead of one job per granularity. At 100 TB the single-scan
     property is the whole point (a grain-per-job loop reads the table
-    G times)."""
+    G times).
+
+    The grain label derives from F.grouping() — WHICH set produced the
+    row, structurally — not from hour_us NULL-ness: a NULL ts makes
+    both grains' buckets NULL, and a NULL-ness test would mislabel the
+    hour set's row as 'day' (duplicate output keys; ADVICE r4)."""
     e = _t(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     pre = e.select(
@@ -2542,10 +2558,16 @@ def timeseries_multigrain_rollup(spark, sf_dir):
             [["hour_us", "event_type"], ["day_us", "event_type"]],
             "hour_us", "day_us", "event_type",
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("val_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("val_sum"),
+            F.when(F.grouping("hour_us") == 0, F.lit("hour"))
+            .otherwise(F.lit("day"))
+            .alias("grain"),
+        )
     )
     return rolled.select(
-        F.when(F.col("hour_us").isNotNull(), F.lit("hour")).otherwise(F.lit("day")).alias("grain"),
+        "grain",
         F.coalesce("hour_us", "day_us").alias("bucket_us"),
         "event_type",
         "n",
@@ -4619,65 +4641,66 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Registry surfacing order (round 4 rotation). The driver's correctness
+# Registry surfacing order (round 5 rotation). The driver's correctness
 # gate samples the dict from the front (50 entries per round). Slots
-# 1-13: the r3 TIMESTAMP_NTZ casualties -- every query the Spark-4
-# runtime bump broke (all green locally after the session/load_table
-# fix) so CORRECTNESS_r04 records their recovery. Slots 14-15: the new
-# outer-join scale variants (salted/binned full outer), never
-# driver-verified. Slots 16-50: least-recently-verified padding
-# (r1/r2-verified entries that were not in the r3 sample window).
+# 1-45: every query whose latest driver row predates the Spark-4
+# runtime (r2-era gate windows; VERDICT r4 task 3 — local parity covers
+# them under 4.1.2, this gives each a fresh driver row), in r2 window
+# order. Slots 46-47: the two r4-verified queries whose plans changed
+# this round (grouping_id grain derivation; min_by survivor pick) so
+# the driver re-verifies the new plans. Slots 48-50: oldest r3-era
+# entries, starting the r6 refresh.
 _PRIORITY = [
-    "cdc_incremental_scan",
-    "cdc_watermark_next",
-    "cdc_watermark_upsert",
-    "cdc_snapshot_latest",
-    "asof_join_purchase_click",
-    "cdc_catalog_watermark_join",
-    "cdc_scd2_history",
-    "window_lag_event_gaps",
-    "sort_nulls_ordering",
-    "agg_minby_maxby_events",
-    "timeseries_gap_fill",
-    "funnel_signup_to_purchase",
-    "stream_tumbling_window",
-    "join_salted_outer",
-    "join_range_binned_outer",
-    "layout_zorder_key",
-    "stream_sliding_window",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipmode",
+    "q14_promo_share",
+    "q18_large_orders_having",
+    "q19_disjunctive_predicates",
+    "vec_knn_bruteforce",
+    "vec_ann_topk",
+    "vec_ivf_topk",
+    "vec_ivf_cells",
+    "vec_ivf_trained_cells",
+    "vec_lsh_bucket_histogram",
+    "dedup_embedding_neardup",
+    "vec_banded_neardup",
+    "vec_centroid_per_label",
+    "ml_hash_split",
+    "ml_stratified_sample",
+    "ml_kfold_assign",
+    "profile_documents",
+    "mm_binary_features",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    "stream_sessionize",
+    "cdc_time_travel",
+    "cdc_snapshot_diff",
+    "sql_frontend_having",
+    "sql_frontend_cte_exists",
+    "text_tfidf_topk",
+    "text_chunk_token_budget",
+    "join_range_binned",
+    "join_salted_skew",
+    "subquery_above_avg_customers",
+    "agg_stats_lineitem",
+    "agg_percentile_prices",
+    "agg_corr_covar",
+    "agg_cube_status_priority",
+    "pipeline_training_data",
     "timeseries_multigrain_rollup",
     "ml_split_leakage_safe",
-    "stream_session_window_native",
-    "sort_topk_lineitem",
-    "set_ops_customer_years",
-    "scalar_string_part",
-    "scalar_string_extended",
-    "scalar_datetime_orders",
-    "scalar_encoding_misc",
-    "scalar_json_events",
-    "case_pred_orders",
-    "agg_price_histogram",
-    "scalar_conditional_lineitem",
-    "pivot_priority_status",
-    "cdc_serialize_rows",
-    "cdc_chunk_documents",
-    "window_ranking_suite",
-    "string_similarity_parts",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
-    "dedup_cluster_survivors",
-    "dedup_jaccard_consecutive",
-    "dedup_minhash_est_jaccard",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_top_terms",
-    "text_scrub_pii",
-    "text_repetition_ratio",
-    "text_contamination",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
 ]
 
 

@@ -144,6 +144,8 @@ def leakage_safe_split(
     seed: int = 42,
     split_col: str = "split",
     label_col: str = "cluster_label",
+    component_id_col: str = "id",
+    component_col: str = "component",
 ) -> DataFrame:
     """Split by near-dup CLUSTER, not by row: every member of a cluster
     (from dedup.connected_components over LSH candidate pairs) hashes
@@ -152,9 +154,19 @@ def leakage_safe_split(
     hash_split leaves open. Unpaired rows are their own singleton
     cluster (label = own id). Same determinism properties as
     hash_split: no RNG, stable under repartition; the only extra cost
-    is the label join (one shuffle on the id)."""
-    joined = df.join(components, df[id_col] == components.id, "left")
+    is the label join (one shuffle on the id).
+
+    ``component_id_col``/``component_col`` name the columns of
+    ``components`` (defaulting to connected_components' output); they
+    are re-aliased internally so a caller ``df`` that itself has ``id``
+    or ``component`` columns is never shadowed or dropped (ADVICE r4).
+    """
+    comp = components.select(
+        F.col(component_id_col).alias("__lss_id"),
+        F.col(component_col).alias("__lss_component"),
+    )
+    joined = df.join(comp, df[id_col] == comp["__lss_id"], "left")
     labeled = joined.withColumn(
-        label_col, F.coalesce(F.col("component"), df[id_col])
-    ).drop("id", "component")
+        label_col, F.coalesce(F.col("__lss_component"), df[id_col])
+    ).drop("__lss_id", "__lss_component")
     return hash_split(labeled, label_col, fractions, seed, split_col)

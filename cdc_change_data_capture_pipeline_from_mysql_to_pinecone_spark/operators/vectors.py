@@ -60,6 +60,7 @@ def planes_for_corpus(
 
 
 _ROWS_CACHE: dict[tuple[str, int], int] = {}
+_ROWS_CACHE_MAX = 256  # bounded: distinct plans per app rarely exceed this
 
 
 def _corpus_rows(emb_df: DataFrame, n_rows: int | None = None) -> int:
@@ -67,7 +68,13 @@ def _corpus_rows(emb_df: DataFrame, n_rows: int | None = None) -> int:
     from parquet footer metadata — free, no job) pass ``n_rows``;
     otherwise ONE count job per distinct logical plan per session,
     memoized on the plan's semantic hash (repeated auto-sized LSH calls
-    were paying a count job each; VERDICT r3 minor #3)."""
+    were paying a count job each; VERDICT r3 minor #3).
+
+    The memo is per (application, plan): if the underlying TABLE grows
+    within the same application (e.g. a streaming store between calls),
+    the stale count is reused — callers sizing against mutable stores
+    must pass ``n_rows`` explicitly (ADVICE r4). FIFO-bounded so
+    long-lived sessions don't accrete entries without limit."""
     if n_rows is not None:
         return n_rows
     key = (
@@ -75,6 +82,8 @@ def _corpus_rows(emb_df: DataFrame, n_rows: int | None = None) -> int:
         emb_df._jdf.queryExecution().analyzed().semanticHash(),
     )
     if key not in _ROWS_CACHE:
+        if len(_ROWS_CACHE) >= _ROWS_CACHE_MAX:
+            _ROWS_CACHE.pop(next(iter(_ROWS_CACHE)))
         _ROWS_CACHE[key] = emb_df.count()
     return _ROWS_CACHE[key]
 
@@ -122,7 +131,9 @@ def hyperplane_buckets(
     partition the corpus into 2^n_planes cells; cosine-close vectors
     land in the same cell with high probability. ``n_planes=None``
     auto-sizes from the corpus row count (one count job) via
-    :func:`planes_for_corpus`."""
+    :func:`planes_for_corpus`; the count is memoized per (application,
+    plan), so pass ``n_rows`` when sizing against a table that mutates
+    within the session (the memo would reuse the stale count)."""
     if n_planes is None:
         n_planes = planes_for_corpus(_corpus_rows(emb_df, n_rows))
     return emb_df.withColumn(
@@ -148,7 +159,10 @@ def hyperplane_buckets_banded(
 
     Plane (t, b) uses the deterministic family at index t*n_planes+b,
     so band 0 reproduces :func:`hyperplane_buckets` exactly and an SQL
-    oracle can replay every band."""
+    oracle can replay every band.
+
+    ``n_planes=None`` auto-sizing memoizes the corpus count per
+    (application, plan) — pass ``n_rows`` for mutable tables."""
     if n_planes is None:
         n_planes = planes_for_corpus(_corpus_rows(emb_df, n_rows))
     bands = F.expr(
@@ -305,7 +319,8 @@ def ann_topk(
     additionally probes the buckets at Hamming distance 1 obtained by
     flipping the ``multi_probe`` lowest-|dot| (least confident) bits —
     the standard recall/scan-fraction dial. ``n_planes=None``
-    auto-sizes from the corpus row count."""
+    auto-sizes from the corpus row count (memoized per application and
+    plan — pass ``n_rows`` for tables that mutate in-session)."""
     if n_planes is None:
         n_planes = planes_for_corpus(_corpus_rows(emb_df, n_rows))
     bucketed = hyperplane_buckets(emb_df, vec_col, dim, n_planes)

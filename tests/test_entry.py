@@ -10,17 +10,48 @@ def test_registry_priority_order():
     names = list(m.queries())
     assert names[: len(m._PRIORITY)] == m._PRIORITY
     assert len(names) == len(set(names)) == len(m._REG)
-    # spot-pin the r4 gate window: the 13 Spark-4 NTZ casualties (their
-    # recovery is the round's headline) + the new outer-join scale
-    # variants lead; least-recently-verified r1/r2 entries fill the rest
+    # spot-pin the r5 gate window: the 45 queries whose latest driver
+    # row is r2-era (pre-Spark-4) lead so the rotation refreshes them,
+    # plus the two replanned-in-r5 queries for driver re-verification
     front = set(names[:50])
-    for probe in ("cdc_incremental_scan", "cdc_watermark_next",
-                  "cdc_watermark_upsert", "cdc_snapshot_latest",
-                  "asof_join_purchase_click", "cdc_catalog_watermark_join",
-                  "cdc_scd2_history", "window_lag_event_gaps",
-                  "sort_nulls_ordering", "agg_minby_maxby_events",
-                  "timeseries_gap_fill", "funnel_signup_to_purchase",
-                  "stream_tumbling_window", "join_salted_outer",
-                  "join_range_binned_outer", "layout_zorder_key",
-                  "stream_sliding_window", "dedup_lsh_candidates"):
+    for probe in ("q4_order_priority", "q22_global_sales_opportunity",
+                  "vec_knn_bruteforce", "vec_ivf_trained_cells",
+                  "dedup_embedding_neardup", "ml_kfold_assign",
+                  "mm_frame_sample", "stream_sessionize",
+                  "cdc_time_travel", "sql_frontend_cte_exists",
+                  "text_tfidf_topk", "join_salted_skew",
+                  "agg_cube_status_priority", "pipeline_training_data",
+                  "timeseries_multigrain_rollup", "ml_split_leakage_safe"):
         assert probe in front, probe
+
+
+def test_multigrain_rollup_null_ts_grain_is_structural(spark, tmp_path):
+    """Regression (ADVICE r4): the rollup's grain label derives from
+    F.grouping(), not bucket NULL-ness — a NULL ts must yield ONE
+    'hour' NULL-bucket row and ONE 'day' NULL-bucket row per
+    event_type, never two 'day' rows (duplicate output keys)."""
+    import os
+
+    import pandas as pd
+
+    import __spark_entry__ as m
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10:00", "2024-01-01 05:10:00", pd.NaT]
+            ),
+            "event_type": ["click", "click", "click"],
+            "value": [1.0, 2.0, 4.0],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(os.path.join(src, "events.parquet"), index=False)
+
+    out = m.queries()["timeseries_multigrain_rollup"](spark, src).collect()
+    null_rows = [(r["grain"], r["n"], r["val_sum"]) for r in out if r["bucket_us"] is None]
+    assert sorted(null_rows) == [("day", 1, 4.0), ("hour", 1, 4.0)]
+    day_rows = [r for r in out if r["grain"] == "day" and r["bucket_us"] is not None]
+    assert len(day_rows) == 1 and day_rows[0]["n"] == 2  # both non-null ts same day

@@ -149,3 +149,29 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
         .count()
     )
     assert leaked > 0
+
+
+def test_leakage_safe_split_caller_id_component_columns(spark):
+    """Regression (ADVICE r4): a caller df whose own columns are named
+    ``id`` or ``component`` must survive the internal label join — the
+    components frame is re-aliased internally, so neither an ambiguous
+    join reference nor a silent drop of the caller's columns."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, "keep-a"), ("b", 2, "keep-b"), ("c", 3, "keep-c")],
+        "id string, component int, payload string",
+    )
+    comps = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "id string, component string"
+    )
+    out = leakage_safe_split(df, "id", comps, {"train": 0.5, "test": 0.5})
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    # caller's own columns intact
+    assert rows["a"]["component"] == 1 and rows["a"]["payload"] == "keep-a"
+    # clustered rows share a split; singleton got its own label
+    assert rows["a"]["split"] == rows["b"]["split"]
+    assert rows["c"]["cluster_label"] == "c"
