@@ -275,6 +275,7 @@ def run_multi_table_streaming(
     available_now: bool = True,
     await_seconds: int = 120,
     block: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> list:
     """Streaming-native multi-table composition — parity with the
     reference's tick loop over every tracked table
@@ -356,11 +357,15 @@ def run_multi_table_streaming(
         if ns_cols:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(path).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", f"{table}*.parquet")
-            .parquet(sf_dir)
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", f"{table}*.parquet"
         )
+        if max_files_per_trigger is not None:
+            # bound each micro-batch's file intake — the backlog-catchup
+            # throttle (and the deterministic multi-batch driver for the
+            # throughput measurement, PERFORMANCE.md r5)
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = reader.parquet(sf_dir)
         writer = (
             stream.writeStream.foreachBatch(
                 make_process(table, change_col, order_col, ns_cols)

@@ -168,3 +168,95 @@ def test_multi_table_streaming_available_now(spark, sf_dir, tmp_path):
     assert wm["events"] == load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
     vecs = spark.read.parquet(os.path.join(store, "vectors"))
     assert vecs.filter(F.col("source") == "events").count() == 10  # 1000 rows / 100-chunk
+
+
+def test_embed_kernel_fallback_is_hash_featurizer(spark):
+    """With sentence-transformers absent (this container), embed_text's
+    kernel must be bit-identical to the hash featurizer — the declared
+    env-bound fallback (SURVEY §7), not some third path."""
+    import numpy as np
+    import pandas as pd
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming import (
+        pipeline as pl,
+    )
+
+    try:
+        import sentence_transformers  # noqa: F401
+
+        import pytest
+
+        pytest.skip("real model importable: fallback path not in effect")
+    except ImportError:
+        pass
+
+    texts = ["hello world", "the quick brown fox", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["v"] for r in df.select(pl.embed_text("text").alias("v")).collect()]
+    want = pl._hash_featurize(texts).astype(np.float32)
+    assert np.allclose(np.array(got, dtype=np.float32), want, atol=0)
+
+
+def test_embed_kernel_real_model_parity():
+    """Availability-gated (VERDICT r4 task 6, same pattern as the
+    protobuf-gated stateful test): when sentence-transformers IS
+    importable, _load_model must return the real all-MiniLM-L6-v2
+    (utils/embeddings_utils.py:3-8; utils/config.py:11) and encode to
+    384-dim vectors. Skips in this container (no model libs)."""
+    import pytest
+
+    try:
+        from sentence_transformers import SentenceTransformer  # noqa: F401
+    except ImportError:
+        pytest.skip("sentence_transformers unavailable: hash-featurizer "
+                    "fallback is covered by the test above")
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming import (
+        pipeline as pl,
+    )
+
+    pl._MODEL = None  # reset the per-process singleton
+    model = pl._load_model()
+    assert model, "real model should load when the package is present"
+    vecs = model.encode(["hello world"])
+    assert vecs.shape[-1] == pl.EMBED_DIM
+
+
+def test_multi_table_streaming_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch's file intake: a
+    2-file backlog with max_files_per_trigger=1 drains in exactly two
+    committed micro-batches (the backlog-catchup throttle used by the
+    sf0.1 throughput measurement, PERFORMANCE.md r5)."""
+    import pandas as pd
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        run_multi_table_streaming,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    mk = lambda lo, hi: pd.DataFrame(  # noqa: E731
+        {
+            "event_id": range(lo, hi),
+            "ts": pd.to_datetime("2024-01-01").to_datetime64(),
+            "value": 1.0,
+        }
+    ).assign(ts=lambda d: d["ts"].astype("datetime64[us]"))
+    mk(0, 150).to_parquet(os.path.join(src, "events.parquet"), index=False)
+    mk(1000, 1150).to_parquet(os.path.join(src, "events1.parquet"), index=False)
+
+    store = str(tmp_path / "store")
+    run_multi_table_streaming(
+        spark,
+        src,
+        store,
+        {"events": ("ts", "event_id")},
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    commits_dir = os.path.join(store, "_checkpoint-events", "commits")
+    commits = [f for f in os.listdir(commits_dir) if not f.startswith(".")]
+    assert len(commits) == 2, commits  # one micro-batch per file
+    vecs = spark.read.parquet(os.path.join(store, "vectors"))
+    # 150 rows / 100-chunk per batch -> 2 chunks per file, no collisions
+    assert vecs.count() == 4
