@@ -49,9 +49,33 @@ WM = "2024-01-15 00:00:00"
 _REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
+#: Analyzed-plan memo per (application, sf_dir, query). The fixture
+#: inputs are immutable parquet (load_table already memoizes the
+#: analyzed relations the same way), so rebuilding the identical
+#: DataFrame on every call only re-pays driver-side py4j/analysis
+#: chatter — measured 0.05-0.26 s per query at sf0.1, pure constant
+#: overhead with no scale analogue. Execution is NOT cached, and each
+#: call returns ``base.select("*")`` — a fresh QueryExecution over the
+#: memoized analyzed subtree — because a Dataset memoizes its PHYSICAL
+#: plan on first use: handing back the same object would freeze the
+#: session conf (broadcast thresholds, shuffle partitions) as of the
+#: first call, which the plan regression tests rightly reject.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _q(name: str, sql: str | None):
     def wrap(fn):
-        _REG[name] = (fn, sql)
+        import functools
+
+        @functools.wraps(fn)
+        def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (spark.sparkContext.applicationId, sf_dir, name)
+            df = _PLAN_CACHE.get(key)
+            if df is None:
+                df = _PLAN_CACHE[key] = fn(spark, sf_dir)
+            return df.select("*")
+
+        _REG[name] = (cached, sql)
         return fn
 
     return wrap
