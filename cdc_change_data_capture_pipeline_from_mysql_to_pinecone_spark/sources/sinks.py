@@ -4,7 +4,8 @@ The reference upserts ``{id, values, metadata}`` batches into a cosine
 index (service_layer/service.py:151-166) and its watermark table via
 ``INSERT ... ON DUPLICATE KEY UPDATE`` (service.py:35-46). Without a
 transactional table format in this environment, MERGE is expressed as
-read + union + last-writer-wins window + atomic directory swap —
+read + union + last-writer-wins max_by aggregate + atomic directory
+swap —
 correct for the engine's keyed tables (watermark, vectors), and the
 ``foreachBatch`` body a Structured Streaming sink uses for
 exactly-once effect given deterministic ids (SURVEY §4 "exactly-once").
@@ -20,7 +21,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -38,11 +39,13 @@ def upsert_parquet(
         merged = current.unionByName(updates)
     else:
         merged = updates
-    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    # last-writer-wins via max_by: a partial-aggregating hash aggregate
+    # (each key collapses map-side per partition, nothing sorts) instead
+    # of a row_number window, which shuffles and sorts every row
     deduped = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        merged.groupBy(*key_cols)
+        .agg(F.max_by(F.struct(*merged.columns), F.col(version_col)).alias("__s"))
+        .select("__s.*")
     )
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(tmp)
@@ -295,11 +298,13 @@ def upsert_parquet_partitioned(
         merged = current.unionByName(keyed)
     else:
         merged = keyed
-    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    # last-writer-wins via max_by: a partial-aggregating hash aggregate
+    # (each key collapses map-side per partition, nothing sorts) instead
+    # of a row_number window, which shuffles and sorts every row
     deduped = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        merged.groupBy(*key_cols)
+        .agg(F.max_by(F.struct(*merged.columns), F.col(version_col)).alias("__s"))
+        .select("__s.*")
     )
     # ONE job writes every touched bucket (hive layout in a hidden tmp),
     # then per-partition renames swap them in — not a job per bucket.
