@@ -4642,6 +4642,112 @@ def window_moving_avg_nth(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_apply_changelog",
+    """
+    WITH log AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events),
+    latest AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log)
+    SELECT user_id, event_id AS last_event_id, ts_us, event_type AS last_type
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """Materialize a tombstone-bearing changelog into current state —
+    the CDC-completeness op the reference lacks (its sweep only ever
+    upserts, service_layer/service.py:151-166; a source-side DELETE is
+    invisible to it): latest op per key wins, and a key whose latest
+    op is a delete ('error' events stand in as tombstones) drops out
+    of the snapshot entirely. One partial-aggregating max_by per key —
+    the same Delta/Iceberg CDF apply-pattern a 100 TB changelog
+    compaction runs, no sort."""
+    e = _t(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    latest = (
+        log.groupBy("user_id")
+        .agg(F.max_by(F.struct("event_id", "ts", "event_type", "op"), F.struct("ts", "event_id")).alias("s"))
+    )
+    return latest.filter(F.col("s.op") != "D").select(
+        "user_id",
+        F.col("s.event_id").alias("last_event_id"),
+        F.unix_micros("s.ts").alias("ts_us"),
+        F.col("s.event_type").alias("last_type"),
+    )
+
+
+@_q(
+    "text_source_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 10
+    """,
+)
+def text_source_cap(spark, sf_dir):
+    """Per-source document cap (the common-crawl per-domain cap): keep
+    the 10 lowest-id docs per source so no single domain dominates the
+    training mix. Top-k-per-group is a genuine window (k > 1 rows
+    survive per key, so min_by cannot express it), but the rank is
+    computed over (doc_id, source) pairs ONLY — bodies join back never,
+    and at 100 TB the window partitions by the ~million-domain key,
+    not by a handful of giants (cap skew is bounded by the cap)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+@_q(
+    "text_length_outliers",
+    """
+    WITH b AS (
+      SELECT lang,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN b ON d.lang = b.lang
+    WHERE d.n_chars < b.lo OR d.n_chars > b.hi
+    """,
+)
+def text_length_outliers(spark, sf_dir):
+    """Per-language length-outlier filter (corpus cleaning): docs
+    outside their language's [p5, p95] n_chars band. The per-lang
+    exact percentiles are a tiny aggregate (one row per language)
+    broadcast back onto the corpus — at 100 TB the quantile pass is
+    the only full scan and the bounds frame stays KB-sized. Spark's
+    percentile() and DuckDB's percentile_cont share the (n-1)*p
+    interpolation definition, so the bounds agree bit-for-bit on
+    integer inputs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bounds = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(bounds), "lang")
+        .filter((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4676,8 +4782,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # them under 4.1.2, this gives each a fresh driver row), in r2 window
 # order. Slots 46-47: the two r4-verified queries whose plans changed
 # this round (grouping_id grain derivation; min_by survivor pick) so
-# the driver re-verifies the new plans. Slots 48-50: oldest r3-era
-# entries, starting the r6 refresh.
+# the driver re-verifies the new plans. Slots 48-50: the three
+# queries NEW in r5 (changelog-apply tombstones, per-source cap,
+# length outliers), never driver-verified.
 _PRIORITY = [
     "q4_order_priority",
     "q7_volume_shipping",
@@ -4726,9 +4833,9 @@ _PRIORITY = [
     "pipeline_training_data",
     "timeseries_multigrain_rollup",
     "ml_split_leakage_safe",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
+    "cdc_apply_changelog",
+    "text_source_cap",
+    "text_length_outliers",
 ]
 
 
