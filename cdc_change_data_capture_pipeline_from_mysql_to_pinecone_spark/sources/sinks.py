@@ -354,7 +354,16 @@ def _maybe_grow_buckets(
     2x ``target_bucket_rows`` per bucket. One O(table) re-bucketing
     rewrite, amortized log2(growth) times over the table's life; the
     decision itself reads the row count the merge just committed to the
-    marker — no listing, no Spark job."""
+    marker — no listing, no Spark job on the steady path."""
+    if total <= 2 * target_bucket_rows * n:
+        return n
+    # The marker count is advisory (a crash between bucket swaps and
+    # the marker write leaves it stale by one batch). Before paying an
+    # O(table) rewrite, confirm with the authoritative footer walk —
+    # rare (only at threshold crossings) and cheap relative to the
+    # rewrite it gates; also re-syncs any accumulated drift.
+    total = _footer_rows(path)
+    _write_marker(path, n, total)
     if total <= 2 * target_bucket_rows * n:
         return n
     n2 = max(n * 2, _pow2_at_least(-(-total // target_bucket_rows)))

@@ -482,3 +482,36 @@ def test_partitioned_upsert_legacy_bare_int_marker(spark, tmp_path):
     upsert_parquet_partitioned(spark, path, mk(0, 10, 2), ["id"], "version")
     assert sinks._read_marker(path) == (8, 50)
     assert spark.read.parquet(path).filter(F.col("id") == "id3").first()["version"] == 2
+
+
+def test_partitioned_upsert_marker_drift_self_heals(spark, tmp_path):
+    """The marker row count is advisory: a crash between bucket swaps
+    and the marker write leaves it stale. An overcounted marker that
+    crosses the regrow threshold must be corrected by the
+    authoritative footer walk (and re-synced) WITHOUT triggering a
+    spurious O(table) rewrite."""
+    import json as _json
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        upsert_parquet_partitioned,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import sinks
+
+    path = str(tmp_path / "vectors")
+    mk = lambda lo, hi, v: spark.createDataFrame(  # noqa: E731
+        [(f"id{i}", float(i), v) for i in range(lo, hi)],
+        "id string, score double, version int",
+    )
+    upsert_parquet_partitioned(
+        spark, path, mk(0, 40, 1), ["id"], "version", num_buckets=8, target_bucket_rows=100
+    )
+    assert sinks._read_marker(path) == (8, 40)
+    # simulate stale overcount far past the threshold (2*100*8 = 1600)
+    with open(sinks._nbuckets_marker(path), "w") as fh:
+        fh.write(_json.dumps({"n": 8, "rows": 5000}))
+    upsert_parquet_partitioned(
+        spark, path, mk(0, 5, 2), ["id"], "version", target_bucket_rows=100
+    )
+    n, rows = sinks._read_marker(path)
+    assert n == 8, "spurious regrow from a drifted marker"
+    assert rows == 40, "walk should re-sync the drifted count"
