@@ -93,3 +93,48 @@ def test_snapshot_latest_is_maximal(spark, sf_dir):
     joined = snap.join(per_user_max, "user_id")
     assert joined.filter(F.col("ts") != F.col("mx")).count() == 0
     assert snap.count() == e.select("user_id").distinct().count()
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # key
+            st.integers(min_value=0, max_value=10),   # change
+            st.integers(min_value=0, max_value=10),   # tiebreak
+            st.integers(min_value=0, max_value=99),   # payload
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_snapshot_latest_matches_window_form(spark_g, rows):
+    """Property: the max_by hash-aggregate snapshot (r5) is
+    row-identical to the row_number-window formulation it replaced,
+    including duplicate (change, tiebreak) orderings within a key —
+    both then pick the lexicographic (change, tiebreak) maximum, and
+    the surviving payload must come from that same maximal row set."""
+    from pyspark.sql import Window
+
+    df = spark_g.createDataFrame(rows, "k int, change int, tb int, payload int")
+    got = sorted(map(tuple, cdc.snapshot_latest(df, ["k"], "change", tiebreak="tb").collect()))
+
+    w = Window.partitionBy("k").orderBy(F.col("change").desc(), F.col("tb").desc())
+    ref = sorted(
+        map(
+            tuple,
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .collect(),
+        )
+    )
+    # (k, change, tb) triples must agree exactly; payload may differ
+    # only where the input had exact (k, change, tb) duplicates (both
+    # forms then pick an arbitrary member of the tied set)
+    assert [r[:3] for r in got] == [r[:3] for r in ref]
+    tied = {(k, c, t) for (k, c, t, _p) in rows
+            if sum(1 for (k2, c2, t2, _q) in rows if (k2, c2, t2) == (k, c, t)) > 1}
+    for g, r in zip(got, ref):
+        if g[:3] not in tied:
+            assert g == r
