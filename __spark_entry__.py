@@ -4642,6 +4642,107 @@ def window_moving_avg_nth(spark, sf_dir):
     )
 
 
+def _duck_pq_codes_sql(dim: int = 64, m_parts: int = 4, k: int = 16) -> str:
+    """DuckDB mirror of vectors.pq_encode: same hash-derived codeword
+    literals, same left-associative squared-L2 accumulation, same
+    first-minimum argmin (list_indexof), so codes match bit-for-bit."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        pq_codeword,
+    )
+
+    subdim = dim // m_parts
+    cols = []
+    for m in range(m_parts):
+        dists = []
+        for kk in range(k):
+            cw = pq_codeword(m, kk, subdim)
+            terms = " + ".join(
+                f"(embedding[{m * subdim + j + 1}]::DOUBLE - ({c!r}))"
+                f" * (embedding[{m * subdim + j + 1}]::DOUBLE - ({c!r}))"
+                for j, c in enumerate(cw)
+            )
+            dists.append(f"({terms})")
+        lst = "[" + ", ".join(dists) + "]"
+        cols.append(f"CAST(list_indexof({lst}, list_min({lst})) - 1 AS BIGINT) AS code{m}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+def _duck_pq_adc_sql(dim: int = 64, m_parts: int = 4, k: int = 16, topk: int = 10) -> str:
+    """DuckDB mirror of vectors.pq_topk_adc: the LUT entries are the
+    same subspace distances computed against the vec_id=1 query row
+    (the Spark side precomputes them driver-side from the identical
+    float32->double values), indexed by the same codes."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        pq_codeword,
+    )
+
+    subdim = dim // m_parts
+    code_cols = []
+    lut_exprs = []
+    for m in range(m_parts):
+        dists = []
+        lut = []
+        for kk in range(k):
+            cw = pq_codeword(m, kk, subdim)
+            terms = " + ".join(
+                f"(embedding[{m * subdim + j + 1}]::DOUBLE - ({c!r}))"
+                f" * (embedding[{m * subdim + j + 1}]::DOUBLE - ({c!r}))"
+                for j, c in enumerate(cw)
+            )
+            dists.append(f"({terms})")
+            qterms = " + ".join(
+                f"(q.qv[{m * subdim + j + 1}]::DOUBLE - ({c!r}))"
+                f" * (q.qv[{m * subdim + j + 1}]::DOUBLE - ({c!r}))"
+                for j, c in enumerate(cw)
+            )
+            lut.append(f"({qterms})")
+        lst = "[" + ", ".join(dists) + "]"
+        code_cols.append(f"(list_indexof({lst}, list_min({lst}))) AS idx{m}")
+        lut_exprs.append("[" + ", ".join(lut) + "]")
+    adc = " + ".join(f"{lut_exprs[m]}[c.idx{m}]" for m in range(m_parts))
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         c AS (SELECT vec_id, {', '.join(code_cols)} FROM embeddings)
+    SELECT c.vec_id, round({adc}, 6) AS adc_dist
+    FROM c, q
+    ORDER BY adc_dist, vec_id
+    LIMIT {topk}
+    """
+
+
+@_q("vec_pq_codes", _duck_pq_codes_sql())
+def vec_pq_codes(spark, sf_dir):
+    """Product-quantization encode (A12 compression path): 64-dim
+    float vectors -> 4 codeword ids (4 subspaces x 16-entry codebook),
+    i.e. 256 bytes -> 4. Per-row narrow projection, no shuffle, no
+    UDF; deterministic hash-derived codebook so the oracle replays the
+    argmin bit-for-bit (a k-means-trained codebook plugs into the same
+    literals). At 100 TB, PQ is what makes the billion-vector index
+    fit executor memory; composes with IVF (cell -> in-cell code)."""
+    e = _t(spark, sf_dir, "embeddings")
+    coded = vec_ops.pq_encode(e, "embedding", dim=64, m_parts=4, k=16)
+    return coded.select(
+        "vec_id",
+        *[F.col("pq_code").getItem(m).cast("long").alias(f"code{m}") for m in range(4)],
+    )
+
+
+@_q("vec_pq_topk_adc", _duck_pq_adc_sql())
+def vec_pq_topk_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-k (A12): the un-quantized query's
+    distance to each DB vector approximated as the sum of M lookup-
+    table entries indexed by the vector's PQ code — M array lookups
+    per row instead of dim multiplies, then TakeOrderedAndProject.
+    The M x K LUT is computed once driver-side and shipped as
+    literals; the oracle recomputes the identical LUT in SQL from the
+    same query row."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vector(sf_dir)
+    return vec_ops.pq_topk_adc(
+        e, "vec_id", "embedding", qvec, dim=64, m_parts=4, k=16, topk=10
+    )
+
+
 @_q(
     "cdc_apply_changelog",
     """
@@ -4781,10 +4882,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # runtime (r2-era gate windows; VERDICT r4 task 3 — local parity covers
 # them under 4.1.2, this gives each a fresh driver row), in r2 window
 # order. Slots 46-47: the two r4-verified queries whose plans changed
-# this round (grouping_id grain derivation; min_by survivor pick) so
-# the driver re-verifies the new plans. Slots 48-50: the three
-# queries NEW in r5 (changelog-apply tombstones, per-source cap,
-# length outliers), never driver-verified.
+# this round. Slots 46-50: the five queries NEW in r5 (changelog-apply
+# tombstones, per-source cap, length outliers, PQ encode, PQ ADC
+# top-k), never driver-verified. Just past the window: the two
+# value-stable r5 replans (multigrain grouping_id, leakage-split
+# aliasing — locally parity-green) lead the r6 refresh.
 _PRIORITY = [
     "q4_order_priority",
     "q7_volume_shipping",
@@ -4831,11 +4933,13 @@ _PRIORITY = [
     "agg_corr_covar",
     "agg_cube_status_priority",
     "pipeline_training_data",
-    "timeseries_multigrain_rollup",
-    "ml_split_leakage_safe",
     "cdc_apply_changelog",
     "text_source_cap",
     "text_length_outliers",
+    "vec_pq_codes",
+    "vec_pq_topk_adc",
+    "timeseries_multigrain_rollup",
+    "ml_split_leakage_safe",
 ]
 
 

@@ -372,3 +372,103 @@ def train_ivf_centroids(
         updated = {r["cell"]: [float(x) for x in r["centroid"]] for r in new_rows}
         centroids = [(cid, updated.get(cid, vec)) for cid, vec in centroids]
     return centroids
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the vector-COMPRESSION scale path
+# ---------------------------------------------------------------------------
+#
+# IVF (above) prunes WHICH vectors a query scans; PQ shrinks WHAT is
+# stored and scanned: the vector splits into M subvectors, each encoded
+# as the id of its nearest codeword from a per-subspace codebook of K
+# entries — dim floats become M small ints (64 x 4B -> 4 x 1B here), and
+# query-time distance is M table lookups (asymmetric distance, ADC)
+# instead of dim multiplies. At 100 TB this is the difference between
+# the index fitting in executor memory or not; IVF+PQ composes (IVF
+# cell -> PQ code within cell), which is the standard billion-vector
+# layout. Codebooks here derive from the deterministic hash family so
+# an external SQL oracle can replay encode+ADC bit-for-bit; a trained
+# codebook (per-subspace k-means via train_ivf_centroids over sliced
+# vectors) plugs into the same literals.
+
+
+def pq_codeword(m: int, k: int, subdim: int) -> list[float]:
+    """Deterministic codeword (m-th subspace, k-th entry): component j
+    is the portable hash of (m, k, j) mapped to [-1, 1] — same scheme
+    as :func:`_hyperplane`, so oracles can regenerate it."""
+    import hashlib
+
+    out = []
+    for j in range(subdim):
+        h = int(hashlib.md5(f"pq{m}:{k}:{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+def _pq_dist_sql(vec_col: str, m: int, k: int, subdim: int) -> str:
+    """Squared L2 distance between subvector m and codeword (m, k) as
+    one SQL expression (slice is 1-based)."""
+    cw = "array(" + ",".join(f"{v!r}D" for v in pq_codeword(m, k, subdim)) + ")"
+    return (
+        f"aggregate(zip_with(slice(`{vec_col}`, {m * subdim + 1}, {subdim}), {cw}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def pq_encode(
+    emb_df: DataFrame, vec_col: str, dim: int, m_parts: int = 4, k: int = 16
+) -> DataFrame:
+    """Append ``pq_code``: array of M codeword ids (argmin squared-L2
+    per subspace). Per-row narrow projection — no shuffle, no UDF; ties
+    break to the lowest codeword id (array_position finds the first
+    minimum), matching the SQL oracle's list_indexof semantics."""
+    assert dim % m_parts == 0, "dim must split evenly into subspaces"
+    subdim = dim // m_parts
+    parts = []
+    for m in range(m_parts):
+        dists = "array(" + ",".join(_pq_dist_sql(vec_col, m, kk, subdim) for kk in range(k)) + ")"
+        parts.append(f"(array_position({dists}, array_min({dists})) - 1)")
+    return emb_df.withColumn(
+        "pq_code", F.expr("array(" + ",".join(f"CAST({p} AS INT)" for p in parts) + ")")
+    )
+
+
+def pq_topk_adc(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    m_parts: int = 4,
+    k: int = 16,
+    topk: int = 10,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): the query stays
+    un-quantized; each subspace contributes LUT[m][code_m], where the
+    M x K lookup table of (query subvector -> codeword) distances is
+    computed ONCE driver-side and shipped as literals. Scan cost per
+    row is M array lookups — no dim-length math — and the result is a
+    TakeOrderedAndProject, never a global sort. Recall is bounded by
+    the codebook (hash-derived here, k-means in production); the ADC
+    arithmetic itself is exact given the codes, which is what the SQL
+    oracle checks."""
+    assert dim % m_parts == 0
+    subdim = dim // m_parts
+    luts = []
+    for m in range(m_parts):
+        qsub = query_vec[m * subdim : (m + 1) * subdim]
+        row = [
+            sum((qx - cx) * (qx - cx) for qx, cx in zip(qsub, pq_codeword(m, kk, subdim)))
+            for kk in range(k)
+        ]
+        luts.append("array(" + ",".join(f"{v!r}D" for v in row) + ")")
+    coded = pq_encode(emb_df, vec_col, dim, m_parts, k)
+    adc = " + ".join(
+        f"element_at({lut}, pq_code[{m}] + 1)" for m, lut in enumerate(luts)
+    )
+    return (
+        coded.select(F.col(id_col), F.round(F.expr(adc), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(topk)
+    )

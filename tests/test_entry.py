@@ -12,7 +12,7 @@ def test_registry_priority_order():
     assert len(names) == len(set(names)) == len(m._REG)
     # spot-pin the r5 gate window: the 45 queries whose latest driver
     # row is r2-era (pre-Spark-4) lead so the rotation refreshes them,
-    # plus the two replanned-in-r5 queries for driver re-verification
+    # plus the five queries new in r5 (never driver-verified)
     front = set(names[:50])
     for probe in ("q4_order_priority", "q22_global_sales_opportunity",
                   "vec_knn_bruteforce", "vec_ivf_trained_cells",
@@ -21,7 +21,9 @@ def test_registry_priority_order():
                   "cdc_time_travel", "sql_frontend_cte_exists",
                   "text_tfidf_topk", "join_salted_skew",
                   "agg_cube_status_priority", "pipeline_training_data",
-                  "timeseries_multigrain_rollup", "ml_split_leakage_safe"):
+                  "cdc_apply_changelog", "text_source_cap",
+                  "text_length_outliers", "vec_pq_codes",
+                  "vec_pq_topk_adc"):
         assert probe in front, probe
 
 

