@@ -4710,6 +4710,68 @@ def _duck_pq_adc_sql(dim: int = 64, m_parts: int = 4, k: int = 16, topk: int = 1
     """
 
 
+def _duck_ivfpq_sql(dim: int = 64, m_parts: int = 4, k: int = 16, topk: int = 10) -> str:
+    """DuckDB mirror of vectors.ivfpq_topk: the _DUCK_IVF cell
+    assignment prunes to the query's 2 nearest cells (score desc, cell
+    desc — same probe pick), then the PQ ADC of _duck_pq_adc_sql
+    scores only the surviving rows."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        pq_codeword,
+    )
+
+    subdim = dim // m_parts
+    code_cols = []
+    lut_exprs = []
+    for m in range(m_parts):
+        dists = []
+        lut = []
+        for kk in range(k):
+            cw = pq_codeword(m, kk, subdim)
+            terms = " + ".join(
+                f"(embedding[{m * subdim + j + 1}]::DOUBLE - ({c!r}))"
+                f" * (embedding[{m * subdim + j + 1}]::DOUBLE - ({c!r}))"
+                for j, c in enumerate(cw)
+            )
+            dists.append(f"({terms})")
+            qterms = " + ".join(
+                f"(q.qv[{m * subdim + j + 1}]::DOUBLE - ({c!r}))"
+                f" * (q.qv[{m * subdim + j + 1}]::DOUBLE - ({c!r}))"
+                for j, c in enumerate(cw)
+            )
+            lut.append(f"({qterms})")
+        lst = "[" + ", ".join(dists) + "]"
+        code_cols.append(f"(list_indexof({lst}, list_min({lst}))) AS idx{m}")
+        lut_exprs.append("[" + ", ".join(lut) + "]")
+    adc = " + ".join(f"{lut_exprs[m]}[c.idx{m}]" for m in range(m_parts))
+    return f"""
+    WITH {_DUCK_IVF},
+    qc AS (SELECT cell FROM scored WHERE vec_id = 1 ORDER BY score DESC, cell DESC LIMIT 2),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    c AS (SELECT e.vec_id, {', '.join(code_cols)}
+          FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+          WHERE a.cell IN (SELECT cell FROM qc))
+    SELECT c.vec_id, round({adc}, 6) AS adc_dist
+    FROM c, q
+    ORDER BY adc_dist, vec_id
+    LIMIT {topk}
+    """
+
+
+@_q("vec_ivfpq_topk", _duck_ivfpq_sql())
+def vec_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ search (A12, composed): coarse-quantizer cell pruning
+    (scan ~ n_probe/n_cells of the corpus) x PQ asymmetric distance
+    (M lookups per scanned row, no dim-length math) — the layout a
+    billion-vector index actually ships. Both stages reuse the
+    operators verified standalone (vec_ivf_topk, vec_pq_topk_adc)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vector(sf_dir)
+    return vec_ops.ivfpq_topk(
+        e, "vec_id", "embedding", qvec, _ivf_centroids(spark, sf_dir),
+        dim=64, m_parts=4, k=16, topk=10, n_probe=2,
+    )
+
+
 @_q("vec_pq_codes", _duck_pq_codes_sql())
 def vec_pq_codes(spark, sf_dir):
     """Product-quantization encode (A12 compression path): 64-dim
@@ -4938,6 +5000,7 @@ _PRIORITY = [
     "text_length_outliers",
     "vec_pq_codes",
     "vec_pq_topk_adc",
+    "vec_ivfpq_topk",
     "timeseries_multigrain_rollup",
     "ml_split_leakage_safe",
 ]

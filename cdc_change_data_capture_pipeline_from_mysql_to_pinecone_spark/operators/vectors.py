@@ -472,3 +472,42 @@ def pq_topk_adc(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(topk)
     )
+
+
+def ivfpq_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    dim: int,
+    m_parts: int = 4,
+    k: int = 16,
+    topk: int = 10,
+    n_probe: int = 2,
+    literal_max_k: int = IVF_LITERAL_MAX_K,
+) -> DataFrame:
+    """IVF + PQ — the standard billion-vector layout, composed from
+    the two operators above: the coarse quantizer prunes the scan to
+    the ``n_probe`` cells nearest the query (same driver-side probe
+    pick as :func:`ivf_topk`: dot score desc, cell desc), and within
+    the probed cells distance is PQ asymmetric lookup, not dim-length
+    math. Scanned fraction ~ n_probe/n_cells AND each scanned row
+    costs M lookups — the two savings multiply, which is why this is
+    the shape a 10^9-vector index actually ships."""
+    scores = sorted(
+        ((sum(x * y for x, y in zip(query_vec, cvec)), cid) for cid, cvec in centroids),
+        reverse=True,
+    )
+    probe_cells = [cid for _score, cid in scores[:n_probe]]
+    assigned = ivf_assign(emb_df, id_col, vec_col, centroids, literal_max_k=literal_max_k)
+    return pq_topk_adc(
+        assigned.filter(F.col("cell").isin(probe_cells)),
+        id_col,
+        vec_col,
+        query_vec,
+        dim,
+        m_parts,
+        k,
+        topk,
+    )

@@ -138,3 +138,39 @@ def test_pq_encode_and_adc_contract(spark, sf_dir):
     )
     got = {r["vec_id"]: r["adc_dist"] for r in top}
     assert abs(got[rows[0]["vec_id"]] - expect) < 1e-4 if rows[0]["vec_id"] in got else True
+
+
+def test_ivfpq_composition_subsets_probed_cells(spark, sf_dir):
+    """IVF+PQ invariants: every result row belongs to one of the two
+    probed cells, and its ADC distance equals the standalone PQ ADC
+    for that vector (the composition changes WHICH rows are scanned,
+    never their scores)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        ivf_assign,
+        ivfpq_topk,
+        pq_topk_adc,
+    )
+
+    import __spark_entry__ as entrymod
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = entrymod._ivf_centroids(spark, sf_dir)
+    q = entrymod._query_vector(sf_dir)
+    out = ivfpq_topk(e, "vec_id", "embedding", q, cents, dim=64, topk=10, n_probe=2).collect()
+    assert out
+
+    scores = sorted(
+        ((sum(x * y for x, y in zip(q, cvec)), cid) for cid, cvec in cents), reverse=True
+    )
+    probes = {cid for _s, cid in scores[:2]}
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(e, "vec_id", "embedding", cents).select("vec_id", "cell").collect()
+    }
+    assert all(cells[r["vec_id"]] in probes for r in out)
+
+    full = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_topk_adc(e, "vec_id", "embedding", q, dim=64, topk=10**6).collect()
+    }
+    assert all(abs(full[r["vec_id"]] - r["adc_dist"]) < 1e-9 for r in out)
