@@ -225,3 +225,33 @@ def test_multigrain_rollup_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1, plan
     assert "Expand" in plan
     assert "partial_count" in plan  # map-side combine for both grains
+
+
+def test_r5_new_query_plan_shapes(spark, sf_dir):
+    """The r5 additions must keep their scale-shaped plans:
+
+    - text_length_outliers: the per-lang bounds frame BROADCASTS back
+      onto the corpus (no SortMergeJoin — at 100 TB the bounds side is
+      KB-sized) and the scan prunes to the three needed columns.
+    - cdc_apply_changelog: the tombstone materialization partial-
+      aggregates map-side (partial_max_by) — one candidate per key per
+      partition crosses the shuffle, never the raw changelog.
+    - text_source_cap: the rank-limit pushes down (WindowGroupLimit
+      Partial) so only the per-source top-k rows enter the exchange,
+      not the whole corpus.
+    """
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    plan = qs["text_length_outliers"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan, plan
+
+    plan = qs["cdc_apply_changelog"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
+
+    plan = qs["text_source_cap"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
