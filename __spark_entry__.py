@@ -30,6 +30,7 @@ from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vec
 from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (
     cdc,
     dedup,
+    incremental,
     multimodal,
     relational,
     vectors as vec_ops,
@@ -4642,6 +4643,51 @@ def window_moving_avg_nth(spark, sf_dir):
     )
 
 
+@_q(
+    "incremental_join_delta",
+    """
+    WITH a_old AS (SELECT * FROM orders   WHERE o_orderdate < DATE '1996-01-01'),
+         b_old AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+         jn AS (SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, c.c_custkey
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         jo AS (SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, c.c_custkey
+                FROM a_old o JOIN b_old c ON o.o_custkey = c.c_custkey),
+         d AS (SELECT * FROM jn EXCEPT ALL SELECT * FROM jo)
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM d GROUP BY o_orderstatus
+    """,
+)
+def incremental_join_delta(spark, sf_dir):
+    """Incremental equi-join maintenance (the CDC payoff extended from
+    rollups to joins): the rows one tick ADDS to a stored orders⋈
+    customer join, computed from the deltas via
+    ΔJ = ΔA⋈(B∪ΔB) ∪ A_old⋈ΔB — O(delta) probe-side, the bases are
+    never re-joined. The oracle is the SEMANTIC truth (J_new EXCEPT
+    ALL J_old), so it checks the maintenance algebra, not a mirror of
+    it. Splits are deterministic slices of the fixtures (date
+    threshold for orders, key residue for customers) standing in for
+    one watermark tick on each side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cut = F.to_date(F.lit("1996-01-01"))
+    a_old, delta_a = o.filter(F.col("o_orderdate") < cut), o.filter(F.col("o_orderdate") >= cut)
+    is_new_c = F.col("c_custkey") % 10 == 0
+    b_old, delta_b = c.filter(~is_new_c), c.filter(is_new_c)
+    o2 = lambda df: df.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey")  # noqa: E731
+    c2 = lambda df: df.select(F.col("c_custkey").alias("o_custkey"), "c_custkey")  # noqa: E731
+    added = incremental.delta_join(
+        o2(a_old), o2(delta_a),
+        c2(b_old), c2(delta_b),
+        on="o_custkey",
+    )
+    return added.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
+    )
+
+
 def _duck_pq_codes_sql(dim: int = 64, m_parts: int = 4, k: int = 16) -> str:
     """DuckDB mirror of vectors.pq_encode: same hash-derived codeword
     literals, same left-associative squared-L2 accumulation, same
@@ -5001,6 +5047,7 @@ _PRIORITY = [
     "vec_pq_codes",
     "vec_pq_topk_adc",
     "vec_ivfpq_topk",
+    "incremental_join_delta",
     "timeseries_multigrain_rollup",
     "ml_split_leakage_safe",
 ]

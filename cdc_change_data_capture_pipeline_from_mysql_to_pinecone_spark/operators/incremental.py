@@ -55,3 +55,31 @@ def merge_rollups(stored: DataFrame, update: DataFrame, keys: list[str], measure
         elif how == "max":
             aggs.append(F.max(f"max_{col}").alias(f"max_{col}"))
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def delta_join(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Rows ADDED to an equi-join by one CDC tick, computed from the
+    deltas — never by re-joining the bases:
+
+        ΔJ = ΔA ⋈ (B ∪ ΔB)  ∪  A_old ⋈ ΔB
+
+    (the ΔA⋈ΔB cross term rides in the first leg, so nothing double
+    counts). Exact for append-only streams — the reference's model
+    (watermark strictly advances, rows never retract; SURVEY §4); with
+    updates, feed the upstream through ``snapshot_latest`` first and
+    process retractions separately.
+
+    Cost is O(|ΔA| + |ΔB|) probe-side: each leg joins a tick-sized
+    delta against one base, so Catalyst broadcasts the delta and the
+    base is never shuffled — refreshing a stored 100 TB join costs the
+    tick, not the table. Verified against the semantic truth
+    (J_new EXCEPT ALL J_old) by the oracle, not against its own
+    formula."""
+    b_new = b_old.unionByName(delta_b)
+    return delta_a.join(b_new, on).unionByName(a_old.join(delta_b, on))

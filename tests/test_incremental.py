@@ -62,3 +62,27 @@ def test_non_algebraic_rejected(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="non-algebraic"):
         delta_rollup(e, ["event_type"], {"value": "median"})
+
+
+def test_delta_join_equals_full_join_minus_old(spark, sf_dir):
+    """Property: J_old ∪ delta_join(...) must equal the full re-join,
+    for several different split points — the maintenance algebra holds
+    regardless of where the watermark falls."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    full = sorted(map(tuple, o.join(c, "o_custkey").collect()))
+    for o_res, c_res in ((3, 4), (0, 1), (9, 0)):
+        a_old = o.filter(F.col("o_orderkey") % 10 >= o_res)
+        delta_a = o.filter(F.col("o_orderkey") % 10 < o_res)
+        b_old = c.filter(F.col("o_custkey") % 7 >= c_res)
+        delta_b = c.filter(F.col("o_custkey") % 7 < c_res)
+        old_join = a_old.join(b_old, "o_custkey")
+        added = delta_join(a_old, delta_a, b_old, delta_b, "o_custkey")
+        got = sorted(map(tuple, old_join.unionByName(added).collect()))
+        assert got == full, (o_res, c_res, len(got), len(full))
