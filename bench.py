@@ -174,6 +174,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Context for cross-run comparison: this host's wall timings drift
+    # 25-40% (occasionally far more) with hypervisor load the JSON
+    # otherwise can't show. 1-minute load average at exit, best-effort.
+    try:
+        out["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     if sweep_sec is not None:
         out["cdc_sweep_seconds"] = sweep_sec
         out["cdc_sweep_rows_per_sec"] = round(sweep_rows / sweep_sec, 1) if sweep_rows else 0
