@@ -4688,6 +4688,62 @@ def incremental_join_delta(spark, sf_dir):
     )
 
 
+_SQL_FRONTEND_WINDOW_GSETS = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             count(*) AS n, round(sum(value), 3) AS v
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT d, event_type, n, v,
+             CAST(rank() OVER (PARTITION BY event_type ORDER BY v DESC, d) AS BIGINT) AS rk,
+             round(sum(v) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS running_v
+      FROM daily
+    )
+    SELECT event_type, d, n, v, rk, running_v
+    FROM ranked WHERE rk <= 3
+"""
+
+
+@_q("sql_frontend_window_gsets", _SQL_FRONTEND_WINDOW_GSETS)
+def sql_frontend_window_gsets(spark, sf_dir):
+    """CTE chain + two window shapes (rank over value ordering, a
+    running ROWS-frame sum over time ordering) through the SQL
+    front-end — one ANSI string executed verbatim by spark.sql AND
+    DuckDB. The per-type top-3-days-by-value result exercises the
+    analyzer's window resolution and frame defaults from raw SQL
+    text, not the DataFrame API."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_SQL_FRONTEND_WINDOW_GSETS)
+
+
+_SQL_FRONTEND_SETOPS = """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+"""
+
+
+@_q("sql_frontend_setops", _SQL_FRONTEND_SETOPS)
+def sql_frontend_setops(spark, sf_dir):
+    """Chained INTERSECT/EXCEPT with ANSI precedence (INTERSECT binds
+    tighter) through the SQL front-end — the same string parsed and
+    planned by both engines must agree on the precedence, not just the
+    row math."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(_SQL_FRONTEND_SETOPS)
+
+
 def _duck_pq_codes_sql(dim: int = 64, m_parts: int = 4, k: int = 16) -> str:
     """DuckDB mirror of vectors.pq_encode: same hash-derived codeword
     literals, same left-associative squared-L2 accumulation, same
@@ -5048,6 +5104,8 @@ _PRIORITY = [
     "vec_pq_topk_adc",
     "vec_ivfpq_topk",
     "incremental_join_delta",
+    "sql_frontend_window_gsets",
+    "sql_frontend_setops",
     "timeseries_multigrain_rollup",
     "ml_split_leakage_safe",
 ]
