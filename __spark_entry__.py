@@ -4994,13 +4994,15 @@ def text_source_cap(spark, sf_dir):
 )
 def text_length_outliers(spark, sf_dir):
     """Per-language length-outlier filter (corpus cleaning): docs
-    outside their language's [p5, p95] n_chars band. The per-lang
-    exact percentiles are a tiny aggregate (one row per language)
-    broadcast back onto the corpus — at 100 TB the quantile pass is
-    the only full scan and the bounds frame stays KB-sized. Spark's
-    percentile() and DuckDB's percentile_cont share the (n-1)*p
-    interpolation definition, so the bounds agree bit-for-bit on
-    integer inputs."""
+    outside their language's [p5, p95] n_chars band, with the per-lang
+    bounds (one row per language) broadcast back onto the corpus so
+    the bounds frame stays KB-sized. Exact percentile() here because
+    the oracle needs bit-equal bounds (Spark and DuckDB share the
+    (n-1)*p interpolation on integer input) — but exact percentile is
+    HOLISTIC: its aggregation state holds every value in the group, so
+    at 100 TB this one aggregate swaps to approx_percentile (t-digest
+    sketch state, same query shape, bounds approximate within the
+    sketch accuracy) — a one-expression change at this call site."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     bounds = d.groupBy("lang").agg(
         F.expr("percentile(n_chars, 0.05)").alias("lo"),
