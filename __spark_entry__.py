@@ -4744,6 +4744,35 @@ def sql_frontend_setops(spark, sf_dir):
     return spark.sql(_SQL_FRONTEND_SETOPS)
 
 
+@_q("incremental_distinct_rollup", None)  # sketch estimates: no cross-engine oracle
+def incremental_distinct_rollup(spark, sf_dir):
+    """Incrementally-maintained DISTINCT counts (the holistic gap in
+    algebraic rollup maintenance): three event ticks sketched with
+    Datasketches HLL and chain-merged; per-register max makes the
+    merge order-free, so the chained state's estimate EXACTLY equals a
+    single-shot sketch over all data (invariant-tested, with an error
+    bound vs exact countDistinct — tests/test_incremental.py). No SQL
+    oracle: DuckDB's HLL is a different implementation, estimates
+    cannot hash-match; rows-only by declaration."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_distinct_rollup,
+        estimate_distinct,
+        merge_distinct_rollups,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    ticks = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    state = delta_distinct_rollup(ticks[0], ["event_type"], ["user_id"])
+    for t in ticks[1:]:
+        state = merge_distinct_rollups(
+            state, delta_distinct_rollup(t, ["event_type"], ["user_id"]),
+            ["event_type"], ["user_id"],
+        )
+    return estimate_distinct(state, ["user_id"]).select(
+        "event_type", "rollup_rows", F.col("nd_user_id").cast("long").alias("nd_users")
+    )
+
+
 def _duck_pq_codes_sql(dim: int = 64, m_parts: int = 4, k: int = 16) -> str:
     """DuckDB mirror of vectors.pq_encode: same hash-derived codeword
     literals, same left-associative squared-L2 accumulation, same

@@ -86,3 +86,43 @@ def test_delta_join_equals_full_join_minus_old(spark, sf_dir):
         added = delta_join(a_old, delta_a, b_old, delta_b, "o_custkey")
         got = sorted(map(tuple, old_join.unionByName(added).collect()))
         assert got == full, (o_res, c_res, len(got), len(full))
+
+
+def test_delta_distinct_rollup_merge_is_order_free_and_tight(spark, sf_dir):
+    """HLL distinct maintenance invariants: (a) merging per-tick
+    sketches yields EXACTLY the single-shot sketch's estimate (per-
+    register max is order-free — the property that makes distinct
+    counts delta-maintainable); (b) the estimate is within the
+    sketch's error bound of the exact distinct count."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_distinct_rollup,
+        estimate_distinct,
+        merge_distinct_rollups,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    ticks = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    state = delta_distinct_rollup(ticks[0], ["event_type"], ["user_id"])
+    for t in ticks[1:]:
+        state = merge_distinct_rollups(
+            state, delta_distinct_rollup(t, ["event_type"], ["user_id"]),
+            ["event_type"], ["user_id"],
+        )
+    merged = {
+        r["event_type"]: r["nd_user_id"]
+        for r in estimate_distinct(state, ["user_id"]).collect()
+    }
+    single = {
+        r["event_type"]: r["nd_user_id"]
+        for r in estimate_distinct(
+            delta_distinct_rollup(e, ["event_type"], ["user_id"]), ["user_id"]
+        ).collect()
+    }
+    assert merged == single  # order-free merge: exact equality
+
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("nd")).collect()
+    }
+    for et, nd in merged.items():
+        assert abs(nd - exact[et]) <= max(3, 0.05 * exact[et]), (et, nd, exact[et])
