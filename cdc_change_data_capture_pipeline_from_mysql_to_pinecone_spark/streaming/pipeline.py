@@ -462,3 +462,66 @@ def run_streaming_pipeline(
                 q.awaitTermination(await_seconds)
         finally:
             q.stop()
+
+
+def sweep_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    table: str,
+    change_col: str,
+    keys: list[str],
+    measures: dict[str, str],
+) -> int:
+    """Maintain a STORED rollup from watermark deltas — the CDC payoff
+    end-to-end (the reference's tick protocol composed with
+    operators.incremental): read the rollup's watermark, aggregate
+    ONLY the delta (delta_rollup), merge partial states into the
+    stored rollup (merge_rollups — state-sized, base data never
+    re-read), and commit. Returns delta rows processed (0 = idle tick,
+    store untouched).
+
+    EXACTLY-ONCE under crashes, unlike a naive two-commit design: the
+    watermark lives INSIDE the rollup directory (an ``_watermark``
+    marker, invisible to Spark's listing), and both are swapped in by
+    ONE atomic rename — so a crash anywhere leaves either (old state,
+    old watermark) or (new state, new watermark), never the mixed
+    state that double-merges a replayed delta (merge_rollups is not
+    replay-idempotent: sums would double). A crash inside the rename
+    window itself is repaired by recover_table at the next tick."""
+    import os
+
+    from ..operators import cdc as cdc_ops
+    from ..operators.incremental import delta_rollup, merge_rollups
+    from ..sources.sinks import _swap_in, recover_table
+    from ..sources.tables import load_table
+
+    rollup_path = os.path.join(store_dir, f"rollup_{table}")
+    recover_table(rollup_path)
+    wm_marker = os.path.join(rollup_path, "_watermark")
+    watermark = "1970-01-01"
+    if os.path.exists(wm_marker):
+        with open(wm_marker) as fh:
+            watermark = fh.read().strip()
+
+    df = load_table(spark, sf_dir, table)
+    delta = cdc_ops.incremental_scan(df, change_col, watermark)
+    wm_row = cdc_ops.next_watermark(delta, change_col).collect()[0]
+    if wm_row["batch_rows"] == 0:
+        return 0
+
+    update = delta_rollup(delta, keys, measures)
+    if os.path.isdir(rollup_path):
+        stored = spark.read.parquet(rollup_path)
+        new_state = merge_rollups(stored, update, keys, measures)
+    else:
+        new_state = update
+
+    import uuid as _uuid
+
+    tmp = f"{rollup_path}.tmp-{_uuid.uuid4().hex[:8]}"
+    new_state.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_watermark"), "w") as fh:
+        fh.write(str(wm_row["last_updated"]))
+    _swap_in(rollup_path, tmp)
+    return wm_row["batch_rows"]
