@@ -511,3 +511,60 @@ def ivfpq_topk(
         k,
         topk,
     )
+
+
+def train_pq_codebooks(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m_parts: int = 4,
+    k: int = 16,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with the same deterministic
+    Lloyd's k-means the IVF quantizer uses (:func:`train_ivf_centroids`
+    over each sliced subspace). Returns ``codebooks[m][k] -> subdim
+    floats`` — drop-in for :func:`pq_codeword`'s hash-derived family
+    via the ``codebooks=`` parameter of :func:`pq_encode_with` below.
+    Driver holds M x K x subdim floats; every pass is a scan."""
+    assert dim % m_parts == 0
+    subdim = dim // m_parts
+    books = []
+    for m in range(m_parts):
+        sub = emb_df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * subdim + 1, subdim).alias("_sub"),
+        )
+        cents = train_ivf_centroids(sub, id_col, "_sub", k, iters=iters)
+        books.append([vec for _cid, vec in cents])
+    return books
+
+
+def pq_encode_with(
+    emb_df: DataFrame,
+    vec_col: str,
+    dim: int,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """:func:`pq_encode` with explicit codebooks (trained or hash-
+    derived) — same argmin-of-squared-L2 per subspace, codewords as
+    literals."""
+    m_parts = len(codebooks)
+    assert dim % m_parts == 0
+    subdim = dim // m_parts
+    parts = []
+    for m, book in enumerate(codebooks):
+        dists = []
+        for cw in book:
+            lit = "array(" + ",".join(f"{float(v)!r}D" for v in cw) + ")"
+            dists.append(
+                f"aggregate(zip_with(slice(`{vec_col}`, {m * subdim + 1}, {subdim}), {lit}, "
+                "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+        arr = "array(" + ",".join(dists) + ")"
+        parts.append(f"(array_position({arr}, array_min({arr})) - 1)")
+    return emb_df.withColumn(
+        "pq_code", F.expr("array(" + ",".join(f"CAST({p} AS INT)" for p in parts) + ")")
+    )
