@@ -1231,6 +1231,66 @@ def dedup_lsh_candidates(spark, sf_dir):
     return dedup.lsh_candidate_pairs(sig, "doc_id", num_bands=4, rows_per_band=4)
 
 
+def _duck_winnow_cte(k: int = 4, w: int = 8) -> str:
+    """CTE prefix computing winnowing fingerprints (doc_id, fp rows in
+    ``fpx``) — mirror of dedup.winnow_fingerprints. Shingles keep
+    positional order (NO list_distinct — winnowing is positional,
+    unlike the minhash shingle *set*)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        MERSENNE31,
+    )
+
+    return f"""
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id, CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+             ELSE list_transform(generate_series(1, len(t) - {k - 1}),
+                                 i -> array_to_string(t[i:i+{k - 1}], ' ')) END AS shingles
+           FROM toks),
+    h AS (SELECT doc_id, list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS hs FROM sh),
+    fps AS (SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - {w - 1}, 1)),
+               i -> list_min(hs[i:i+{w - 1}]))) AS f FROM h),
+    fpx AS (SELECT doc_id, unnest(f) AS fingerprint FROM fps)
+    """
+
+
+@_q(
+    "dedup_winnow_fingerprints",
+    f"WITH {_duck_winnow_cte()} SELECT doc_id, fingerprint FROM fpx",
+)
+def dedup_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints: window minima over
+    word 4-gram hashes, window 8 — any shared token run >= 11 long
+    between two docs shares a fingerprint. The partial-overlap
+    detector exact fingerprints can't express (A9 family)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.winnow_fingerprints(d, "text", "doc_id", k=4, window=8)
+
+
+@_q(
+    "dedup_winnow_candidates",
+    f"""
+    WITH {_duck_winnow_cte()},
+    sized AS (SELECT fingerprint, count(*) AS n FROM fpx GROUP BY fingerprint),
+    keep AS (SELECT fingerprint FROM sized WHERE n BETWEEN 2 AND 50),
+    pairs AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM fpx l JOIN fpx r USING (fingerprint) JOIN keep USING (fingerprint)
+              WHERE l.doc_id < r.doc_id)
+    SELECT id_a, id_b, count(*) AS shared_fps
+    FROM pairs GROUP BY id_a, id_b HAVING count(*) >= 2
+    """,
+)
+def dedup_winnow_candidates(spark, sf_dir):
+    """Partial-overlap candidate pairs: docs sharing >= 2 winnowing
+    fingerprints, scored by the shared count. Bucketed per-fingerprint
+    pair expansion with a ubiquitous-k-gram cap (50) — never a global
+    self-join."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = dedup.winnow_fingerprints(d, "text", "doc_id", k=4, window=8)
+    return dedup.winnow_candidate_pairs(fps, "doc_id", min_shared=2, max_bucket_size=50)
+
+
 def _duck_simhash_sql(bits: int = 16) -> str:
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN ((hh >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)

@@ -280,3 +280,73 @@ def embedding_near_dup(
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 4, window: int = 8
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram, slide
+    a window of ``window`` consecutive k-gram hashes, keep each
+    window's minimum; the distinct minima are the document's
+    fingerprint set. Output: one (id, fingerprint) row per selected
+    hash.
+
+    Guarantee: any token run of length >= window + k - 1 shared by two
+    documents contributes at least one common fingerprint — so partial
+    overlap (plagiarized paragraphs, quoted boilerplate) is detectable
+    from ~(n/window) stored hashes per doc, where exact-content
+    fingerprints (text.fingerprint) see nothing.
+
+    Plan shape: the k-gram hash array is materialized per row through
+    an explode(array(...)) generator — a Project above a Generate
+    cannot be collapsed into it, so the md5s are computed once per
+    shingle and the window-min transform reads the materialized array
+    attribute (O(n*window) cheap long comparisons; the k-fold md5
+    recompute CollapseProject would create by inlining the array into
+    the lambda body never happens — same discipline as
+    minhash_signatures). Per-doc work is row-local; the only shuffle
+    downstream consumers pay is on the (fingerprint) key."""
+    hashes = F.transform(
+        word_shingles(F.col(text_col), k), lambda s: base_hash31(s)
+    )
+    # Generate barrier: _h becomes a real attribute, computed once
+    hashed = df.select(F.col(id_col), F.explode(F.array(hashes)).alias("_h"))
+    n_windows = F.greatest(F.size("_h") - F.lit(window - 1), F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice("_h", i, window)),
+    )
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fingerprint")
+    )
+
+
+def winnow_candidate_pairs(
+    fp_df: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    max_bucket_size: int | None = 50,
+) -> DataFrame:
+    """Overlap candidates from winnowing fingerprints: pairs of docs
+    sharing >= ``min_shared`` fingerprints, with the shared count as
+    the overlap score. Same bucketed shape as LSH banding: group ids
+    per fingerprint, expand pairs inside the bucket array, then count
+    per pair — no global self-join. ``max_bucket_size`` drops
+    ubiquitous-k-gram buckets (stopword runs shared by half the
+    corpus) whose pair expansion is quadratic and whose evidence value
+    is nil — at production scale always cap."""
+    ids = F.array_sort(F.collect_list(id_col))
+    pair_expand = F.expr(
+        "flatten(transform(_ids, (x, i) -> transform("
+        "slice(_ids, i + 2, size(_ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    grouped = fp_df.groupBy("fingerprint").agg(ids.alias("_ids")).filter(F.size("_ids") > 1)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
+    return (
+        grouped.select(F.explode(pair_expand).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -66,3 +66,51 @@ def test_full_dedup_pipeline_on_fixture(spark, sf_dir):
     # pairs with its original; survivors keep the low (original) ids
     assert kept.count() <= d.count()
     assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. §3): any token run of
+    length >= window + k - 1 shared by two docs yields at least one
+    shared fingerprint; docs with no common k-gram share none."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    k, w = 4, 8
+    shared_run = " ".join(f"run{i}" for i in range(w + k - 1))  # 11 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + shared_run + " delta epsilon zeta"),
+            (2, "one two three four five " + shared_run),
+            (3, "totally different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=k, window=w)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared 11-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+    pairs = winnow_candidate_pairs(fps, "doc_id", min_shared=1, max_bucket_size=None)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_winnow_fingerprint_density(spark, sf_dir):
+    """Winnowing keeps ~1/window of the k-gram hashes (the paper's
+    2/(w+1) expected density) — the storage win over full shingling."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    n_fps = winnow_fingerprints(docs, "text", "doc_id", k=4, window=8).count()
+    per_doc = n_fps / n_docs
+    # ~54 tokens/doc -> ~51 kgram hashes -> expected ~2/(8+1)*51 ≈ 11
+    assert 4 <= per_doc <= 25, per_doc
