@@ -4833,6 +4833,68 @@ def incremental_distinct_rollup(spark, sf_dir):
     )
 
 
+@_q(
+    "incremental_changelog_rollup",
+    """
+    WITH base AS (SELECT event_type, event_id,
+                         CAST(floor(value * 1000) AS BIGINT) AS milli
+                  FROM events),
+    surv AS (SELECT event_type,
+                    CASE WHEN event_id % 3 = 0 THEN milli + 77 ELSE milli END AS m
+             FROM base WHERE NOT (event_id % 3 <> 0 AND event_id % 5 = 0)),
+    ins AS (SELECT event_type, milli + 1 AS m FROM base WHERE event_id % 7 = 0),
+    fin AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+    SELECT event_type, count(*) AS rollup_rows, CAST(sum(m) AS BIGINT) AS sum_milli
+    FROM fin GROUP BY event_type
+    """,
+)
+def incremental_changelog_rollup(spark, sf_dir):
+    """Retractable aggregate maintenance under a full I/U/D changelog:
+    a stored per-type rollup is repaired from before/after images —
+    updates contribute (after - before), deletes retract (-1, -before)
+    — and must equal a from-scratch aggregate of the post-changelog
+    state. The oracle computes that final state directly (semantic
+    truth), never the maintenance formula: if the multiplicity algebra
+    double-counted the I∩U overlap or missed a retraction, the hash
+    would diverge. Measure is integer milli-units (floor(value*1000))
+    so maintained-sum == recomputed-sum is exact, not
+    float-associativity luck. The maintained path costs O(tick) +
+    O(state) — base data is never re-read; a key whose rows all delete
+    keeps a zero-count state row here (compaction's job to drop), but
+    every fixture key stays populated so the shapes agree."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        changelog_delta_rollup,
+        delta_rollup,
+        merge_rollups,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.floor(F.col("value") * 1000).cast("long").alias("milli")
+    )
+    stored = delta_rollup(e, ["event_type"], {"milli": "sum"})
+    nul = F.lit(None).cast("long")
+    upd = e.filter(F.col("event_id") % 3 == 0).select(
+        "event_type", F.lit("U").alias("op"),
+        F.col("milli").alias("before_milli"), (F.col("milli") + 77).alias("after_milli"),
+    )
+    dele = e.filter((F.col("event_id") % 3 != 0) & (F.col("event_id") % 5 == 0)).select(
+        "event_type", F.lit("D").alias("op"),
+        F.col("milli").alias("before_milli"), nul.alias("after_milli"),
+    )
+    ins = e.filter(F.col("event_id") % 7 == 0).select(
+        "event_type", F.lit("I").alias("op"),
+        nul.alias("before_milli"), (F.col("milli") + 1).alias("after_milli"),
+    )
+    log = upd.unionByName(dele).unionByName(ins)
+    delta = changelog_delta_rollup(log, ["event_type"], {"milli": "sum"})
+    maintained = merge_rollups(stored, delta, ["event_type"], {"milli": "sum"})
+    return maintained.select(
+        "event_type",
+        F.col("rollup_rows").cast("long").alias("rollup_rows"),
+        F.col("sum_milli").cast("long").alias("sum_milli"),
+    )
+
+
 def _duck_pq_codes_sql(dim: int = 64, m_parts: int = 4, k: int = 16) -> str:
     """DuckDB mirror of vectors.pq_encode: same hash-derived codeword
     literals, same left-associative squared-L2 accumulation, same

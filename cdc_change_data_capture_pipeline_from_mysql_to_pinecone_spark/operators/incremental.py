@@ -127,3 +127,57 @@ def estimate_distinct(rollup: DataFrame, distinct_cols: list[str]) -> DataFrame:
     for col in distinct_cols:
         out = out.withColumn(f"nd_{col}", F.hll_sketch_estimate(f"hll_{col}")).drop(f"hll_{col}")
     return out
+
+
+def changelog_delta_rollup(
+    changelog: DataFrame,
+    keys: list[str],
+    measures: dict[str, str],
+    op_col: str = "op",
+    before_prefix: str = "before_",
+    after_prefix: str = "after_",
+) -> DataFrame:
+    """Net effect of one changelog tick on a stored rollup — the
+    retractable extension of :func:`delta_rollup` (which is
+    append-only). Rows carry ``op`` in {'I','U','D'} with the measure
+    columns doubled as ``before_<col>`` (U/D: the value the base
+    currently holds) and ``after_<col>`` (I/U: the new value), the
+    standard CDC before/after image (Debezium/Delta CDF shape).
+
+    Multiplicity algebra (incremental view maintenance): an insert
+    contributes (+1, +after), a delete (-1, -before), an update
+    (0, after - before). The output uses delta_rollup's column names,
+    so :func:`merge_rollups` folds it into stored state unchanged —
+    a 100 TB dashboard stays exact under source-side DELETEs and
+    UPDATEs for the cost of the tick.
+
+    Only sum/count are retractable: a deleted MIN/MAX invalidates the
+    stored extreme in a way no O(state) merge can repair (the classic
+    IVM result — repair needs a per-key rescan or a mergeable
+    quantile/heap sketch), so those measures raise here."""
+    op = F.col(op_col)
+    d_rows = F.when(op == "I", F.lit(1)).when(op == "D", F.lit(-1)).otherwise(F.lit(0))
+    aggs = [F.sum(d_rows).alias("rollup_rows")]
+    for col, how in measures.items():
+        before, after = F.col(f"{before_prefix}{col}"), F.col(f"{after_prefix}{col}")
+        if how == "sum":
+            delta = (
+                F.when(op == "I", after)
+                .when(op == "D", -before)
+                .otherwise(after - before)
+            )
+            aggs.append(F.sum(delta).alias(f"sum_{col}"))
+        elif how == "count":
+            nn = lambda c: c.isNotNull().cast("long")  # noqa: E731
+            delta = (
+                F.when(op == "I", nn(after))
+                .when(op == "D", -nn(before))
+                .otherwise(nn(after) - nn(before))
+            )
+            aggs.append(F.sum(delta).alias(f"count_{col}"))
+        else:
+            raise ValueError(
+                f"measure {how!r} is not retractable: deletes invalidate stored "
+                "min/max — recompute the key group or maintain a mergeable sketch"
+            )
+    return changelog.groupBy(*keys).agg(*aggs)

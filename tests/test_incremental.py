@@ -180,3 +180,67 @@ def test_sweep_rollup_maintains_stored_state_exactly_once(spark, tmp_path):
         for r in delta_rollup(full, ["event_type"], measures).collect()
     }
     assert got == want
+
+
+def test_changelog_rollup_matches_recompute(spark):
+    """Maintained sum/count state under chained I/U/D ticks equals a
+    from-scratch delta_rollup of the final table, including NULL
+    transitions for the count measure."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        changelog_delta_rollup,
+        delta_rollup,
+        merge_rollups,
+    )
+
+    measures = {"v": "sum", "w": "count"}
+    base = [("a", 1, 10, 5), ("a", 2, 20, None), ("b", 3, 30, 7), ("b", 4, 40, 8)]
+    df = spark.createDataFrame(base, "k string, id long, v long, w long")
+    state = delta_rollup(df, ["k"], measures)
+
+    # tick 1: update id=1 (v 10->15, w 5->NULL), delete id=3, insert id=5
+    tick1 = spark.createDataFrame(
+        [
+            ("a", "U", 10, 15, 5, None),
+            ("b", "D", 30, None, 7, None),
+            ("b", "I", None, 99, None, 1),
+        ],
+        "k string, op string, before_v long, after_v long, before_w long, after_w long",
+    )
+    # tick 2: delete the inserted row again, update id=4 w NULL->2
+    tick2 = spark.createDataFrame(
+        [
+            ("b", "D", 99, None, 1, None),
+            ("b", "U", 40, 40, 8, 2),
+        ],
+        "k string, op string, before_v long, after_v long, before_w long, after_w long",
+    )
+    for t in (tick1, tick2):
+        state = merge_rollups(
+            state, changelog_delta_rollup(t, ["k"], measures), ["k"], measures
+        )
+
+    final_rows = [("a", 1, 15, None), ("a", 2, 20, None), ("b", 4, 40, 2)]
+    final = spark.createDataFrame(final_rows, "k string, id long, v long, w long")
+    want = {
+        r["k"]: (r["rollup_rows"], r["sum_v"], r["count_w"])
+        for r in delta_rollup(final, ["k"], measures).collect()
+    }
+    got = {
+        r["k"]: (r["rollup_rows"], r["sum_v"], r["count_w"])
+        for r in state.collect()
+    }
+    assert got == want
+
+
+def test_changelog_rollup_rejects_min_max(spark):
+    import pytest
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        changelog_delta_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "I", None, 1)], "k string, op string, before_v long, after_v long"
+    )
+    with pytest.raises(ValueError, match="not retractable"):
+        changelog_delta_rollup(df, ["k"], {"v": "min"})
