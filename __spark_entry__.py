@@ -5166,6 +5166,33 @@ def text_length_outliers(spark, sf_dir):
     )
 
 
+@_q(
+    "text_unigram_surprisal",
+    """
+    WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    consts AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab),
+    scored AS (SELECT doc_id, -ln((cnt + 1.0) / (n + 1.0 * v)) AS nll
+               FROM toks JOIN vocab USING (tok) CROSS JOIN consts)
+    SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Self-trained unigram-LM quality score (the CCNet perplexity
+    filter, unigram order): mean token surprisal under the corpus's
+    own add-one-smoothed unigram distribution — rare-token soup (OCR
+    junk, gibberish) scores high, boilerplate low. Vocab count, 1-row
+    constants broadcast, token-keyed join back, per-doc mean — no
+    collect anywhere."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.unigram_surprisal(d, "doc_id", "text", smoothing=1.0)
+    return out.select(
+        "doc_id", "n_tokens", F.round("surprisal", 6).alias("surprisal")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5205,6 +5232,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # value-stable r5 replans (multigrain grouping_id, leakage-split
 # aliasing — locally parity-green) lead the r6 refresh.
 _PRIORITY = [
+    "cdc_apply_changelog",
+    "text_source_cap",
+    "text_length_outliers",
+    "vec_pq_codes",
+    "vec_pq_topk_adc",
+    "vec_ivfpq_topk",
+    "incremental_join_delta",
+    "sql_frontend_window_gsets",
+    "sql_frontend_setops",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_candidates",
+    "incremental_changelog_rollup",
+    "text_unigram_surprisal",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5216,29 +5256,21 @@ _PRIORITY = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q12_priority_shipmode",
-    "q14_promo_share",
     "q18_large_orders_having",
     "q19_disjunctive_predicates",
     "vec_knn_bruteforce",
     "vec_ann_topk",
     "vec_ivf_topk",
-    "vec_ivf_cells",
     "vec_ivf_trained_cells",
     "vec_lsh_bucket_histogram",
     "dedup_embedding_neardup",
-    "vec_banded_neardup",
     "vec_centroid_per_label",
     "ml_hash_split",
     "ml_stratified_sample",
-    "ml_kfold_assign",
     "profile_documents",
     "mm_binary_features",
-    "mm_resize_plan",
-    "mm_frame_sample",
     "stream_sessionize",
-    "cdc_time_travel",
     "cdc_snapshot_diff",
-    "sql_frontend_having",
     "sql_frontend_cte_exists",
     "text_tfidf_topk",
     "text_chunk_token_budget",
@@ -5250,15 +5282,14 @@ _PRIORITY = [
     "agg_corr_covar",
     "agg_cube_status_priority",
     "pipeline_training_data",
-    "cdc_apply_changelog",
-    "text_source_cap",
-    "text_length_outliers",
-    "vec_pq_codes",
-    "vec_pq_topk_adc",
-    "vec_ivfpq_topk",
-    "incremental_join_delta",
-    "sql_frontend_window_gsets",
-    "sql_frontend_setops",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    "ml_kfold_assign",
+    "vec_ivf_cells",
+    "vec_banded_neardup",
+    "cdc_time_travel",
+    "sql_frontend_having",
+    "q14_promo_share",
     "timeseries_multigrain_rollup",
     "ml_split_leakage_safe",
 ]

@@ -245,3 +245,41 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str, smoothing: float = 1.0
+) -> DataFrame:
+    """Per-document mean token surprisal under the corpus's OWN
+    unigram LM with add-``smoothing`` smoothing — the CCNet-style
+    perplexity quality filter, self-trained: documents full of
+    corpus-rare tokens (OCR noise, gibberish, wrong-language shards)
+    score high; stereotyped boilerplate scores low. Output:
+    (id, n_tokens, surprisal = mean over tokens of
+    -ln((count(tok) + s) / (N + s*V))).
+
+    Shape for 100 TB: one explode of the token stream, a token-keyed
+    count (map-side combining hash agg — vocab is Zipf-bounded, orders
+    smaller than the corpus), a token-keyed join back (AQE broadcasts
+    the vocab when it fits, shuffles on the token key when not), and a
+    per-doc mean. Corpus constants (N, V) ride a 1-row broadcast cross
+    join — no collect, no driver round-trip, so the whole plan is one
+    job a scheduler can pipeline."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+    vocab = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    consts = vocab.agg(
+        F.sum("_cnt").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    nll = -F.log(
+        (F.col("_cnt") + F.lit(smoothing))
+        / (F.col("_n") + F.lit(smoothing) * F.col("_v"))
+    )
+    scored = (
+        toks.join(vocab, "_tok")
+        .crossJoin(F.broadcast(consts))
+        .select(F.col(id_col), nll.alias("_nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_nll").alias("surprisal"),
+    )

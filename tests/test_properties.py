@@ -138,3 +138,25 @@ def test_snapshot_latest_matches_window_form(spark_g, rows):
     for g, r in zip(got, ref):
         if g[:3] not in tied:
             assert g == r
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    """A doc of corpus-unique tokens must out-score a doc made of the
+    corpus's most common token, and every score is positive (it's a
+    negative log of a probability < 1)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        unigram_surprisal,
+    )
+
+    common = " ".join(["the"] * 20)
+    rare = " ".join(f"zq{i}xv" for i in range(20))
+    filler = [(10 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+    df = spark.createDataFrame(
+        [(1, common), (2, rare)] + filler, ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["surprisal"] for r in
+           unigram_surprisal(df, "doc_id", "text").collect()}
+    assert got[2] > got[1] > 0
+    n_toks = {r["doc_id"]: r["n_tokens"] for r in
+              unigram_surprisal(df, "doc_id", "text").collect()}
+    assert n_toks[1] == n_toks[2] == 20
