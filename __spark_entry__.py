@@ -5167,6 +5167,29 @@ def text_length_outliers(spark, sf_dir):
 
 
 @_q(
+    "text_bpe_pair_merge",
+    r"""
+    WITH pre AS (SELECT unnest(regexp_extract_all(text,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS tok FROM documents),
+    words AS (SELECT tok, count(*) AS n FROM pre GROUP BY tok),
+    pairs AS (SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                           i -> substr(tok, i, 2))) AS pair, n
+              FROM words WHERE length(tok) >= 2)
+    SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_pair_merge(spark, sf_dir):
+    """One BPE-training step: top-20 adjacent character pairs over the
+    GPT-2-style pretoken stream, counted via the vocab-weighted
+    two-level shape (word-frequency agg first, pair expansion
+    vocab-sized) — the argmax is the tokenizer's next merge."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    counts = text_ops.bpe_pair_counts(d, "text")
+    return counts.orderBy(F.col("cnt").desc(), "pair").limit(20)
+
+
+@_q(
     "text_unigram_surprisal",
     """
     WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
@@ -5245,6 +5268,7 @@ _PRIORITY = [
     "dedup_winnow_candidates",
     "incremental_changelog_rollup",
     "text_unigram_surprisal",
+    "text_bpe_pair_merge",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5271,7 +5295,6 @@ _PRIORITY = [
     "mm_binary_features",
     "stream_sessionize",
     "cdc_snapshot_diff",
-    "sql_frontend_cte_exists",
     "text_tfidf_topk",
     "text_chunk_token_budget",
     "join_range_binned",
@@ -5282,6 +5305,7 @@ _PRIORITY = [
     "agg_corr_covar",
     "agg_cube_status_priority",
     "pipeline_training_data",
+    "sql_frontend_cte_exists",
     "mm_resize_plan",
     "mm_frame_sample",
     "ml_kfold_assign",

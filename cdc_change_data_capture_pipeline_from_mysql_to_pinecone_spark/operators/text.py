@@ -283,3 +283,35 @@ def unigram_surprisal(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("_nll").alias("surprisal"),
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """One BPE-training step (Sennrich et al. 2016): corpus frequency
+    of each adjacent character pair in the pretoken stream, the
+    argmax of which is the next merge. Output: (pair, cnt).
+
+    Scale shape — the classic two-level trick: aggregate the corpus to
+    a WORD-frequency table first (vocab-sized, Zipf-bounded), then
+    expand each distinct pretoken's character pairs once and weight by
+    the word count. Pair expansion is O(vocab * word_len), not
+    O(corpus tokens): at 100 TB the first hash agg does the data
+    reduction with map-side combine and everything after is
+    vocab-sized. Pretokens come from the GPT-2-style split regex
+    (leading space kept — ' t' and 't' are distinct symbols, as in the
+    real tokenizer)."""
+    pre = df.select(
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)).alias(
+            "_tok"
+        )
+    )
+    words = pre.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("_tok") - 1),
+        lambda i: F.substring(F.col("_tok"), i, 2),
+    )
+    return (
+        words.filter(F.length("_tok") >= 2)
+        .select(F.explode(pairs).alias("pair"), F.col("_n"))
+        .groupBy("pair")
+        .agg(F.sum("_n").alias("cnt"))
+    )

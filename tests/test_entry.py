@@ -10,20 +10,22 @@ def test_registry_priority_order():
     names = list(m.queries())
     assert names[: len(m._PRIORITY)] == m._PRIORITY
     assert len(names) == len(set(names)) == len(m._REG)
-    # spot-pin the r5 gate window: the 45 queries whose latest driver
-    # row is r2-era (pre-Spark-4) lead so the rotation refreshes them,
-    # plus the five queries new in r5 (never driver-verified)
+    # spot-pin the r5 gate window: every oracle-backed query that has
+    # never had a driver correctness row leads (14 as of late r5), the
+    # rest of the 50 slots refresh the stalest pre-Spark-4 driver rows
     front = set(names[:50])
     for probe in ("q4_order_priority", "q22_global_sales_opportunity",
                   "vec_knn_bruteforce", "vec_ivf_trained_cells",
-                  "dedup_embedding_neardup", "ml_kfold_assign",
-                  "mm_frame_sample", "stream_sessionize",
-                  "cdc_time_travel", "sql_frontend_cte_exists",
+                  "dedup_embedding_neardup", "stream_sessionize",
                   "text_tfidf_topk", "join_salted_skew",
                   "agg_cube_status_priority", "pipeline_training_data",
                   "cdc_apply_changelog", "text_source_cap",
                   "text_length_outliers", "vec_pq_codes",
-                  "vec_pq_topk_adc"):
+                  "vec_pq_topk_adc", "vec_ivfpq_topk",
+                  "incremental_join_delta", "sql_frontend_window_gsets",
+                  "sql_frontend_setops", "dedup_winnow_fingerprints",
+                  "dedup_winnow_candidates", "incremental_changelog_rollup",
+                  "text_unigram_surprisal", "text_bpe_pair_merge"):
         assert probe in front, probe
 
 
