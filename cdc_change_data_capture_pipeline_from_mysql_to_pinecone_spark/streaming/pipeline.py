@@ -517,11 +517,81 @@ def sweep_rollup(
     else:
         new_state = update
 
+    _commit_rollup(rollup_path, new_state, wm_row["last_updated"])
+    return wm_row["batch_rows"]
+
+
+def _commit_rollup(rollup_path: str, new_state, watermark) -> None:
+    """Write state + ``_watermark`` marker to a tmp dir and swap both
+    in with ONE atomic rename (the exactly-once pivot both rollup
+    sweeps share)."""
+    import os
     import uuid as _uuid
+
+    from ..sources.sinks import _swap_in
 
     tmp = f"{rollup_path}.tmp-{_uuid.uuid4().hex[:8]}"
     new_state.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_watermark"), "w") as fh:
-        fh.write(str(wm_row["last_updated"]))
+        fh.write(str(watermark))
     _swap_in(rollup_path, tmp)
+
+
+def sweep_changelog_rollup(
+    spark: SparkSession,
+    log_path: str,
+    store_dir: str,
+    name: str,
+    change_col: str,
+    keys: list[str],
+    measures: dict[str, str],
+    op_col: str = "op",
+) -> int:
+    """Maintain a stored rollup from a CDC CHANGELOG (I/U/D rows with
+    before/after images) — :func:`sweep_rollup` for sources that
+    delete and update, not just append. Each tick reads only changelog
+    rows past the stored watermark, folds them to net multiplicities
+    (operators.incremental.changelog_delta_rollup: insert (+1,+after),
+    delete (-1,-before), update (0, after-before)), merges into the
+    state, and commits state + watermark in one atomic rename — the
+    same exactly-once protocol as sweep_rollup, which matters MORE
+    here: a replayed delete would drive counts negative, not just
+    double a sum.
+
+    ``log_path`` is a parquet changelog directory (the shape a
+    Debezium topic lands as, or a Delta/Iceberg CDF read); rows need
+    ``op_col`` in {'I','U','D'}, ``before_<col>``/``after_<col>``
+    images for each measure, and a monotonically increasing
+    ``change_col`` (LSN / commit ts). Returns changelog rows folded
+    (0 = idle tick, store untouched)."""
+    import os
+
+    from ..operators import cdc as cdc_ops
+    from ..operators.incremental import changelog_delta_rollup, merge_rollups
+    from ..sources.sinks import recover_table
+
+    rollup_path = os.path.join(store_dir, f"rollup_{name}")
+    recover_table(rollup_path)
+    wm_marker = os.path.join(rollup_path, "_watermark")
+    # no epoch-string default: change_col is an LSN (any orderable
+    # type), so the first tick takes the whole log unfiltered
+    watermark = None
+    if os.path.exists(wm_marker):
+        with open(wm_marker) as fh:
+            watermark = fh.read().strip()
+
+    log = spark.read.parquet(log_path)
+    delta = log if watermark is None else cdc_ops.incremental_scan(log, change_col, watermark)
+    wm_row = cdc_ops.next_watermark(delta, change_col).collect()[0]
+    if wm_row["batch_rows"] == 0:
+        return 0
+
+    update = changelog_delta_rollup(delta, keys, measures, op_col=op_col)
+    if os.path.isdir(rollup_path):
+        stored = spark.read.parquet(rollup_path)
+        new_state = merge_rollups(stored, update, keys, measures)
+    else:
+        new_state = update
+
+    _commit_rollup(rollup_path, new_state, wm_row["last_updated"])
     return wm_row["batch_rows"]
