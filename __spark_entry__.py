@@ -5167,6 +5167,50 @@ def text_length_outliers(spark, sf_dir):
 
 
 @_q(
+    "text_bigram_surprisal",
+    r"""
+    WITH train AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+    sc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    uni AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM train),
+    uc AS (SELECT tok, count(*) AS uc FROM uni GROUP BY tok),
+    consts AS (SELECT sum(uc) AS n FROM uc),
+    tr_t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM train),
+    tr_bi AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+              FROM tr_t WHERE len(t) >= 2),
+    bi AS (SELECT w1, w2, count(*) AS bc FROM tr_bi GROUP BY w1, w2),
+    sc_t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM sc),
+    sc_bi AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+              FROM sc_t WHERE len(t) >= 2),
+    j AS (SELECT doc_id,
+                 -ln(CASE WHEN bc IS NOT NULL THEN bc * 1.0 / u1.uc
+                          WHEN u2.uc IS NOT NULL THEN 0.4 * u2.uc / n
+                          ELSE 0.4 * 0.4 / n END) AS nll
+          FROM sc_bi
+          LEFT JOIN bi USING (w1, w2)
+          LEFT JOIN uc u1 ON sc_bi.w1 = u1.tok
+          LEFT JOIN uc u2 ON sc_bi.w2 = u2.tok
+          CROSS JOIN consts)
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS surprisal
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Held-out bigram-LM quality scoring with Stupid Backoff: train
+    counts on even doc_ids, score odd doc_ids — unattested bigrams
+    genuinely back off to the unigram term (and unseen words to the
+    OOV floor), unlike self-scoring where every bigram is attested.
+    The distributed-LM scoring rule (Brants et al. '07): count tables
+    as hash aggs, token-keyed left joins, 1-row constants broadcast."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    score = d.filter(F.col("doc_id") % 2 == 1)
+    out = text_ops.bigram_surprisal(score, "doc_id", "text", alpha=0.4, train_df=train)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("surprisal", 6).alias("surprisal")
+    )
+
+
+@_q(
     "text_bpe_pair_merge",
     r"""
     WITH pre AS (SELECT unnest(regexp_extract_all(text,
@@ -5269,6 +5313,7 @@ _PRIORITY = [
     "incremental_changelog_rollup",
     "text_unigram_surprisal",
     "text_bpe_pair_merge",
+    "text_bigram_surprisal",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5293,7 +5338,6 @@ _PRIORITY = [
     "ml_stratified_sample",
     "profile_documents",
     "mm_binary_features",
-    "stream_sessionize",
     "cdc_snapshot_diff",
     "text_tfidf_topk",
     "text_chunk_token_budget",
@@ -5305,6 +5349,7 @@ _PRIORITY = [
     "agg_corr_covar",
     "agg_cube_status_priority",
     "pipeline_training_data",
+    "stream_sessionize",
     "sql_frontend_cte_exists",
     "mm_resize_plan",
     "mm_frame_sample",

@@ -315,3 +315,79 @@ def bpe_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("_n").alias("cnt"))
     )
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean bigram surprisal under a bigram LM with
+    Stupid Backoff (Brants et al., EMNLP'07 — the scoring rule built
+    FOR distributed corpus-scale LMs: raw counts, no normalized
+    discounting state):
+
+        S(w_i | w_{i-1}) = count(w_{i-1} w_i) / count(w_{i-1})   if bigram attested
+                           alpha * count(w_i) / N                else if w_i attested
+                           alpha^2 / N                           else (OOV floor)
+
+    surprisal = mean over positions 2..n of -ln S. Counts come from
+    ``train_df`` (default: ``df`` itself — note self-scoring attests
+    every bigram, so backoff only fires with a held-out train corpus).
+    Sharper junk detector than the unigram filter: scrambled word
+    salad has normal unigram stats but unattested bigrams, so it
+    backs off everywhere and scores high. Docs with fewer than 2
+    tokens drop out (no scored positions).
+
+    Scale shape: unigram and bigram count tables are Zipf-bounded hash
+    aggs with map-side combine; the scored bigram stream left-joins
+    both count tables on token keys (AQE broadcasts what fits); N
+    rides a 1-row broadcast. One declarative DAG — no collect."""
+    train = df if train_df is None else train_df
+
+    def _bigrams(frame, with_id):
+        toks = tokens(F.col(text_col))
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        # size >= 2 guard: Spark's sequence(1, 0) is DESCENDING, so an
+        # unguarded 1-token doc would index element_at(toks, 0) (ANSI
+        # error), not produce zero bigrams
+        return (
+            frame.filter(F.size(toks) >= 2)
+            .select(*cols, F.explode(pairs).alias("_b"))
+            .select(*cols, F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
+        )
+
+    uni = train.select(F.explode(tokens(F.col(text_col))).alias("_tok")).groupBy(
+        "_tok"
+    ).agg(F.count(F.lit(1)).alias("_uc"))
+    consts = uni.agg(F.sum("_uc").alias("_n"))
+    bi = _bigrams(train, with_id=False).groupBy(
+        F.col("_w1").alias("_bw1"), F.col("_w2").alias("_bw2")
+    ).agg(F.count(F.lit(1)).alias("_bc"))
+
+    score = (
+        _bigrams(df, with_id=True)
+        .join(bi, (F.col("_w1") == F.col("_bw1")) & (F.col("_w2") == F.col("_bw2")), "left")
+        .join(uni.select(F.col("_tok").alias("_t1"), F.col("_uc").alias("_uc1")),
+              F.col("_w1") == F.col("_t1"), "left")
+        .join(uni.select(F.col("_tok").alias("_t2"), F.col("_uc").alias("_uc2")),
+              F.col("_w2") == F.col("_t2"), "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    s = (
+        F.when(F.col("_bc").isNotNull(), F.col("_bc") / F.col("_uc1"))
+        .when(F.col("_uc2").isNotNull(), F.lit(alpha) * F.col("_uc2") / F.col("_n"))
+        .otherwise(F.lit(alpha) * F.lit(alpha) / F.col("_n"))
+    )
+    return score.select(F.col(id_col), (-F.log(s)).alias("_nll")).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("_nll").alias("surprisal"),
+    )

@@ -16,7 +16,7 @@ def test_registry_priority_order():
     front = set(names[:50])
     for probe in ("q4_order_priority", "q22_global_sales_opportunity",
                   "vec_knn_bruteforce", "vec_ivf_trained_cells",
-                  "dedup_embedding_neardup", "stream_sessionize",
+                  "dedup_embedding_neardup",
                   "text_tfidf_topk", "join_salted_skew",
                   "agg_cube_status_priority", "pipeline_training_data",
                   "cdc_apply_changelog", "text_source_cap",
@@ -25,7 +25,8 @@ def test_registry_priority_order():
                   "incremental_join_delta", "sql_frontend_window_gsets",
                   "sql_frontend_setops", "dedup_winnow_fingerprints",
                   "dedup_winnow_candidates", "incremental_changelog_rollup",
-                  "text_unigram_surprisal", "text_bpe_pair_merge"):
+                  "text_unigram_surprisal", "text_bpe_pair_merge",
+                  "text_bigram_surprisal"):
         assert probe in front, probe
 
 

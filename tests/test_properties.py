@@ -160,3 +160,29 @@ def test_unigram_surprisal_orders_rare_above_common(spark):
     n_toks = {r["doc_id"]: r["n_tokens"] for r in
               unigram_surprisal(df, "doc_id", "text").collect()}
     assert n_toks[1] == n_toks[2] == 20
+
+
+def test_bigram_surprisal_backoff_flags_scrambled_text(spark):
+    """Under a held-out bigram LM, a scrambled permutation of training
+    vocabulary (normal unigram stats, unattested bigrams) must score
+    higher than a doc repeating attested bigrams — the junk signal the
+    unigram filter cannot see. Also pins that backoff actually fires:
+    with train == score the same doc scores strictly lower."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        bigram_surprisal,
+    )
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame([(i, sent) for i in range(10)], ["doc_id", "text"])
+    score = spark.createDataFrame(
+        [(100, sent), (101, "dog the over fox lazy quick jumps brown the")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["surprisal"] for r in
+           bigram_surprisal(score, "doc_id", "text", train_df=train).collect()}
+    assert got[101] > got[100] > 0
+
+    selfsc = {r["doc_id"]: r["surprisal"] for r in
+              bigram_surprisal(score.filter("doc_id = 101"), "doc_id", "text").collect()}
+    # self-scoring attests every bigram -> no backoff -> lower surprisal
+    assert selfsc[101] < got[101]
