@@ -2303,6 +2303,52 @@ def _duck_ivf_trained_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """
 
 
+def _duck_pca_sql(dim: int = 64, iters: int = 2) -> str:
+    """DuckDB oracle for centered power iteration (mirror of
+    vectors.train_pca_direction + pca_project): per-dim mean, v0 =
+    uniform 1/sqrt(dim) (0.125 — exactly representable for dim 64),
+    then ``iters`` unrolled rounds of u = Σ ce·(ce·v), v = u/|u|,
+    finishing with the per-vector projection."""
+    steps = []
+    prev = "v0"
+    for it in range(1, iters + 1):
+        steps.append(f"""
+    s{it} AS (SELECT vec_id, ce, list_dot_product(ce, v) AS s FROM cent, {prev}),
+    u{it} AS (SELECT g.i AS pos, sum(ce[g.i] * s) AS u
+              FROM s{it} CROSS JOIN generate_series(1, {dim}) g(i) GROUP BY g.i),
+    r{it} AS (SELECT list(u ORDER BY pos) AS vr FROM u{it}),
+    v{it} AS (SELECT list_transform(vr, x -> x / sqrt(list_dot_product(vr, vr))) AS v
+              FROM r{it})""")
+        prev = f"v{it}"
+    chain = ",".join(steps)
+    return f"""
+    WITH m AS (SELECT list(a ORDER BY pos) AS mean FROM (
+         SELECT g.i AS pos, avg(embedding[g.i]::DOUBLE) AS a
+         FROM embeddings CROSS JOIN generate_series(1, {dim}) g(i) GROUP BY g.i)),
+    cent AS (SELECT vec_id,
+                    list_transform(generate_series(1, {dim}),
+                                   i -> embedding[i]::DOUBLE - mean[i]) AS ce
+             FROM embeddings, m),
+    v0 AS (SELECT list_transform(generate_series(1, {dim}),
+                                 i -> 1.0 / sqrt({dim})) AS v),{chain}
+    SELECT vec_id, round(list_dot_product(ce, v), 4) AS pc1 FROM cent, {prev}
+    """
+
+
+@_q("vec_pca_projection", _duck_pca_sql())
+def vec_pca_projection(spark, sf_dir):
+    """Trained dimensionality reduction: dominant centered principal
+    direction via distributed power iteration (2 rounds, deterministic
+    uniform start — no covariance matrix ever materializes, each round
+    is one scan + 64 sums), then the per-vector PC1 projection. The
+    oracle unrolls the identical recurrence in SQL, so the TRAINING is
+    what's checked, not just the projection."""
+    e = _t(spark, sf_dir, "embeddings")
+    mean, direction = vec_ops.train_pca_direction(e, "embedding", dim=64, iters=2)
+    out = vec_ops.pca_project(e, "vec_id", "embedding", mean, direction)
+    return out.select("vec_id", F.round("pc1", 4).alias("pc1"))
+
+
 @_q("vec_ivf_trained_cells", _duck_ivf_trained_sql())
 def vec_ivf_trained_cells(spark, sf_dir):
     """IVF with a TRAINED coarse quantizer: deterministic Lloyd's
@@ -5314,6 +5360,7 @@ _PRIORITY = [
     "text_unigram_surprisal",
     "text_bpe_pair_merge",
     "text_bigram_surprisal",
+    "vec_pca_projection",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5338,7 +5385,6 @@ _PRIORITY = [
     "ml_stratified_sample",
     "profile_documents",
     "mm_binary_features",
-    "cdc_snapshot_diff",
     "text_tfidf_topk",
     "text_chunk_token_budget",
     "join_range_binned",
@@ -5349,6 +5395,7 @@ _PRIORITY = [
     "agg_corr_covar",
     "agg_cube_status_priority",
     "pipeline_training_data",
+    "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",
     "mm_resize_plan",

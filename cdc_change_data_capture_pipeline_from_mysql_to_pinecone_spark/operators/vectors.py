@@ -568,3 +568,76 @@ def pq_encode_with(
     return emb_df.withColumn(
         "pq_code", F.expr("array(" + ",".join(f"CAST({p} AS INT)" for p in parts) + ")")
     )
+
+
+def train_pca_direction(
+    emb_df: DataFrame, vec_col: str, dim: int, iters: int = 2
+) -> tuple[list[float], list[float]]:
+    """Dominant principal direction of a centered embedding corpus via
+    distributed POWER ITERATION — the eigen-solver that fits Spark's
+    model: each iteration is ONE scan computing ``dim`` sums
+    (u_i = Σ_rows ce_i · (ce·v), i.e. C·v without ever materializing
+    the dim×dim covariance or exploding rows), then a driver-side
+    normalize of dim floats. Same iterative-trainer discipline as
+    train_ivf_centroids: bounded driver state, deterministic start
+    (v0 = uniform 1/sqrt(dim), no RNG), so repeated training — and an
+    external SQL oracle unrolling the same recurrence — converges
+    identically. Returns (mean, direction), both length ``dim``.
+
+    iters=2-4 suffices for a quality-filter/visualization axis; the
+    classic deflation trick (subtract the rank-1 component, re-run)
+    yields further components with the same machinery."""
+    import math
+
+    from ..functions.vector import dot as vdot
+    from ..functions.vector import lit_double_array
+
+    vec = F.col(vec_col)
+    mean_row = emb_df.agg(
+        *[
+            F.avg(F.element_at(vec, i + 1).cast("double")).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).collect()[0]
+    mean = [float(mean_row[f"m{i}"]) for i in range(dim)]
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        mlit, vlit = lit_double_array(mean), lit_double_array(v)
+        cent = F.zip_with(vec, mlit, lambda a, b: a.cast("double") - b)
+        row = (
+            emb_df.select(cent.alias("_c"), vdot(cent, vlit).alias("_s"))
+            .agg(
+                *[
+                    F.sum(F.element_at(F.col("_c"), i + 1) * F.col("_s")).alias(f"u{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()[0]
+        )
+        u = [float(row[f"u{i}"]) for i in range(dim)]
+        norm = math.sqrt(sum(x * x for x in u))
+        v = [x / norm for x in u]
+    return mean, v
+
+
+def pca_project(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean: list[float],
+    direction: list[float],
+    out_col: str = "pc1",
+) -> DataFrame:
+    """Project each (centered) embedding onto a principal direction —
+    one codegen'd dot product per row, the dimensionality-reduction
+    read path paired with :func:`train_pca_direction`."""
+    from ..functions.vector import dot as vdot
+    from ..functions.vector import lit_double_array
+
+    cent = F.zip_with(
+        F.col(vec_col), lit_double_array(mean), lambda a, b: a.cast("double") - b
+    )
+    return emb_df.select(
+        F.col(id_col), vdot(cent, lit_double_array(direction)).alias(out_col)
+    )

@@ -26,7 +26,7 @@ def test_registry_priority_order():
                   "sql_frontend_setops", "dedup_winnow_fingerprints",
                   "dedup_winnow_candidates", "incremental_changelog_rollup",
                   "text_unigram_surprisal", "text_bpe_pair_merge",
-                  "text_bigram_surprisal"):
+                  "text_bigram_surprisal", "vec_pca_projection"):
         assert probe in front, probe
 
 
