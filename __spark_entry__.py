@@ -4525,6 +4525,55 @@ def join_range_binned(spark, sf_dir):
 
 
 @_q(
+    "join_interval_overlap",
+    """
+    WITH a AS (SELECT l_orderkey, l_linenumber, l_shipdate::DATE AS l_ship,
+                      l_shipdate::DATE + 4 * l_linenumber AS l_enddate
+               FROM lineitem WHERE l_orderkey % 97 = 0),
+         b AS (SELECT o_orderkey, o_orderdate::DATE AS o_start,
+                      o_orderdate::DATE + 14 AS o_end
+               FROM orders WHERE o_orderkey % 89 = 0)
+    SELECT a.l_orderkey, a.l_linenumber, b.o_orderkey,
+           CAST(date_diff('day', greatest(l_ship, o_start),
+                          least(l_enddate, o_end)) AS BIGINT) AS overlap_days
+    FROM a JOIN b ON l_ship <= o_end AND o_start <= l_enddate
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join via the binned equi-join scale
+    path (relational.binned_overlap_join): lineitem transit windows
+    [shipdate, shipdate + 4*linenumber days] against 14-day order
+    windows, 30-day bins, each pair kept at its canonical first-common
+    bin (no distinct pass), exact overlap as residual. The oracle is
+    the direct theta join — same pairs, linear shuffle instead of
+    BNL."""
+    ship = F.col("l_shipdate").cast("date")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey", "l_linenumber", ship.alias("_l_ship"),
+        F.date_add(ship, (F.col("l_linenumber") * 4).cast("int")).alias("_l_end"),
+        F.unix_date(ship).alias("_alo"),
+        (F.unix_date(ship) + F.col("l_linenumber") * 4).alias("_ahi"),
+    )
+    ostart = F.col("o_orderdate").cast("date")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 89 == 0).select(
+        "o_orderkey", ostart.alias("_o_start"),
+        F.date_add(ostart, 14).alias("_o_end"),
+        F.unix_date(ostart).alias("_blo"),
+        (F.unix_date(ostart) + 14).alias("_bhi"),
+    )
+    joined = relational.binned_overlap_join(
+        li, o, "_alo", "_ahi", "_blo", "_bhi", bin_width=30.0
+    )
+    return joined.select(
+        "l_orderkey", "l_linenumber", "o_orderkey",
+        F.datediff(
+            F.least(F.col("_l_end"), F.col("_o_end")),
+            F.greatest(F.col("_l_ship"), F.col("_o_start")),
+        ).cast("long").alias("overlap_days"),
+    )
+
+
+@_q(
     "join_salted_skew",
     """
     SELECT o_orderpriority, count(*) AS n_items,
@@ -5361,6 +5410,7 @@ _PRIORITY = [
     "text_bpe_pair_merge",
     "text_bigram_surprisal",
     "vec_pca_projection",
+    "join_interval_overlap",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5384,7 +5434,6 @@ _PRIORITY = [
     "ml_hash_split",
     "ml_stratified_sample",
     "profile_documents",
-    "mm_binary_features",
     "text_tfidf_topk",
     "text_chunk_token_budget",
     "join_range_binned",
@@ -5395,6 +5444,7 @@ _PRIORITY = [
     "agg_corr_covar",
     "agg_cube_status_priority",
     "pipeline_training_data",
+    "mm_binary_features",
     "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",

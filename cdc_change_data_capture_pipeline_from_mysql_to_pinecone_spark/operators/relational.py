@@ -255,3 +255,81 @@ def binned_range_join(
     if how in ("right", "full"):
         out = out.unionByName(_unmatched(intervals, points))
     return out
+
+
+def binned_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval x interval OVERLAP join — the J6 variant
+    binned_range_join (point-in-band) doesn't cover: row pairs with
+    [a_lo, a_hi] ∩ [b_lo, b_hi] ≠ ∅ (closed-interval semantics,
+    a_lo <= b_hi AND b_lo <= a_hi).
+
+    Scale shape: both sides explode into the fixed-width bins their
+    interval touches and the join keys on the bin id — an equi-join
+    shuffle, never a cartesian/BNL pass. A pair overlapping several
+    shared bins would surface once per bin; instead of a distinct pass
+    (a full extra shuffle of the output), each pair is kept only at
+    its CANONICAL bin — max(floor(a_lo/W), floor(b_lo/W)), the first
+    bin both intervals occupy, which for any overlapping pair exists
+    and is unique. The exact overlap predicate runs as a post-join
+    residual. Replication = interval_width/bin_width + 1 rows per
+    side, so size ``bin_width`` to the typical interval width.
+
+    Outer modes recover unmatched preserved-side rows with the same
+    whole-row null-safe anti-join binned_range_join uses."""
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"binned_overlap_join supports inner/left/right/full, got {how!r}"
+        )
+
+    def bins(lo: str, hi: str):
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi) / F.lit(bin_width)).cast("long"),
+            )
+        )
+
+    ab = a.withColumn("_bin", bins(a_lo, a_hi))
+    bb = b.withColumn("_bin", bins(b_lo, b_hi))
+    canonical = F.greatest(
+        F.floor(F.col(a_lo) / F.lit(bin_width)).cast("long"),
+        F.floor(F.col(b_lo) / F.lit(bin_width)).cast("long"),
+    )
+    inner = (
+        ab.join(bb, "_bin")
+        .filter(F.col("_bin") == canonical)
+        .filter((F.col(a_lo) <= F.col(b_hi)) & (F.col(b_lo) <= F.col(a_hi)))
+        .drop("_bin")
+    )
+    if how == "inner":
+        return inner
+
+    out = inner
+
+    def _unmatched(side: DataFrame, other: DataFrame) -> DataFrame:
+        matched = inner.select(*side.columns).distinct().alias("_m")
+        s = side.alias("_s")
+        cond = None
+        for c in side.columns:
+            eq = F.col(f"_s.{c}").eqNullSafe(F.col(f"_m.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        other_types = {f.name: f.dataType for f in other.schema.fields}
+        return s.join(matched, cond, "left_anti").select(
+            "*",
+            *[F.lit(None).cast(other_types[c]).alias(c) for c in other.columns],
+        )
+
+    if how in ("left", "full"):
+        out = out.unionByName(_unmatched(a, b))
+    if how in ("right", "full"):
+        out = out.unionByName(_unmatched(b, a))
+    return out

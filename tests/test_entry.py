@@ -26,7 +26,8 @@ def test_registry_priority_order():
                   "sql_frontend_setops", "dedup_winnow_fingerprints",
                   "dedup_winnow_candidates", "incremental_changelog_rollup",
                   "text_unigram_surprisal", "text_bpe_pair_merge",
-                  "text_bigram_surprisal", "vec_pca_projection"):
+                  "text_bigram_surprisal", "vec_pca_projection",
+                  "join_interval_overlap"):
         assert probe in front, probe
 
 

@@ -141,3 +141,41 @@ def test_binned_range_outer_join_matches_plain(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
         assert binned.exceptAll(plain).count() == 0, how
         assert plain.exceptAll(binned).count() == 0, how
+
+
+def test_binned_overlap_join_plan_and_parity(spark, sf_dir):
+    """binned_overlap_join must (a) match the naive theta overlap join
+    with multiplicity exactness — the canonical-bin assignment emits
+    each overlapping pair exactly once despite multi-bin replication —
+    (b) run as an equi-join (no BNL/cartesian), and (c) hold for full
+    outer (unmatched intervals surface once, null-extended)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        binned_overlap_join,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("a_id"),
+        F.col("s_acctbal").alias("a_lo"),
+        (F.col("s_acctbal") + 150).alias("a_hi"),
+    )
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 3).select(
+        F.col("c_custkey").alias("b_id"),
+        F.col("c_acctbal").alias("b_lo"),
+        (F.col("c_acctbal") + 80).alias("b_hi"),
+    )
+    binned = binned_overlap_join(s, c, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=100.0)
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    naive = s.join(c, (F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi")))
+    got = binned.select("a_id", "b_id")
+    want = naive.select("a_id", "b_id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    full_b = binned_overlap_join(
+        s, c, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=100.0, how="full"
+    ).select("a_id", "b_id")
+    full_n = s.join(
+        c, (F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi")), "full"
+    ).select("a_id", "b_id")
+    assert full_b.exceptAll(full_n).count() == 0 and full_n.exceptAll(full_b).count() == 0
