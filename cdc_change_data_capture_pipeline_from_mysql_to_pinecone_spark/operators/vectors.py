@@ -601,6 +601,21 @@ def train_pca_direction(
     ).collect()[0]
     mean = [float(mean_row[f"m{i}"]) for i in range(dim)]
 
+    v = _power_iterate(emb_df, vec, mean, dim, iters, previous=[])
+    return mean, v
+
+
+def _power_iterate(emb_df, vec, mean, dim, iters, previous):
+    """One power-iteration run; ``previous`` directions are deflated
+    out driver-side (Hotelling: u := u - (u·v_j)v_j after each C·v,
+    before normalizing) so the iteration converges to the dominant
+    eigendirection of the residual space — the data is never modified,
+    only dim-float vectors on the driver."""
+    import math
+
+    from ..functions.vector import dot as vdot
+    from ..functions.vector import lit_double_array
+
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(iters):
         mlit, vlit = lit_double_array(mean), lit_double_array(v)
@@ -616,9 +631,35 @@ def train_pca_direction(
             .collect()[0]
         )
         u = [float(row[f"u{i}"]) for i in range(dim)]
+        for p in previous:
+            proj = sum(a * b for a, b in zip(u, p))
+            u = [a - proj * b for a, b in zip(u, p)]
         norm = math.sqrt(sum(x * x for x in u))
         v = [x / norm for x in u]
-    return mean, v
+    return v
+
+
+def train_pca_directions(
+    emb_df: DataFrame, vec_col: str, dim: int, n_components: int = 2, iters: int = 4
+) -> tuple[list[float], list[list[float]]]:
+    """Top-``n_components`` principal directions: power iteration with
+    Hotelling deflation — each subsequent run orthogonalizes its
+    iterate against the directions already found (driver-side dim-float
+    math; the distributed scans are identical to the first component's,
+    so cost is n_components × iters scans). Returns (mean, [v1..vk]),
+    mutually orthonormal."""
+    vec = F.col(vec_col)
+    mean_row = emb_df.agg(
+        *[
+            F.avg(F.element_at(vec, i + 1).cast("double")).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).collect()[0]
+    mean = [float(mean_row[f"m{i}"]) for i in range(dim)]
+    found: list[list[float]] = []
+    for _ in range(n_components):
+        found.append(_power_iterate(emb_df, vec, mean, dim, iters, previous=found))
+    return mean, found
 
 
 def pca_project(

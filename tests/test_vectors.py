@@ -271,3 +271,32 @@ def test_pca_rayleigh_quotient_monotone_on_fixture(spark, sf_dir):
         )
         var[iters] = vals.var()
     assert var[3] >= var[1] * (1 - 1e-9), var
+
+
+def test_pca_deflation_recovers_two_planted_directions(spark):
+    """With two planted orthogonal directions (10x and 5x the noise),
+    deflated power iteration recovers both in order, mutually
+    orthonormal, each aligned with numpy's exact eigenvectors."""
+    import numpy as np
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        train_pca_directions,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n = 16, 400
+    u1 = rng.randn(dim); u1 /= np.linalg.norm(u1)
+    u2 = rng.randn(dim); u2 -= u1 * (u2 @ u1); u2 /= np.linalg.norm(u2)
+    X = (np.outer(rng.randn(n) * 10.0, u1)
+         + np.outer(rng.randn(n) * 5.0, u2)
+         + rng.randn(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    mean, vs = train_pca_directions(df, "embedding", dim=dim, n_components=2, iters=5)
+    Xc = X - X.mean(axis=0)
+    _w, V = np.linalg.eigh(Xc.T @ Xc)
+    assert abs(float(np.dot(vs[0], V[:, -1]))) > 0.99
+    assert abs(float(np.dot(vs[1], V[:, -2]))) > 0.99
+    assert abs(float(np.dot(vs[0], vs[1]))) < 1e-6
