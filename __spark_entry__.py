@@ -4574,6 +4574,38 @@ def join_interval_overlap(spark, sf_dir):
 
 
 @_q(
+    "join_bloom_prefilter",
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 490000
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Runtime-filter join (relational.bloom_prefilter_join): a
+    4096-bit Bloom filter over the selective dim's keys (one bit_or
+    aggregation) broadcasts to the fact, dropping non-candidate rows
+    BEFORE the join shuffle — at 100 TB that is the exchange-volume
+    win Spark's own runtime bloomFilter rule targets, here explicit
+    and portable. Result is exactly the plain join (no false
+    negatives; false positives die in the exact join), which is what
+    the oracle checks."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 490000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = relational.bloom_prefilter_join(li, o, "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@_q(
     "join_salted_skew",
     """
     SELECT o_orderpriority, count(*) AS n_items,
@@ -5411,6 +5443,7 @@ _PRIORITY = [
     "text_bigram_surprisal",
     "vec_pca_projection",
     "join_interval_overlap",
+    "join_bloom_prefilter",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5432,7 +5465,6 @@ _PRIORITY = [
     "dedup_embedding_neardup",
     "vec_centroid_per_label",
     "ml_hash_split",
-    "ml_stratified_sample",
     "profile_documents",
     "text_tfidf_topk",
     "text_chunk_token_budget",
@@ -5445,6 +5477,7 @@ _PRIORITY = [
     "agg_cube_status_priority",
     "pipeline_training_data",
     "mm_binary_features",
+    "ml_stratified_sample",
     "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",

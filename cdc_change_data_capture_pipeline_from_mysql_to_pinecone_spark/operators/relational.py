@@ -333,3 +333,62 @@ def binned_overlap_join(
     if how in ("right", "full"):
         out = out.unionByName(_unmatched(b, a))
     return out
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    num_slots: int = 64,
+    num_probes: int = 4,
+) -> DataFrame:
+    """Equi-join with a Bloom-filter pre-filter on the fact side — the
+    runtime-filter pattern (Spark's own runtime.bloomFilter injects
+    this automatically for some shapes; this operator is the explicit,
+    portable form): build a ``num_slots``×64-bit Bloom filter over the
+    dim keys (one aggregation — num_slots bit_or partial aggregates,
+    combining map-side), broadcast the single filter row, drop fact
+    rows failing any of the ``num_probes`` membership probes BEFORE
+    the join shuffle, then run the exact join.
+
+    Result is EXACTLY the plain join: a Bloom filter has no false
+    negatives, and false positives (rate ~(1-e^(-kn/m))^k — size
+    num_slots to the dim key count) only let extra rows through to the
+    exact join, which discards them. The win is shuffle volume: at
+    100 TB a selective dim means most fact rows never enter the
+    exchange. Probes are xxhash64(key, seed) — pure codegen, no UDF,
+    no driver round-trip (the filter rides a broadcast cross join).
+    ``how`` must be inner or left_semi: preserved-fact outer joins
+    cannot drop fact rows early."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"bloom_prefilter_join supports inner/left_semi, got {how!r}")
+    m_bits = num_slots * 64
+
+    def pos(i: int) -> str:
+        return f"pmod(xxhash64({on}, {i}), {m_bits})"
+
+    slot_masks = [
+        " | ".join(
+            f"(CASE WHEN ({pos(i)} DIV 64) = {j}"
+            f" THEN shiftleft(1L, CAST({pos(i)} % 64 AS INT)) ELSE 0L END)"
+            for i in range(num_probes)
+        )
+        for j in range(num_slots)
+    ]
+    bloom = dim.select(
+        *[F.expr(m).alias(f"_s{j}") for j, m in enumerate(slot_masks)]
+    ).agg(
+        F.expr(
+            "array(" + ", ".join(f"bit_or(_s{j})" for j in range(num_slots)) + ") AS _bf"
+        )
+    )
+    probe = None
+    for i in range(num_probes):
+        hit = F.expr(
+            f"(element_at(_bf, CAST({pos(i)} DIV 64 AS INT) + 1)"
+            f" >> CAST({pos(i)} % 64 AS INT)) & 1 = 1"
+        )
+        probe = hit if probe is None else (probe & hit)
+    filtered = fact.crossJoin(F.broadcast(bloom)).filter(probe).drop("_bf")
+    return filtered.join(dim, on, how)
