@@ -4574,6 +4574,25 @@ def join_interval_overlap(spark, sf_dir):
 
 
 @_q(
+    "ids_dense_assign",
+    """
+    SELECT event_id,
+           row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS dense_id
+    FROM events
+    """,
+)
+def ids_dense_assign(spark, sf_dir):
+    """Contiguous 0..n-1 corpus ids in (ts, event_id) order via
+    relational.assign_dense_ids: range repartition + PARALLEL
+    per-partition windows + broadcast offsets — never the global
+    single-partition sort the oracle's plain window form implies
+    (which is exactly the plan shape that dies at 100 TB)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = relational.assign_dense_ids(e, ["ts", "event_id"])
+    return out.select("event_id", "dense_id")
+
+
+@_q(
     "join_bloom_prefilter",
     """
     SELECT o_orderpriority, count(*) AS n_items,
@@ -5444,6 +5463,7 @@ _PRIORITY = [
     "vec_pca_projection",
     "join_interval_overlap",
     "join_bloom_prefilter",
+    "ids_dense_assign",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5465,7 +5485,6 @@ _PRIORITY = [
     "dedup_embedding_neardup",
     "vec_centroid_per_label",
     "ml_hash_split",
-    "profile_documents",
     "text_tfidf_topk",
     "text_chunk_token_budget",
     "join_range_binned",
@@ -5478,6 +5497,7 @@ _PRIORITY = [
     "pipeline_training_data",
     "mm_binary_features",
     "ml_stratified_sample",
+    "profile_documents",
     "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",

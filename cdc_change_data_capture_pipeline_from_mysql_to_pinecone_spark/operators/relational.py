@@ -392,3 +392,59 @@ def bloom_prefilter_join(
         probe = hit if probe is None else (probe & hit)
     filtered = fact.crossJoin(F.broadcast(bloom)).filter(probe).drop("_bf")
     return filtered.join(dim, on, how)
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "dense_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 0..n-1 ids in total ``order_cols`` order WITHOUT a
+    global single-partition sort — the stable-corpus-ids op every
+    training pipeline needs (shard-stable sample numbering, vocab
+    ids, example ids for split bookkeeping).
+
+    The single-window form (row_number over a global ORDER BY) sorts
+    the entire table through ONE partition — the canonical scale
+    killer. Instead: range-repartition on the keys (the same sampled
+    boundaries a distributed sort uses), per-partition row_number
+    (parallel windows, each sorting only its slice), and add broadcast
+    cumulative offsets computed from the tiny per-partition counts.
+
+    The range partitioning is MATERIALIZED once (eager
+    localCheckpoint) before the counts job: RangePartitioner's sampled
+    boundaries are seeded per RDD, so the offsets job and the final
+    job would otherwise each draw their OWN boundaries and the offsets
+    would describe a partitioning the final job doesn't have —
+    block-shifted ids (observed, 9% of rows at sf0.01). The
+    materialization is the same cost class as the shuffle a
+    distributed sort pays anyway.
+
+    ``order_cols`` must be a total order (unique composite) for the
+    ids to be deterministic — ties would fall arbitrarily within a
+    partition."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in sorted(offsets.items()) for x in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn(
+            id_col,
+            (F.row_number().over(w) - 1 + omap[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )

@@ -224,3 +224,31 @@ def test_bloom_prefilter_join_rejects_outer(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     with pytest.raises(ValueError, match="inner/left_semi"):
         bloom_prefilter_join(li, o, "o_orderkey", how="left")
+
+
+def test_assign_dense_ids_matches_global_window_without_global_sort(spark, sf_dir):
+    """Dense ids must equal the single-window global row_number form
+    value-for-value, while the plan contains NO single-partition
+    exchange (the thing the operator exists to avoid). Also pins the
+    boundary-consistency fix: offsets and final job must see the SAME
+    range partitioning (RangePartitioner re-samples per job without
+    the materialization — block-shifted ids, observed)."""
+    from pyspark.sql import Window
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        assign_dense_ids,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    out = assign_dense_ids(e, ["ts", "event_id"], num_partitions=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    got = {r["event_id"]: r["dense_id"] for r in out.collect()}
+    w = Window.orderBy("ts", "event_id")
+    want = {
+        r["event_id"]: r["rn"]
+        for r in e.withColumn("rn", (F.row_number().over(w) - 1).cast("long")).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(len(got)))
