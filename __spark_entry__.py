@@ -4305,6 +4305,36 @@ def ml_hash_split(spark, sf_dir):
 
 
 @_q(
+    "ml_weighted_sample",
+    """
+    WITH pri AS (
+      SELECT doc_id, lang,
+             ln((('0x' || substr(md5(doc_id::VARCHAR || '#seed7'), 1, 15))::BIGINT
+                 % 2147483647 + 1) / 2147483648.0) / n_chars AS prio
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id) AS rn
+      FROM pri)
+    SELECT lang, doc_id FROM ranked WHERE rn <= 10
+    """,
+)
+def ml_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): 10 docs per language with inclusion
+    odds ∝ n_chars, priorities ln(u)/w from hash-uniforms — the
+    length-weighted quota draw a data mix uses, reproducible under
+    repartition/retries and replayed exactly by the oracle."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_sample(d, "doc_id", "n_chars", k=10, strata=["lang"], seed=7)
+    return out.select("lang", "doc_id")
+
+
+@_q(
     "ml_stratified_sample",
     """
     SELECT doc_id, lang
@@ -5464,6 +5494,7 @@ _PRIORITY = [
     "join_interval_overlap",
     "join_bloom_prefilter",
     "ids_dense_assign",
+    "ml_weighted_sample",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5478,7 +5509,6 @@ _PRIORITY = [
     "q18_large_orders_having",
     "q19_disjunctive_predicates",
     "vec_knn_bruteforce",
-    "vec_ann_topk",
     "vec_ivf_topk",
     "vec_ivf_trained_cells",
     "vec_lsh_bucket_histogram",
@@ -5498,6 +5528,7 @@ _PRIORITY = [
     "mm_binary_features",
     "ml_stratified_sample",
     "profile_documents",
+    "vec_ann_topk",
     "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",

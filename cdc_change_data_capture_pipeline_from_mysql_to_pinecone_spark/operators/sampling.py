@@ -170,3 +170,52 @@ def leakage_safe_split(
         label_col, F.coalesce(F.col("__lss_component"), df[id_col])
     ).drop("__lss_id", "__lss_component")
     return hash_split(labeled, label_col, fractions, seed, split_col)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each row gets priority ln(u)/w where
+    u is a hash-uniform in (0,1) derived from the key and seed, and
+    the top-k priorities win — inclusion odds scale with weight, and
+    the monotone ln transform selects exactly the classic u^(1/w)
+    keys without the extra pow. Like every operator in this module
+    the draw depends only on (key, seed) — repartition, retries, and
+    engine never move a row in or out of the sample, and an external
+    SQL oracle reproduces the selection.
+
+    With ``strata``, top-k per stratum via a ranking window
+    partitioned on the strata (parallel, k survivors per group — the
+    per-language / per-source quota draw); without, a global top-k
+    (TakeOrderedAndProject, no full sort). Weights must be > 0."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        MERSENNE31,
+    )
+
+    u = (
+        (seeded_hash64(F.col(key_col).cast("string"), seed) % MERSENNE31 + 1).cast("double")
+        / F.lit(float(MERSENNE31 + 1))
+    )
+    prio = F.log(u) / F.col(weight_col)
+    if strata:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*strata).orderBy(F.desc("_prio"), F.col(key_col))
+        return (
+            df.withColumn("_prio", prio)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_prio", "_rn")
+        )
+    return (
+        df.withColumn("_prio", prio)
+        .orderBy(F.desc("_prio"), F.col(key_col))
+        .limit(k)
+        .drop("_prio")
+    )

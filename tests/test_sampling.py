@@ -175,3 +175,33 @@ def test_leakage_safe_split_caller_id_component_columns(spark):
     # clustered rows share a split; singleton got its own label
     assert rows["a"]["split"] == rows["b"]["split"]
     assert rows["c"]["cluster_label"] == "c"
+
+
+def test_weighted_sample_tracks_weights_and_is_repartition_stable(spark):
+    """A-Res invariants: (a) selection is identical under repartition
+    (hash-deterministic, the module's core property); (b) across many
+    seeds, a 10x-weight item is included far more often than a 1x one
+    (inclusion odds track weights); (c) exactly k rows per stratum."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, "g", 10.0 if i < 10 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+
+    a = sorted(r["id"] for r in weighted_sample(df, "id", "w", 10, ["g"], seed=3).collect())
+    b = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(13), "id", "w", 10, ["g"], seed=3).collect()
+    )
+    assert a == b and len(a) == 10
+
+    heavy = light = 0
+    for seed in range(30):
+        got = {r["id"] for r in weighted_sample(df, "id", "w", 10, ["g"], seed=seed).collect()}
+        heavy += sum(1 for i in got if i < 10)
+        light += sum(1 for i in got if i >= 10)
+    # 10 heavy items at weight 10 vs 90 light at weight 1: heavy items
+    # should take well over a third of the 300 sampled slots (expected
+    # ~half); a uniform draw would give them ~10%
+    assert heavy > 100, (heavy, light)
