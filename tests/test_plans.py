@@ -255,3 +255,36 @@ def test_r5_new_query_plan_shapes(spark, sf_dir):
 
     plan = qs["text_source_cap"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_r5_continuation_plan_shapes(spark, sf_dir):
+    """Late-r5 additions keep their scale shapes:
+
+    - dedup_winnow_fingerprints: the k-gram md5 chain is materialized
+      through a Generate barrier, NOT inlined into the window-min
+      lambda — md5 appears a bounded number of times in the plan (the
+      k-fold recompute would splatter it).
+    - join_bloom_prefilter: the Bloom probe filters the fact BELOW the
+      exact join (xxhash64 probe in a Filter; the dim's filter rides a
+      BroadcastExchange), and no BNL/cartesian anywhere.
+    - join_interval_overlap: equi-join on the bin id, no BNL.
+    """
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    plan = qs["dedup_winnow_fingerprints"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5") <= 4, plan.count("md5")
+    assert "Generate explode" in plan, plan
+
+    plan = qs["join_bloom_prefilter"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the 1-row Bloom bitmap rides a broadcast nested loop BY DESIGN
+    # (constant-frame pattern); the KEY join itself must be a hash join
+    # and nothing may degenerate to a cartesian product
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = qs["join_interval_overlap"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
