@@ -2303,6 +2303,60 @@ def _duck_ivf_trained_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """
 
 
+def _duck_minhash_rollup_sql(num_hashes: int = 16) -> str:
+    """Single-shot per-language MinHash sketch + pairwise resemblance.
+    The Spark side chain-merges three ticks; component-min is
+    order-free, so the single-shot oracle must match EXACTLY — the
+    driver cross-checks the mergeability invariant itself."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        MERSENNE31,
+        universal_coeffs,
+    )
+
+    coeffs = universal_coeffs(num_hashes)
+    hash_cols = ",\n           ".join(
+        f"min(({a} * h + {b}) % {MERSENNE31}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+    sh AS (SELECT lang, {_duck_shingles(3)} AS shingles FROM toks),
+    bh AS (SELECT lang, unnest(list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31})) AS h FROM sh),
+    sk AS (SELECT lang, {hash_cols} FROM bh GROUP BY lang)
+    SELECT a.lang AS key_a, b.lang AS key_b,
+           ({agree}) / {num_hashes}.0 AS est_jaccard
+    FROM sk a JOIN sk b ON a.lang < b.lang
+    """
+
+
+@_q("incremental_minhash_rollup", _duck_minhash_rollup_sql())
+def incremental_minhash_rollup(spark, sf_dir):
+    """Maintained per-language MinHash sketches — the similarity
+    counterpart of the HLL distinct rollup: three CDC ticks sketched
+    and chain-merged by component-wise MIN (order-free and idempotent
+    like HLL's register max), then pairwise resemblance between
+    language groups from the sketch table alone. The oracle computes
+    the SINGLE-SHOT sketch: exact equality is the mergeability
+    invariant, checked cross-engine."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_minhash_rollup,
+        estimate_resemblance,
+        merge_minhash_rollups,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ticks = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    state = delta_minhash_rollup(ticks[0], ["lang"], "text")
+    for t in ticks[1:]:
+        state = merge_minhash_rollups(
+            state, delta_minhash_rollup(t, ["lang"], "text"), ["lang"]
+        )
+    return estimate_resemblance(state, "lang")
+
+
 def _duck_pca_sql(dim: int = 64, iters: int = 2) -> str:
     """DuckDB oracle for centered power iteration (mirror of
     vectors.train_pca_direction + pca_project): per-dim mean, v0 =
@@ -5495,6 +5549,7 @@ _PRIORITY = [
     "join_bloom_prefilter",
     "ids_dense_assign",
     "ml_weighted_sample",
+    "incremental_minhash_rollup",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5509,7 +5564,6 @@ _PRIORITY = [
     "q18_large_orders_having",
     "q19_disjunctive_predicates",
     "vec_knn_bruteforce",
-    "vec_ivf_topk",
     "vec_ivf_trained_cells",
     "vec_lsh_bucket_histogram",
     "dedup_embedding_neardup",
@@ -5529,6 +5583,7 @@ _PRIORITY = [
     "ml_stratified_sample",
     "profile_documents",
     "vec_ann_topk",
+    "vec_ivf_topk",
     "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",

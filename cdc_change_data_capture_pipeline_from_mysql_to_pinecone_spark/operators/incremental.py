@@ -181,3 +181,64 @@ def changelog_delta_rollup(
                 "min/max — recompute the key group or maintain a mergeable sketch"
             )
     return changelog.groupBy(*keys).agg(*aggs)
+
+
+def delta_minhash_rollup(
+    delta: DataFrame,
+    keys: list[str],
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-key MinHash SKETCH state from one tick — the similarity
+    counterpart of the HLL distinct rollup: each key group (source,
+    domain, shard) keeps the k component-mins of its pooled shingle
+    set. MIN is order-free and idempotent exactly like HLL's
+    per-register max, so tick-chained merges equal a single-shot
+    sketch EXACTLY (not approximately) — that is what makes a
+    corpus-wide similarity index maintainable from CDC deltas: pairwise
+    key-group resemblance (estimated Jaccard of their shingle sets =
+    fraction of agreeing components) stays queryable at any point
+    without ever rescanning old documents. Output columns ``mh0..mh{k-1}``
+    plus ``rollup_rows``."""
+    from ..functions.hashing import MERSENNE31, base_hash31, universal_coeffs, word_shingles
+
+    exploded = delta.select(
+        *[F.col(c) for c in keys],
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_s"),
+    ).select(*keys, base_hash31(F.col("_s")).alias("_h"))
+    aggs = [
+        F.expr(f"min(({a} * _h + {b}) % {MERSENNE31})").alias(f"mh{i}")
+        for i, (a, b) in enumerate(universal_coeffs(num_hashes))
+    ]
+    counts = delta.groupBy(*keys).agg(F.count(F.lit(1)).alias("rollup_rows"))
+    return exploded.groupBy(*keys).agg(*aggs).join(counts, keys)
+
+
+def merge_minhash_rollups(
+    stored: DataFrame, update: DataFrame, keys: list[str], num_hashes: int = 16
+) -> DataFrame:
+    """Merge sketch states: component-wise MIN per key (plus row
+    counts) — one state-sized shuffle, order-free, base data never
+    re-read. Same contract as merge_distinct_rollups."""
+    merged = stored.unionByName(update, allowMissingColumns=True)
+    aggs = [F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    aggs.append(F.sum("rollup_rows").alias("rollup_rows"))
+    return merged.groupBy(*keys).agg(*aggs)
+
+
+def estimate_resemblance(rollup: DataFrame, key: str, num_hashes: int = 16) -> DataFrame:
+    """Pairwise estimated Jaccard between key groups from their
+    sketches: fraction of agreeing MinHash components. O(groups²)
+    pairs of O(k)-wide states — groups are domains/shards (thousands),
+    never documents, so the cross join is on the TINY state table."""
+    a = rollup.select(F.col(key).alias("key_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)])
+    b = rollup.select(F.col(key).alias("key_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)])
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", (agree / F.lit(num_hashes)).alias("est_jaccard"))
+    )

@@ -299,3 +299,34 @@ def test_sweep_changelog_rollup_ticks_and_replay(spark, tmp_path):
     # job to drop); every live key must match the recompute exactly
     assert {g for g in got if g[1] != 0} == want
     assert ("b", 0, 0.0) in got
+
+
+def test_minhash_rollup_merge_is_order_free(spark, sf_dir):
+    """Component-min mergeability: any tick order and grouping yields
+    the identical sketch (exact equality, like the HLL invariant), and
+    resemblance estimates live in [0, 1]."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_minhash_rollup,
+        estimate_resemblance,
+        merge_minhash_rollups,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ticks = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def chain(order):
+        st = delta_minhash_rollup(ticks[order[0]], ["lang"], "text")
+        for i in order[1:]:
+            st = merge_minhash_rollups(st, delta_minhash_rollup(ticks[i], ["lang"], "text"), ["lang"])
+        return {r["lang"]: tuple(r[f"mh{j}"] for j in range(16)) for r in st.collect()}
+
+    single = {
+        r["lang"]: tuple(r[f"mh{j}"] for j in range(16))
+        for r in delta_minhash_rollup(d, ["lang"], "text").collect()
+    }
+    assert chain([0, 1, 2]) == chain([2, 0, 1]) == single
+
+    est = estimate_resemblance(
+        delta_minhash_rollup(d, ["lang"], "text"), "lang"
+    ).collect()
+    assert est and all(0.0 <= r["est_jaccard"] <= 1.0 for r in est)
