@@ -1291,6 +1291,30 @@ def dedup_winnow_candidates(spark, sf_dir):
     return dedup.winnow_candidate_pairs(fps, "doc_id", min_shared=2, max_bucket_size=50)
 
 
+@_q(
+    "dedup_setsim_exact",
+    r"""
+    WITH s AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+               FROM documents WHERE doc_id % 11 = 0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.tk, b.tk)) * 1.0 /
+                 (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jac
+          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.9
+    """,
+)
+def dedup_setsim_exact(spark, sf_dir):
+    """EXACT Jaccard >= 0.9 self-join via prefix filtering (PPJoin
+    family) — the exact counterpart of the approximate LSH candidate
+    pass; the oracle is the brute-force all-pairs join over the same
+    sample, so prefix filtering is proven to lose no pairs."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", "text"
+    )
+    out = dedup.set_similarity_join(d, "text", "doc_id", threshold=0.9)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _duck_simhash_sql(bits: int = 16) -> str:
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN ((hh >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
@@ -5550,6 +5574,7 @@ _PRIORITY = [
     "ids_dense_assign",
     "ml_weighted_sample",
     "incremental_minhash_rollup",
+    "dedup_setsim_exact",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5567,7 +5592,6 @@ _PRIORITY = [
     "vec_ivf_trained_cells",
     "vec_lsh_bucket_histogram",
     "dedup_embedding_neardup",
-    "vec_centroid_per_label",
     "ml_hash_split",
     "text_tfidf_topk",
     "text_chunk_token_budget",
@@ -5584,6 +5608,7 @@ _PRIORITY = [
     "profile_documents",
     "vec_ann_topk",
     "vec_ivf_topk",
+    "vec_centroid_per_label",
     "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",

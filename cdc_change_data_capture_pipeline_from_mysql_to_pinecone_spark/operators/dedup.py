@@ -350,3 +350,70 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def set_similarity_join(
+    df: DataFrame, text_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering
+    (Chaudhuri et al. ICDE'06 / PPJoin family) — the exact counterpart
+    of the approximate MinHash-LSH candidates: all pairs with
+    J(tokens(a), tokens(b)) >= threshold, no false positives OR
+    negatives.
+
+    Prefix principle: order every token set canonically by (corpus
+    frequency, token) — rarest first — and keep each doc's prefix of
+    n - ceil(t*n) + 1 tokens. The smallest common token of any
+    qualifying pair provably falls in BOTH prefixes, so bucketing on
+    prefix tokens loses nothing; pairs are then verified with the
+    exact intersection/union sizes. At scale the shuffle is driven by
+    RARE tokens (frequency-ascending order makes common tokens fall
+    outside prefixes), which is what keeps bucket sizes bounded on
+    Zipf-shaped corpora; a vocabulary where every doc shares most
+    tokens (this synthetic fixture) degenerates toward all-pairs —
+    real corpora are the sparse case the algorithm exists for.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b."""
+    import math
+
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    docs = df.select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+    freq = (
+        docs.select(F.explode("_tk").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    # canonical order: sort each doc's tokens by (freq, token)
+    ordered = (
+        docs.select("_id", "_tk", F.explode("_tk").alias("_tok"))
+        .join(freq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.first("_tk").alias("_tk"),
+            F.array_sort(F.collect_list(F.struct("_f", "_tok"))).alias("_sorted"),
+        )
+    )
+    n = F.size("_sorted")
+    plen = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    prefix = (
+        ordered.select(
+            "_id", "_tk", F.explode(F.slice("_sorted", 1, plen)).alias("_p")
+        )
+    )
+    a = prefix.select(
+        F.col("_id").alias("id_a"), F.col("_tk").alias("_tka"), F.col("_p").alias("_pa")
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), F.col("_tk").alias("_tkb"), F.col("_p").alias("_pb")
+    )
+    inter = F.size(F.array_intersect("_tka", "_tkb"))
+    union = F.size("_tka") + F.size("_tkb") - inter
+    return (
+        a.join(b, (F.col("_pa") == F.col("_pb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("_tka").alias("_tka"), F.first("_tkb").alias("_tkb"))
+        .select(
+            "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

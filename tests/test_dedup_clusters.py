@@ -114,3 +114,33 @@ def test_winnow_fingerprint_density(spark, sf_dir):
     per_doc = n_fps / n_docs
     # ~54 tokens/doc -> ~51 kgram hashes -> expected ~2/(8+1)*51 ≈ 11
     assert 4 <= per_doc <= 25, per_doc
+
+
+def test_set_similarity_join_exact_on_sparse_corpus(spark):
+    """On a sparse corpus (mostly-unique vocabularies — the case
+    prefix filtering exists for) the join must return exactly the
+    brute-force Jaccard pairs: planted near-dups found, disjoint docs
+    absent, scores exact."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    docs = [
+        (1, "aa bb cc dd ee ff gg hh ii jj"),
+        (2, "aa bb cc dd ee ff gg hh ii kk"),   # J(1,2) = 9/11
+        (3, "zz yy xx ww vv uu tt ss rr qq"),
+        (4, "zz yy xx ww vv uu tt ss rr qq"),   # J(3,4) = 1.0
+        (5, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in set_similarity_join(df, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert got == {(1, 2): round(9 / 11, 6), (3, 4): 1.0}
+    # threshold above J(1,2): only the identical pair remains
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_join(df, "text", "doc_id", threshold=0.9).collect()
+    }
+    assert strict == {(3, 4)}
