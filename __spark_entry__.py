@@ -1942,6 +1942,45 @@ def text_top_terms(spark, sf_dir):
 
 
 @_q(
+    "funnel_three_step_gated",
+    """
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+             AND epoch_us(e.ts) <= s1.t1 + 604800000000
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+             AND epoch_us(e.ts) <= s2.t2 + 604800000000
+           GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_three_step_gated(spark, sf_dir):
+    """Ordered 3-step funnel with a 7-day per-step gate
+    (relational.sequence_funnel, MATCH_RECOGNIZE-lite): greedy-first
+    signup -> click -> purchase chains, NULLs from the first failed
+    step — per-step drop-off read directly. Each step is a
+    pre-aggregated user-keyed join, never an event-level self-join."""
+    e = _t(spark, sf_dir, "events")
+    out = relational.sequence_funnel(
+        e, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], max_gap_seconds=7 * 86400,
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("t1").alias("t1_us"),
+        F.unix_micros("t2").alias("t2_us"),
+        F.unix_micros("t3").alias("t3_us"),
+    )
+
+
+@_q(
     "funnel_signup_to_purchase",
     """
     WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
@@ -5575,6 +5614,7 @@ _PRIORITY = [
     "ml_weighted_sample",
     "incremental_minhash_rollup",
     "dedup_setsim_exact",
+    "funnel_three_step_gated",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5584,7 +5624,6 @@ _PRIORITY = [
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
     "q6_forecast_revenue",
-    "q10_returned_items",
     "q12_priority_shipmode",
     "q18_large_orders_having",
     "q19_disjunctive_predicates",
@@ -5609,6 +5648,7 @@ _PRIORITY = [
     "vec_ann_topk",
     "vec_ivf_topk",
     "vec_centroid_per_label",
+    "q10_returned_items",
     "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",

@@ -448,3 +448,53 @@ def assign_dense_ids(
         )
         .drop("_pid")
     )
+
+
+def sequence_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered multi-step funnel (MATCH_RECOGNIZE-lite): per user, the
+    greedy-first completion chain t1 < t2 < ... over the given step
+    types, each step optionally within ``max_gap_seconds`` of the
+    previous. Output: (user, t1..tk) with NULLs from the first failed
+    step on — the per-step drop-off a conversion report reads directly.
+
+    Semantics are GREEDY-FIRST (each step binds to its earliest
+    qualifying event), the standard product-analytics funnel rule —
+    deterministic and O(steps) passes, but not existence-maximal under
+    gap constraints (a later step-i event can leave more slack for
+    step i+1; finding any satisfying chain is a per-user DP — the
+    state-machine-over-sorted-events form via applyInPandasWithState
+    is the streaming cousin).
+
+    Scale shape: step i is a filtered scan pre-aggregated to one row
+    per user (map-side combining min_by) joined user-keyed onto the
+    chain so far — never an event-level self-join; k steps = k
+    user-keyed state-sized joins."""
+    chain = None
+    for i, step in enumerate(steps, 1):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if chain is None:
+            chain = ev.groupBy("_u").agg(F.min("_ts").alias(f"t{i}"))
+        else:
+            cond_ts = F.col("_ts") > F.col(f"t{i - 1}")
+            if max_gap_seconds is not None:
+                cond_ts = cond_ts & (
+                    F.unix_micros(F.col("_ts"))
+                    <= F.unix_micros(F.col(f"t{i - 1}")) + max_gap_seconds * 1_000_000
+                )
+            nxt = (
+                ev.join(chain.select("_u", f"t{i - 1}"), "_u")
+                .filter(cond_ts)
+                .groupBy("_u")
+                .agg(F.min("_ts").alias(f"t{i}"))
+            )
+            chain = chain.join(nxt, "_u", "left")
+    return chain.withColumnRenamed("_u", user_col)

@@ -27,3 +27,43 @@ def test_consecutive_pairs_equals_global_lead_with_gaps(spark):
         for r in df.select("k", F.lead("v").over(Window.orderBy("k")).alias("nx")).collect()
     }
     assert got == expect
+
+
+def test_sequence_funnel_gap_gate_and_dropoff(spark):
+    """Greedy-first chain semantics: step binds to its earliest
+    qualifying event; a step outside the gap gates the REST of the
+    chain (NULLs onward); users failing step 1 are absent."""
+    import datetime
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        sequence_funnel,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [
+        # u1: full chain inside 24h gaps
+        (1, ts(0), "signup"), (1, ts(5), "click"), (1, ts(10), "purchase"),
+        # u2: click too late (>24h after signup) -> t2, t3 NULL
+        (2, ts(0), "signup"), (2, ts(30), "click"), (2, ts(31), "purchase"),
+        # u3: greedy binds the EARLIEST click (h1); purchase before it doesn't count
+        (3, ts(0), "signup"), (3, ts(1), "click"), (3, ts(2), "click"),
+        (3, ts(0.5), "purchase"),
+        # u4: never signed up -> absent
+        (4, ts(0), "click"), (4, ts(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in sequence_funnel(
+            df, "user_id", "ts", "event_type",
+            ["signup", "click", "purchase"], max_gap_seconds=86400,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (ts(0), ts(5), ts(10))
+    assert out[2] == (ts(0), None, None)
+    assert out[3] == (ts(0), ts(1), None)  # no purchase after the bound click
