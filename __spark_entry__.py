@@ -5074,6 +5074,30 @@ def sql_frontend_window_gsets(spark, sf_dir):
     return spark.sql(_SQL_FRONTEND_WINDOW_GSETS)
 
 
+_SQL_FRONTEND_LATERAL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_nationkey = 3
+"""
+
+
+@_q("sql_frontend_lateral", _SQL_FRONTEND_LATERAL)
+def sql_frontend_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery through the SQL front-end — the
+    top-k-per-row pattern as verbatim ANSI text parsed and planned by
+    both engines (Spark decorrelates it into a ranked join; DuckDB
+    executes the dependent scan)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(_SQL_FRONTEND_LATERAL)
+
+
 _SQL_FRONTEND_SETOPS = """
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     INTERSECT
@@ -5615,6 +5639,7 @@ _PRIORITY = [
     "incremental_minhash_rollup",
     "dedup_setsim_exact",
     "funnel_three_step_gated",
+    "sql_frontend_lateral",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5624,7 +5649,6 @@ _PRIORITY = [
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
     "q6_forecast_revenue",
-    "q12_priority_shipmode",
     "q18_large_orders_having",
     "q19_disjunctive_predicates",
     "vec_knn_bruteforce",
@@ -5649,6 +5673,7 @@ _PRIORITY = [
     "vec_ivf_topk",
     "vec_centroid_per_label",
     "q10_returned_items",
+    "q12_priority_shipmode",
     "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",
