@@ -1367,7 +1367,14 @@ def dedup_simhash_neardup(spark, sf_dir):
     )
 
 
-def _duck_cluster_survivors_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_band: int = 4) -> str:
+def _duck_cluster_survivors_sql(
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    tail: str = """SELECT u.doc_id, md5(u.text) AS fp
+    FROM u JOIN labels l ON u.doc_id = l.doc_id
+    WHERE u.doc_id = l.label""",
+) -> str:
     """DuckDB oracle for the full dedup tail: minhash -> LSH bands ->
     candidate pairs -> connected components (recursive CTE transitive
     closure; fine at oracle scale) -> lowest-id survivor per cluster."""
@@ -1408,10 +1415,8 @@ def _duck_cluster_survivors_sql(num_hashes: int = 16, num_bands: int = 4, rows_p
                     UNION
                     SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
     labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a)
-    SELECT u.doc_id, md5(u.text) AS fp
-    FROM u JOIN labels l ON u.doc_id = l.doc_id
-    WHERE u.doc_id = l.label
-    """
+    {tail}
+    """.format(tail=tail)
 
 
 def _duck_cluster_labels_cte() -> str:
@@ -1512,6 +1517,38 @@ def dedup_cluster_survivors(spark, sf_dir):
     comp = dedup.connected_components(pairs)
     kept = dedup.cluster_survivors(doubled, comp, "doc_id")
     return kept.select("doc_id", F.md5("text").alias("fp"))
+
+
+_BEST_SURVIVOR_TAIL = """, 
+    ranked AS (SELECT u.doc_id, l.label,
+                      row_number() OVER (PARTITION BY l.label
+                                         ORDER BY (u.doc_id % 7) DESC, u.doc_id) AS rn
+               FROM u JOIN labels l ON u.doc_id = l.doc_id)
+    SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS quality
+    FROM ranked WHERE rn = 1"""
+
+
+@_q(
+    "dedup_cluster_best_survivors",
+    _duck_cluster_survivors_sql(tail=_BEST_SURVIVOR_TAIL),
+)
+def dedup_cluster_best_survivors(spark, sf_dir):
+    """Quality-weighted survivor pick (dedup.cluster_survivors_by):
+    keep the BEST-scoring member of each near-dup cluster (synthetic
+    quality = doc_id % 7; ties -> lowest id) instead of the accidental
+    lowest id — the keep-the-clean-copy policy a real corpus dedup
+    wants. Same partial-aggregating max_by shape as exact_dedup; the
+    winner set provably mixes original and copy ids here, so the
+    oracle checks the scoring rule, not id order."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    sig = dedup.minhash_signatures(doubled, "text", "doc_id", num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sig, "doc_id", num_bands=4, rows_per_band=4)
+    comp = dedup.connected_components(pairs)
+    kept = dedup.cluster_survivors_by(
+        doubled, comp, "doc_id", score=F.col("doc_id") % 7
+    )
+    return kept.select("doc_id", (F.col("doc_id") % 7).cast("long").alias("quality"))
 
 
 @_q(
@@ -5640,6 +5677,7 @@ _PRIORITY = [
     "dedup_setsim_exact",
     "funnel_three_step_gated",
     "sql_frontend_lateral",
+    "dedup_cluster_best_survivors",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
@@ -5648,7 +5686,6 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
-    "q6_forecast_revenue",
     "q18_large_orders_having",
     "q19_disjunctive_predicates",
     "vec_knn_bruteforce",
@@ -5674,6 +5711,7 @@ _PRIORITY = [
     "vec_centroid_per_label",
     "q10_returned_items",
     "q12_priority_shipmode",
+    "q6_forecast_revenue",
     "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",

@@ -417,3 +417,28 @@ def set_similarity_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def cluster_survivors_by(
+    df: DataFrame, components: DataFrame, id_col: str, score: Column
+) -> DataFrame:
+    """Keep the best row per near-dup cluster by an arbitrary score
+    expression (ties: lowest id) — the quality-weighted survivor
+    pick: when near-duplicates differ (OCR noise vs clean copy,
+    truncated vs full), keep the best copy, not the accidental
+    lowest-id one. Same partial-aggregating max_by shape as
+    exact_dedup: one struct per cluster per partition crosses the
+    shuffle, never a sort."""
+    joined = df.join(components, df[id_col] == components.id, "left")
+    cluster = F.coalesce(F.col("component"), df[id_col])
+    keep = [c for c in df.columns]
+    return (
+        joined.groupBy(cluster.alias("_cl"))
+        .agg(
+            F.max_by(
+                F.struct(*[df[c] for c in keep]),
+                F.struct(score.alias("_s"), (-df[id_col]).alias("_tb")),
+            ).alias("_w")
+        )
+        .select("_w.*")
+    )
