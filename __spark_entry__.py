@@ -5458,6 +5458,61 @@ def cdc_apply_changelog(spark, sf_dir):
 
 
 @_q(
+    "cdc_store_diff",
+    """
+    WITH src AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                        CAST(floor(value * 1000) AS BIGINT) AS milli
+                 FROM events),
+    dst AS (SELECT event_id, user_id, ts_us, event_type,
+                   CASE WHEN event_id % 103 = 0 THEN milli + 1 ELSE milli END AS milli
+            FROM src WHERE event_id % 101 <> 0
+            UNION ALL
+            SELECT event_id + 10000000, user_id, ts_us, event_type, milli
+            FROM src WHERE event_id % 107 = 0),
+    d1 AS (SELECT event_id FROM src EXCEPT SELECT event_id FROM dst),
+    d2 AS (SELECT event_id FROM dst EXCEPT SELECT event_id FROM src),
+    d3 AS (SELECT s.event_id FROM src s JOIN dst d USING (event_id)
+           WHERE s.user_id IS DISTINCT FROM d.user_id
+              OR s.ts_us IS DISTINCT FROM d.ts_us
+              OR s.event_type IS DISTINCT FROM d.event_type
+              OR s.milli IS DISTINCT FROM d.milli)
+    SELECT event_id, 'missing' AS status FROM d1
+    UNION ALL SELECT event_id, 'extra' FROM d2
+    UNION ALL SELECT event_id, 'changed' FROM d3
+    """,
+)
+def cdc_store_diff(spark, sf_dir):
+    """Anti-entropy audit between source and CDC-maintained sink
+    (operators.cdc.store_diff): two-level merkle-style comparison —
+    per-bucket order-free digests first (B rows per side cross the
+    shuffle, map-side combined), full row comparison ONLY inside
+    unequal buckets. The sink here is the source deterministically
+    perturbed (drops, value changes, spurious extras); the oracle is
+    the direct EXCEPT/compare set logic — semantic truth, so a digest
+    collision or a bucket-pruning bug surfaces as a hash mismatch."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("milli"),
+    )
+    dst = (
+        e.filter(F.col("event_id") % 101 != 0)
+        .withColumn(
+            "milli",
+            F.when(F.col("event_id") % 103 == 0, F.col("milli") + 1).otherwise(
+                F.col("milli")
+            ),
+        )
+        .unionByName(
+            e.filter(F.col("event_id") % 107 == 0).withColumn(
+                "event_id", F.col("event_id") + 10_000_000
+            )
+        )
+    )
+    out = cdc.store_diff(e, dst, ["event_id"], num_buckets=64)
+    return out.select("event_id", "status")
+
+
+@_q(
     "text_source_cap",
     """
     SELECT doc_id, source FROM (
@@ -5678,11 +5733,11 @@ _PRIORITY = [
     "funnel_three_step_gated",
     "sql_frontend_lateral",
     "dedup_cluster_best_survivors",
+    "cdc_store_diff",
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
     "q13_customer_distribution",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
@@ -5712,6 +5767,7 @@ _PRIORITY = [
     "q10_returned_items",
     "q12_priority_shipmode",
     "q6_forecast_revenue",
+    "q15_top_supplier",
     "cdc_snapshot_diff",
     "stream_sessionize",
     "sql_frontend_cte_exists",

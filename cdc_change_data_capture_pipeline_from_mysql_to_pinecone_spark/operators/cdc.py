@@ -273,3 +273,80 @@ def scd2_history(
         .withColumn("valid_to", F.lead(change_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
     )
+
+
+def store_diff(
+    src: DataFrame,
+    dst: DataFrame,
+    key_cols: list[str],
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Anti-entropy consistency check between two keyed stores (source
+    table vs CDC-maintained sink) — the audit an at-least-once
+    pipeline needs to PROVE its sink converged. Two-level
+    merkle-style plan:
+
+    level 1: each side aggregates to ``num_buckets`` rows — bucket =
+    hash(key) mod B, digest = (count, bit_xor of the 64-bit row hash,
+    sum of its unsigned upper 32 bits) — all order-free, so partial
+    aggregation combines map-side and the shuffle carries B rows per
+    side, not the table. The additive component is 32-bit so an ANSI
+    BIGINT sum cannot overflow below ~2^31 rows per bucket — size
+    ``num_buckets`` so buckets stay under that (any sane B does);
+    level 2: ONLY rows hashing into unequal buckets re-enter a
+    full-width comparison (null-safe anti-joins both ways + an inner
+    value compare), so the expensive row-level pass touches the
+    divergent fraction, not 100 TB.
+
+    Output: one row per differing key with status 'missing' (in src
+    only), 'extra' (in dst only), or 'changed' (both, different
+    payload). Equal stores cost level 1 only. Row hashes are
+    xxhash64 over every column — internal to the comparison, so no
+    portability constraint."""
+    all_cols = src.columns
+    assert set(all_cols) == set(dst.columns), "schemas must agree"
+    key_expr = [F.col(c) for c in key_cols]
+    row_hash = F.xxhash64(*[F.col(c) for c in all_cols])
+    bucket = F.pmod(F.xxhash64(*key_expr), F.lit(num_buckets))
+
+    def digests(df):
+        return (
+            df.groupBy(bucket.alias("_b"))
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.shiftrightunsigned(row_hash, 32)).alias("_sum"),
+                F.expr(f"bit_xor(xxhash64({', '.join(all_cols)}))").alias("_xor"),
+            )
+        )
+
+    a, b = digests(src), digests(dst)
+    unequal = (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a._b") == F.col("b._b"), "full")
+        .filter(
+            ~(
+                F.col("a._n").eqNullSafe(F.col("b._n"))
+                & F.col("a._sum").eqNullSafe(F.col("b._sum"))
+                & F.col("a._xor").eqNullSafe(F.col("b._xor"))
+            )
+        )
+        .select(F.coalesce(F.col("a._b"), F.col("b._b")).alias("_b"))
+    )
+
+    s = src.withColumn("_b", bucket).join(F.broadcast(unequal), "_b")
+    d = dst.withColumn("_b", bucket).join(F.broadcast(unequal), "_b")
+    s_k = s.select(*key_cols, row_hash.alias("_h"))
+    d_k = d.select(*key_cols, row_hash.alias("_h"))
+    missing = s_k.join(d_k.select(*key_cols), key_cols, "left_anti").select(
+        *key_cols, F.lit("missing").alias("status")
+    )
+    extra = d_k.join(s_k.select(*key_cols), key_cols, "left_anti").select(
+        *key_cols, F.lit("extra").alias("status")
+    )
+    changed = (
+        s_k.alias("s")
+        .join(d_k.alias("d"), key_cols)
+        .filter(F.col("s._h") != F.col("d._h"))
+        .select(*key_cols, F.lit("changed").alias("status"))
+    )
+    return missing.unionByName(extra).unionByName(changed)

@@ -54,3 +54,27 @@ def test_chunk_documents_deterministic_under_duplicate_keys(spark):
         )
 
     assert run(df) == run(df.repartition(13)) == run(df.repartition(3, "text"))
+
+
+def test_store_diff_statuses_and_equal_stores(spark):
+    """Anti-entropy diff: equal stores yield an EMPTY diff (level 1
+    only); planted drop/extra/change each get the right status; keys
+    untouched never appear."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.cdc import (
+        store_diff,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"u{i % 3}", i * 10) for i in range(200)], "id long, u string, v long"
+    )
+    assert store_diff(src, src, ["id"], num_buckets=16).count() == 0
+
+    from pyspark.sql import functions as F
+
+    dst = (
+        src.filter(F.col("id") != 7)                      # 7 missing
+        .withColumn("v", F.when(F.col("id") == 11, 999).otherwise(F.col("v")))  # 11 changed
+        .unionByName(spark.createDataFrame([(1000, "ux", 1)], "id long, u string, v long"))
+    )
+    got = {r["id"]: r["status"] for r in store_diff(src, dst, ["id"], num_buckets=16).collect()}
+    assert got == {7: "missing", 11: "changed", 1000: "extra"}

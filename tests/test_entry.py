@@ -27,7 +27,7 @@ def test_registry_priority_order():
                   "dedup_winnow_candidates", "incremental_changelog_rollup",
                   "text_unigram_surprisal", "text_bpe_pair_merge",
                   "text_bigram_surprisal", "vec_pca_projection",
-                  "join_interval_overlap", "join_bloom_prefilter", "ids_dense_assign", "ml_weighted_sample", "incremental_minhash_rollup", "dedup_setsim_exact", "funnel_three_step_gated", "sql_frontend_lateral", "dedup_cluster_best_survivors"):
+                  "join_interval_overlap", "join_bloom_prefilter", "ids_dense_assign", "ml_weighted_sample", "incremental_minhash_rollup", "dedup_setsim_exact", "funnel_three_step_gated", "sql_frontend_lateral", "dedup_cluster_best_survivors", "cdc_store_diff"):
         assert probe in front, probe
 
 
