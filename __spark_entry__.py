@@ -1416,7 +1416,7 @@ def _duck_cluster_survivors_sql(
                     SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
     labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a)
     {tail}
-    """.format(tail=tail)
+    """
 
 
 def _duck_cluster_labels_cte() -> str:

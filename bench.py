@@ -47,17 +47,16 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # size the session to the data, same policy a cluster deploy uses:
-    # small inputs -> shuffle partitions = cores and AQE off (its stage
-    # materialization barriers dominate sub-GB queries; its skew/replan
-    # value only exists at scale — measured ~30% here). The r4 drop to
-    # 4 partitions was re-measured interleaved in r5 and lost ~8-18%
-    # across the headline set vs matching cores: local[32]'s per-task
-    # cost is low enough that shrinking below cores only serializes
-    # the shuffle stages (PERFORMANCE.md r5).
+def sized_session(sf_dir: str, app_name: str = "bench"):
+    """The benchmark session policy, shared by bench.py and
+    tools/ab.py so A/B ratios always measure under the configuration
+    the bench records: size the session to the data, same policy a
+    cluster deploy uses — small (sub-GiB) inputs get shuffle
+    partitions = cores and AQE off (its stage materialization barriers
+    dominate sub-GB queries; its skew/replan value only exists at
+    scale — measured ~30% here). The r4 drop to 4 partitions was
+    re-measured interleaved in r5 and lost ~8-18% across the headline
+    set vs matching cores (PERFORMANCE.md r5)."""
     input_bytes = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _d, fs in os.walk(sf_dir)
@@ -65,28 +64,27 @@ def main() -> None:
     )
     small = input_bytes < 1 << 30
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(
-        "bench",
+    return get_spark(
+        app_name,
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus if small else "64")),
         adaptive=not small,
     )
-    queries = entrymod.queries()
 
-    # JVM/reader warm-up (not timed): touch each fixture once.
+
+def warm_up(spark, sf_dir: str) -> None:
+    """JVM/reader warm-up (not timed): touch each fixture once, then
+    run one throwaway composite so the execution machinery (codegen
+    framework, shuffle writers, broadcast exchange, window exec) pays
+    its one-time init outside the timed region."""
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
         TABLES,
         load_table,
     )
-
-    for t in TABLES:
-        load_table(spark, sf_dir, t).count()
-    # warm the execution machinery itself (codegen framework, shuffle
-    # writers, broadcast exchange, window exec) with one throwaway
-    # composite — otherwise the first timed query pays the JVM's
-    # one-time init
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as _F
 
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     _o = load_table(spark, sf_dir, "orders")
     _c = load_table(spark, sf_dir, "customer")
     (
@@ -96,6 +94,14 @@ def main() -> None:
         .agg(_F.sum("o_totalprice"))
         .count()
     )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = sized_session(sf_dir)
+    queries = entrymod.queries()
+    warm_up(spark, sf_dir)
 
     # Three runs per query, min recorded: first-run whole-stage-codegen
     # compilation dominates cold timings (5-10x) and is a fixed cost

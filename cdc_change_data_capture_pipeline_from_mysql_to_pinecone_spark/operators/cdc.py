@@ -315,7 +315,7 @@ def store_diff(
             .agg(
                 F.count(F.lit(1)).alias("_n"),
                 F.sum(F.shiftrightunsigned(row_hash, 32)).alias("_sum"),
-                F.expr(f"bit_xor(xxhash64({', '.join(all_cols)}))").alias("_xor"),
+                F.bit_xor(row_hash).alias("_xor"),
             )
         )
 

@@ -161,10 +161,15 @@ def changelog_delta_rollup(
     for col, how in measures.items():
         before, after = F.col(f"{before_prefix}{col}"), F.col(f"{after_prefix}{col}")
         if how == "sum":
+            # NULL-transition safety: an update that sets the measure
+            # to NULL must retract the old value (and NULL -> v must
+            # add v); a bare after - before would be NULL and F.sum
+            # would silently drop the retraction
+            b0, a0 = F.coalesce(before, F.lit(0)), F.coalesce(after, F.lit(0))
             delta = (
-                F.when(op == "I", after)
-                .when(op == "D", -before)
-                .otherwise(after - before)
+                F.when(op == "I", a0)
+                .when(op == "D", -b0)
+                .otherwise(a0 - b0)
             )
             aggs.append(F.sum(delta).alias(f"sum_{col}"))
         elif how == "count":
@@ -212,7 +217,11 @@ def delta_minhash_rollup(
         for i, (a, b) in enumerate(universal_coeffs(num_hashes))
     ]
     counts = delta.groupBy(*keys).agg(F.count(F.lit(1)).alias("rollup_rows"))
-    return exploded.groupBy(*keys).agg(*aggs).join(counts, keys)
+    # counts drive the join: a tick whose rows for a key are all
+    # NULL-text produces zero shingles (no sketch row), but the key's
+    # row count must still reach the merged state (mh components stay
+    # NULL; merge's MIN skips them)
+    return counts.join(exploded.groupBy(*keys).agg(*aggs), keys, "left")
 
 
 def merge_minhash_rollups(

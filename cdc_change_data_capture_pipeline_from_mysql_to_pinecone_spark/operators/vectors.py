@@ -587,11 +587,6 @@ def train_pca_direction(
     iters=2-4 suffices for a quality-filter/visualization axis; the
     classic deflation trick (subtract the rank-1 component, re-run)
     yields further components with the same machinery."""
-    import math
-
-    from ..functions.vector import dot as vdot
-    from ..functions.vector import lit_double_array
-
     vec = F.col(vec_col)
     mean_row = emb_df.agg(
         *[

@@ -581,7 +581,15 @@ def sweep_changelog_rollup(
             watermark = fh.read().strip()
 
     log = spark.read.parquet(log_path)
-    delta = log if watermark is None else cdc_ops.incremental_scan(log, change_col, watermark)
+    # cast the marker string to the LSN column's own type BEFORE the
+    # compare: a string-vs-bigint comparison coerces both sides to
+    # DOUBLE, and adjacent LSNs above 2^53 collapse to equal doubles —
+    # a silently skipped (or replayed) changelog row
+    if watermark is None:
+        delta = log
+    else:
+        wm_typed = F.lit(watermark).cast(log.schema[change_col].dataType)
+        delta = log.filter(F.col(change_col) > wm_typed)
     wm_row = cdc_ops.next_watermark(delta, change_col).collect()[0]
     if wm_row["batch_rows"] == 0:
         return 0

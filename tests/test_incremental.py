@@ -330,3 +330,84 @@ def test_minhash_rollup_merge_is_order_free(spark, sf_dir):
         delta_minhash_rollup(d, ["lang"], "text"), "lang"
     ).collect()
     assert est and all(0.0 <= r["est_jaccard"] <= 1.0 for r in est)
+
+
+def test_changelog_rollup_sum_null_transitions(spark):
+    """Review fix: an update that NULLs a summed measure must retract
+    the old value, and NULL -> v must add v (a bare after - before is
+    NULL and F.sum drops it silently)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        changelog_delta_rollup,
+        delta_rollup,
+        merge_rollups,
+    )
+
+    measures = {"v": "sum"}
+    base = spark.createDataFrame([("a", 1, 10), ("a", 2, 20)], "k string, id long, v long")
+    state = delta_rollup(base, ["k"], measures)
+    tick = spark.createDataFrame(
+        [("a", "U", 10, None), ("a", "U", None, 7)],  # 10 -> NULL retract; NULL -> 7 add
+        "k string, op string, before_v long, after_v long",
+    )
+    state = merge_rollups(state, changelog_delta_rollup(tick, ["k"], measures), ["k"], measures)
+    got = {r["k"]: r["sum_v"] for r in state.collect()}
+    # 10 retracted, 7 added where before was NULL: 10+20 -10 +7 = 27
+    assert got == {"a": 27}
+
+
+def test_minhash_rollup_null_text_tick_keeps_counts(spark):
+    """Review fix: a tick whose rows for a key all have NULL text must
+    still contribute its row count to the merged state (the sketch
+    side has no row; counts drive the join)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_minhash_rollup,
+        merge_minhash_rollups,
+    )
+
+    t1 = spark.createDataFrame(
+        [(1, "g", "hello world foo bar baz"), (2, "h", None)],
+        "id long, k string, text string",
+    )
+    t2 = spark.createDataFrame(
+        [(3, "h", "real text arrives later now")], "id long, k string, text string"
+    )
+    s = delta_minhash_rollup(t1, ["k"], "text")
+    rows = {r["k"]: r["rollup_rows"] for r in s.collect()}
+    assert rows == {"g": 1, "h": 1}  # h present despite NULL text
+    s = merge_minhash_rollups(s, delta_minhash_rollup(t2, ["k"], "text"), ["k"])
+    merged = {r["k"]: (r["rollup_rows"], r["mh0"] is not None) for r in s.collect()}
+    assert merged["h"] == (2, True)  # counts accumulated; sketch filled by tick 2
+
+
+def test_sweep_changelog_rollup_large_lsn_watermark(spark, tmp_path):
+    """Review fix: LSNs above 2^53 must not round through DOUBLE in
+    the watermark compare (string-vs-bigint coercion) — adjacent LSNs
+    must stay distinguishable across ticks."""
+    import os
+
+    import pandas as pd
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        sweep_changelog_rollup,
+    )
+
+    base = 9007199254740992  # 2^53
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+
+    def append_log(fname, rows):
+        pdf = pd.DataFrame(rows, columns=["lsn", "op", "k", "before_v", "after_v"]).astype(
+            {"lsn": "int64", "before_v": "float64", "after_v": "float64"}
+        )
+        pdf.to_parquet(os.path.join(log_dir, fname), index=False)
+
+    append_log("t1.parquet", [(base + 1, "I", "a", None, 1.0)])
+    store = str(tmp_path / "store")
+    assert sweep_changelog_rollup(spark, log_dir, store, "t", "lsn", ["k"], {"v": "sum"}) == 1
+    # lsn base+2 differs from the stored watermark base+1 only below
+    # double precision — it must still be seen as new
+    append_log("t2.parquet", [(base + 2, "I", "a", None, 2.0)])
+    assert sweep_changelog_rollup(spark, log_dir, store, "t", "lsn", ["k"], {"v": "sum"}) == 1
+    state = {r["k"]: r["sum_v"] for r in
+             spark.read.parquet(os.path.join(store, "rollup_t")).collect()}
+    assert state == {"a": 3.0}

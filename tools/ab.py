@@ -7,6 +7,10 @@ alternates Spark and DuckDB executions per query within one window:
 for each query it runs [spark, duck, spark, duck, spark, duck] and
 records each engine's min, then prints per-query and total ratios.
 
+Session sizing and warm-up are IMPORTED from bench.py (sized_session /
+warm_up) so the A/B always measures under the configuration the bench
+records — a policy change there cannot silently diverge this tool.
+
 Usage: python tools/ab.py [query ...]   (default: bench HEADLINE set)
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 """
@@ -21,8 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from bench import HEADLINE  # noqa: E402
-from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark import get_spark  # noqa: E402
+from bench import HEADLINE, sized_session, warm_up  # noqa: E402
 from tests.oracle_harness import duck_con  # noqa: E402
 
 
@@ -32,40 +35,9 @@ def main() -> None:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    input_bytes = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _d, fs in os.walk(sf_dir)
-        for f in fs
-    )
-    small = input_bytes < 1 << 30
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(
-        "ab",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus if small else "64")),
-        adaptive=not small,
-    )
+    spark = sized_session(sf_dir, app_name="ab")
     con = duck_con(sf_dir)
-
-    # same warm-up as bench.py
-    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
-        TABLES,
-        load_table,
-    )
-
-    for t in TABLES:
-        load_table(spark, sf_dir, t).count()
-    from pyspark.sql import Window as _W
-    from pyspark.sql import functions as _F
-
-    _o = load_table(spark, sf_dir, "orders")
-    _c = load_table(spark, sf_dir, "customer")
-    (
-        _o.join(_F.broadcast(_c), _o.o_custkey == _c.c_custkey)
-        .withColumn("_r", _F.row_number().over(_W.partitionBy("o_custkey").orderBy("o_orderkey")))
-        .groupBy("o_orderstatus")
-        .agg(_F.sum("o_totalprice"))
-        .count()
-    )
+    warm_up(spark, sf_dir)
 
     rows = []
     for name in names:
