@@ -186,3 +186,98 @@ def test_bigram_surprisal_backoff_flags_scrambled_text(spark):
               bigram_surprisal(score.filter("doc_id = 101"), "doc_id", "text").collect()}
     # self-scoring attests every bigram -> no backoff -> lower surprisal
     assert selfsc[101] < got[101]
+
+
+@settings(**_SETTINGS)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["I", "U", "D"]),
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_changelog_maintenance_matches_model(spark_g, ops):
+    """Random I/U/D sequences: the maintained (rollup_rows, sum) per
+    key must equal a python dict-model replay. Ops are made
+    SELF-CONSISTENT (U/D use the model's current value as the before
+    image; U/D on an absent key are skipped; I assigns the drawn
+    value) — exactly the contract a real changelog satisfies."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        changelog_delta_rollup,
+        delta_rollup,
+        merge_rollups,
+    )
+
+    model: dict[str, list] = {"a": [], "b": [], "c": []}
+    rows = []
+    next_id = 0
+    for op, k, v in ops:
+        if op == "I":
+            model[k].append(v)
+            rows.append((k, "I", None, v))
+        elif model[k]:
+            before = model[k][0]
+            if op == "D":
+                model[k].pop(0)
+                rows.append((k, "D", before, None))
+            else:
+                model[k][0] = v
+                rows.append((k, "U", before, v))
+        next_id += 1
+    if not rows:
+        return
+    log = spark_g.createDataFrame(
+        rows, "k string, op string, before_v long, after_v long"
+    )
+    measures = {"v": "sum"}
+    empty = delta_rollup(
+        spark_g.createDataFrame([], "k string, v long"), ["k"], measures
+    )
+    state = merge_rollups(
+        empty, changelog_delta_rollup(log, ["k"], measures), ["k"], measures
+    )
+    got = {r["k"]: (r["rollup_rows"], r["sum_v"]) for r in state.collect()}
+    for k, vals in model.items():
+        want_n = len(vals)
+        want_sum = sum(v for v in vals if v is not None)
+        if k in got:
+            g_n, g_sum = got[k]
+            assert g_n == want_n, (k, got[k], vals)
+            assert (g_sum or 0) == want_sum, (k, got[k], vals)
+        else:
+            assert want_n == 0 and want_sum == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    drop=st.sets(st.integers(min_value=0, max_value=60), max_size=8),
+    change=st.sets(st.integers(min_value=0, max_value=60), max_size=8),
+    extra=st.sets(st.integers(min_value=100, max_value=130), max_size=5),
+)
+def test_store_diff_matches_set_model(spark_g, drop, change, extra):
+    """store_diff vs the obvious set model under random perturbations:
+    dropped keys -> missing, changed payloads -> changed, added keys
+    -> extra, everything else absent — regardless of which digest
+    buckets the perturbations land in."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.cdc import (
+        store_diff,
+    )
+
+    src_rows = [(i, i * 3) for i in range(61)]
+    src = spark_g.createDataFrame(src_rows, "id long, v long")
+    dst_rows = [
+        (i, v + (1 if i in change else 0)) for i, v in src_rows if i not in drop
+    ] + [(i, 0) for i in extra]
+    dst = spark_g.createDataFrame(dst_rows, "id long, v long")
+    got = {
+        r["id"]: r["status"]
+        for r in store_diff(src, dst, ["id"], num_buckets=8).collect()
+    }
+    want = {i: "missing" for i in drop}
+    want.update({i: "changed" for i in change if i not in drop})
+    want.update({i: "extra" for i in extra})
+    assert got == want
