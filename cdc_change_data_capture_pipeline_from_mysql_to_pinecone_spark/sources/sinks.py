@@ -471,3 +471,68 @@ def _hive_partition_cols(path: str) -> list[str]:
             return cols
         cols.append(subs[0].split("=", 1)[0])
         cur = os.path.join(cur, subs[0])
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "kbucket",
+) -> int:
+    """DELETE keys from a hash-bucketed keyed table — the missing verb
+    of upsert-by-id stores (the reference's index never deletes;
+    SURVEY §2.9): same touched-buckets discipline as
+    upsert_parquet_partitioned — only the bucket partitions holding
+    deleted keys are read (partition pruning), anti-joined, and
+    atomically swapped; untouched buckets stay byte-identical and the
+    marker's committed row count is maintained incrementally. Returns
+    the number of bucket partitions rewritten. No-op on an absent
+    table or empty key set."""
+    import os
+    import shutil
+    import uuid
+
+    recover_table(path)
+    marker_n, committed_rows = _read_marker(path)
+    observed = _observed_bucket_ids(path, bucket_col)
+    if not observed:
+        return 0
+    n = marker_n if marker_n is not None else _pow2_at_least(max(observed) + 1)
+    keyed = keys.select(*key_cols).distinct().withColumn(
+        bucket_col, F.pmod(F.hash(*key_cols), F.lit(n)).cast("int")
+    )
+    touched = sorted(
+        r[0] for r in keyed.select(bucket_col).distinct().collect() if r[0] in set(observed)
+    )
+    if not touched:
+        return 0
+    current = spark.read.parquet(path).filter(F.col(bucket_col).isin(touched))
+    remaining = current.join(
+        F.broadcast(keyed.select(*key_cols)), key_cols, "left_anti"
+    )
+    tmp = os.path.join(path, f"_tmp-{uuid.uuid4().hex[:8]}")
+    remaining.repartition(*[F.col(c) for c in key_cols]).write.mode("overwrite").partitionBy(
+        bucket_col
+    ).parquet(tmp)
+    bucket_dirs = [os.path.join(path, f"{bucket_col}={b}") for b in touched]
+    removed = (
+        sum(_footer_rows(d) for d in bucket_dirs if os.path.exists(d))
+        if committed_rows is not None
+        else 0
+    )
+    for b in touched:
+        src = os.path.join(tmp, f"{bucket_col}={b}")
+        dstdir = os.path.join(path, f"{bucket_col}={b}")
+        if os.path.exists(src):
+            _swap_in(dstdir, src)
+        elif os.path.exists(dstdir):
+            # every row of the bucket was deleted: drop the partition
+            shutil.rmtree(dstdir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    if committed_rows is not None:
+        added = sum(_footer_rows(d) for d in bucket_dirs if os.path.exists(d))
+        _write_marker(path, n, committed_rows - removed + added)
+    else:
+        _write_marker(path, n, _footer_rows(path))
+    return len(touched)

@@ -1,0 +1,142 @@
+"""Pinecone-shaped vector-store façade — the drop-in user API.
+
+The reference's user talks to an index object: ``index.upsert(
+[{id, values, metadata}, ...])`` (service_layer/service.py:151-166)
+and ``index.query(vector, top_k, include_metadata=True)``
+(utils/embeddings_utils.py:10-14). :class:`VectorStore` is that
+surface over the engine's machinery, so "switching" is literal:
+
+- storage  = the hash-bucketed keyed parquet table
+  (sinks.upsert_parquet_partitioned / delete_keys): O(batch) MERGE
+  rewriting only touched buckets, crash-safe atomic swaps,
+  auto-sized + auto-regrowing bucket count;
+- query    = operators.vectors: exact cosine top-k
+  (TakeOrderedAndProject — never a global sort) or hyperplane-LSH ANN
+  with corpus-adaptive plane count and optional multi-probe;
+- fetch    = bucket-pruned point lookups (only the partitions the
+  requested ids hash into are read);
+- delete   = the verb the reference's pipeline lacks entirely
+  (its sweep only ever upserts — a source-side DELETE never reaches
+  the index).
+
+Semantics: upsert is last-CALL-wins per id — each call stamps a
+monotonically increasing store version (persisted in a ``_verseq``
+marker next to the table), so replaying an upsert batch is idempotent
+and two sequential calls resolve to the later one, matching the
+reference index's overwrite-by-id behavior.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import vectors as vec_ops
+from .sinks import delete_keys, recover_table, upsert_parquet_partitioned
+
+_VERSEQ = "_verseq"
+
+
+class VectorStore:
+    """A keyed vector index at ``path`` (created on first upsert)."""
+
+    def __init__(self, spark: SparkSession, path: str, dim: int):
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+        recover_table(path)
+
+    # -- write path --------------------------------------------------
+
+    def _next_version(self) -> int:
+        seq_path = os.path.join(self.path, _VERSEQ)
+        last = 0
+        if os.path.exists(seq_path):
+            with open(seq_path) as fh:
+                last = int(fh.read().strip() or 0)
+        nxt = last + 1
+        os.makedirs(self.path, exist_ok=True)
+        with open(seq_path, "w") as fh:
+            fh.write(str(nxt))
+        return nxt
+
+    def upsert(self, records: DataFrame | list[dict]) -> int:
+        """MERGE records (``id``, ``values``, optional extra columns
+        e.g. ``metadata``) by id, last call wins. Returns the number
+        of bucket partitions rewritten (O(batch), not O(index))."""
+        if not isinstance(records, DataFrame):
+            records = self.spark.createDataFrame(records)
+        assert "id" in records.columns and "values" in records.columns
+        stamped = records.withColumn("_ver", F.lit(self._next_version()))
+        return upsert_parquet_partitioned(
+            self.spark, self.path, stamped, ["id"], "_ver"
+        )
+
+    def delete(self, ids: list) -> int:
+        """Remove ids; only their bucket partitions are rewritten."""
+        keys = self.spark.createDataFrame([(i,) for i in ids], ["id"])
+        return delete_keys(self.spark, self.path, keys, ["id"])
+
+    # -- read path ---------------------------------------------------
+
+    def _table(self) -> DataFrame:
+        recover_table(self.path)
+        return self.spark.read.parquet(self.path)
+
+    def query(
+        self,
+        vector: list[float],
+        top_k: int = 10,
+        mode: str = "exact",
+        multi_probe: int = 0,
+    ) -> DataFrame:
+        """Top-k most-cosine-similar records. ``mode='exact'`` scans
+        everything through a TakeOrderedAndProject; ``mode='ann'``
+        probes the query's LSH bucket(s) — the scan-fraction dial for
+        an index that outgrew exact search."""
+        t = self._table()
+        if mode == "exact":
+            hits = vec_ops.cosine_topk(t, "id", "values", vector, k=top_k)
+        elif mode == "ann":
+            hits = vec_ops.ann_topk(
+                t, "id", "values", vector, dim=self.dim, k=top_k,
+                n_planes=None, multi_probe=multi_probe,
+                n_rows=self.stats()["count"],
+            )
+        else:
+            raise ValueError(f"mode must be exact|ann, got {mode!r}")
+        meta = [c for c in t.columns if c not in ("values", "kbucket", "_ver")]
+        # the metadata join does not preserve the top-k order — restore
+        # it (k rows; the sort is driver-trivial)
+        return (
+            hits.join(t.select(*meta), "id")
+            .select(*meta, "score")
+            .orderBy(F.desc("score"), "id")
+        )
+
+    def fetch(self, ids: list) -> DataFrame:
+        """Point lookups with bucket pruning: only the partitions the
+        ids hash into are read."""
+        from .sinks import _read_marker
+
+        n, _rows = _read_marker(self.path)
+        t = self._table()
+        if n:
+            buckets = {
+                r[0]
+                for r in self.spark.createDataFrame([(i,) for i in ids], ["id"])
+                .select(F.pmod(F.hash("id"), F.lit(n)).cast("int").alias("b"))
+                .distinct()
+                .collect()
+            }
+            t = t.filter(F.col("kbucket").isin(sorted(buckets)))
+        return t.filter(F.col("id").isin(ids)).drop("kbucket", "_ver")
+
+    def stats(self) -> dict:
+        """Index statistics from the table marker (no scan)."""
+        from .sinks import _read_marker
+
+        n, rows = _read_marker(self.path)
+        return {"count": rows or 0, "num_buckets": n or 0, "dim": self.dim}

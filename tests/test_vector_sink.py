@@ -135,3 +135,46 @@ def test_streaming_into_vector_connector(spark, sf_dir, tmp_path):
     ids = sorted(r["id"] for b in batches for r in b)
     assert len(ids) == 10 and len(set(ids)) == 10  # 1000 events / 100-row chunks
     assert all(i.startswith("events#") for i in ids)
+
+
+def test_vector_store_facade_end_to_end(spark, tmp_path):
+    """The reference-shaped index API: upsert -> query(exact & ann) ->
+    fetch -> overwrite-by-id -> delete, with stats maintained and the
+    self-query always ranking itself first."""
+    import numpy as np
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    dim = 8
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, dim)
+    store = VectorStore(spark, str(tmp_path / "idx"), dim=dim)
+    recs = [
+        {"id": f"doc{i}", "values": [float(x) for x in vecs[i]], "metadata": f"m{i}"}
+        for i in range(30)
+    ]
+    assert store.upsert(recs) > 0
+    assert store.stats()["count"] == 30
+
+    q = [float(x) for x in vecs[7]]
+    top = store.query(q, top_k=3).collect()
+    assert top[0]["id"] == "doc7" and top[0]["metadata"] == "m7"
+    assert abs(top[0]["score"] - 1.0) < 1e-6
+
+    ann = store.query(q, top_k=3, mode="ann", multi_probe=1).collect()
+    assert ann and ann[0]["id"] == "doc7"
+
+    got = {r["id"] for r in store.fetch(["doc3", "doc9", "nope"]).collect()}
+    assert got == {"doc3", "doc9"}
+
+    # overwrite-by-id: second call wins
+    store.upsert([{"id": "doc7", "values": [1.0] + [0.0] * (dim - 1), "metadata": "new"}])
+    assert store.stats()["count"] == 30
+    assert store.fetch(["doc7"]).collect()[0]["metadata"] == "new"
+
+    assert store.delete(["doc7", "doc8"]) > 0
+    assert store.stats()["count"] == 28
+    assert store.fetch(["doc7"]).count() == 0
+    assert store.query(q, top_k=3).collect()[0]["id"] != "doc7"
