@@ -603,3 +603,69 @@ def sweep_changelog_rollup(
 
     _commit_rollup(rollup_path, new_state, wm_row["last_updated"])
     return wm_row["batch_rows"]
+
+
+def stateful_funnel(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    max_gap_seconds: int | None = None,
+):
+    """The streaming cousin of relational.sequence_funnel: the
+    greedy-first funnel automaton as a custom STATEFUL operator
+    (applyInPandasWithState, T6). Per-user state = the chain
+    timestamps bound so far (micros; NULL = unbound); each micro-batch
+    sorts its events by event time and advances the automaton — an
+    event binds iff it matches the first unbound step and falls
+    strictly after (and within ``max_gap_seconds`` of) the previous
+    binding. Emits the user's current chain row each update.
+
+    Parity contract (tested): when each user's events arrive in
+    event-time order across micro-batches, the final state equals the
+    batch sequence_funnel exactly — and the chain completes across
+    batch boundaries (signup in one file, purchase three files later),
+    which is the point of keeping state at all. Out-of-order arrivals
+    degrade exactly like every greedy streaming consumer: an event
+    older than the automaton's cursor cannot un-bind a step (use the
+    batch operator over a corrected replay for that)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(steps)
+    gap_us = max_gap_seconds * 1_000_000 if max_gap_seconds is not None else None
+    out_fields = [T.StructField(user_col, T.LongType())] + [
+        T.StructField(f"t{j + 1}_us", T.LongType()) for j in range(k)
+    ]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [T.StructField(f"t{j + 1}", T.LongType()) for j in range(k)]
+    )
+
+    def advance(key, pdfs, state):
+        bound = list(state.get) if state.exists else [None] * k
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col)
+        for ts, typ in zip(batch[ts_col], batch[type_col]):
+            i = next((j for j in range(k) if bound[j] is None), None)
+            if i is None:
+                break
+            if typ != steps[i]:
+                continue
+            us = int(pd.Timestamp(ts).value // 1000)
+            if i == 0:
+                bound[0] = us
+            else:
+                prev = bound[i - 1]
+                if prev is not None and us > prev and (
+                    gap_us is None or us <= prev + gap_us
+                ):
+                    bound[i] = us
+        state.update(tuple(bound))
+        yield pd.DataFrame(
+            {user_col: [key[0]], **{f"t{j + 1}_us": [bound[j]] for j in range(k)}}
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        advance, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -273,3 +273,83 @@ def test_transform_with_state_in_pandas(spark, sf_dir):
         assert rows["s"] == 1000
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stateful_funnel_matches_batch_and_carries_state(spark, sf_dir, tmp_path):
+    """The streaming funnel automaton must (a) equal the batch
+    sequence_funnel on the fixture when fed as one availableNow pass,
+    and (b) complete chains ACROSS micro-batches — signup, click,
+    purchase arriving in three separate files must still bind (the
+    state carry that makes it a stateful operator at all)."""
+    import datetime
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        sequence_funnel,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        stateful_funnel,
+    )
+
+    steps = ["signup", "click", "purchase"]
+    gap = 7 * 86400
+
+    # (a) fixture parity, single availableNow pass
+    stream = _events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
+    q = (
+        stateful_funnel(stream, "user_id", "ts", "event_type", steps, gap)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"])
+        for r in spark.sql("SELECT * FROM funnel_state").collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: tuple(
+            None if r[f"t{j}"] is None else int(r[f"t{j}"].timestamp() * 1_000_000)
+            for j in (1, 2, 3)
+        )
+        for r in sequence_funnel(e, "user_id", "ts", "event_type", steps, gap).collect()
+    }
+    assert got == want
+
+    # (b) chain completion across micro-batches (one file per step)
+    src = str(tmp_path / "multi")
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(src, name), index=False)
+
+    write_file("b1.parquet", [(1, t0, "signup")])
+    write_file("b2.parquet", [(1, t0 + datetime.timedelta(hours=1), "click")])
+    write_file("b3.parquet", [(1, t0 + datetime.timedelta(hours=2), "purchase")])
+    schema = "user_id long, ts timestamp, event_type string"
+    ms = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_funnel(ms, "user_id", "ts", "event_type", steps, gap)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_multi")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM funnel_multi WHERE t3_us IS NOT NULL"
+    ).collect()
+    assert rows, "chain must complete across three micro-batches"
+    t1, t2, t3 = rows[-1]["t1_us"], rows[-1]["t2_us"], rows[-1]["t3_us"]
+    assert t1 < t2 < t3
