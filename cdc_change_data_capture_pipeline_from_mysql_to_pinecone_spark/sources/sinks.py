@@ -479,6 +479,7 @@ def delete_keys(
     keys: DataFrame,
     key_cols: list[str],
     bucket_col: str = "kbucket",
+    num_buckets: int | None = None,
 ) -> int:
     """DELETE keys from a hash-bucketed keyed table — the missing verb
     of upsert-by-id stores (the reference's index never deletes;
@@ -488,7 +489,17 @@ def delete_keys(
     atomically swapped; untouched buckets stay byte-identical and the
     marker's committed row count is maintained incrementally. Returns
     the number of bucket partitions rewritten. No-op on an absent
-    table or empty key set."""
+    table or empty key set.
+
+    Bucket-count resolution follows upsert's trust rules exactly: the
+    marker is authoritative (a conflicting explicit count raises); a
+    marker-less legacy table trusts an explicit ``num_buckets`` over
+    the pow2 inference — with the WRONG count keys hash to buckets
+    their rows don't live in and the delete silently misses. A
+    fully-emptied bucket is renamed aside before removal (the
+    _swap_in discipline): a crash in the window leaves the aside for
+    recover_table, which restores the pre-delete state — re-running
+    the delete then converges (idempotent)."""
     import os
     import shutil
     import uuid
@@ -498,7 +509,22 @@ def delete_keys(
     observed = _observed_bucket_ids(path, bucket_col)
     if not observed:
         return 0
-    n = marker_n if marker_n is not None else _pow2_at_least(max(observed) + 1)
+    if marker_n is not None:
+        if num_buckets is not None and num_buckets != marker_n:
+            raise ValueError(
+                f"table at {path} is bucketed {marker_n}-way; "
+                f"num_buckets={num_buckets} would mis-hash the delete keys"
+            )
+        n = marker_n
+    elif num_buckets is not None:
+        if max(observed) >= num_buckets:
+            raise ValueError(
+                f"table at {path} has bucket id {max(observed)} >= "
+                f"num_buckets={num_buckets}; wrong count for this table"
+            )
+        n = num_buckets
+    else:
+        n = _pow2_at_least(max(observed) + 1)
     keyed = keys.select(*key_cols).distinct().withColumn(
         bucket_col, F.pmod(F.hash(*key_cols), F.lit(n)).cast("int")
     )
@@ -528,7 +554,13 @@ def delete_keys(
             _swap_in(dstdir, src)
         elif os.path.exists(dstdir):
             # every row of the bucket was deleted: drop the partition
-            shutil.rmtree(dstdir)
+            # via rename-aside (never a bare rmtree on live data — a
+            # crash mid-rmtree would leave a half-deleted bucket that
+            # recover_table cannot attribute)
+            base = os.path.basename(dstdir.rstrip("/"))
+            aside = os.path.join(path, f"_old-{base}-{uuid.uuid4().hex[:8]}")
+            os.rename(dstdir, aside)
+            shutil.rmtree(aside)
     shutil.rmtree(tmp, ignore_errors=True)
     if committed_rows is not None:
         added = sum(_footer_rows(d) for d in bucket_dirs if os.path.exists(d))

@@ -58,8 +58,16 @@ class VectorStore:
                 last = int(fh.read().strip() or 0)
         nxt = last + 1
         os.makedirs(self.path, exist_ok=True)
-        with open(seq_path, "w") as fh:
+        # atomic write (tmp + replace, the _write_marker discipline):
+        # a crash inside a truncating open would zero the sequence and
+        # every later upsert would stamp versions BELOW the stored
+        # rows' — max_by would then silently keep stale data forever
+        import uuid
+
+        tmp = seq_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
             fh.write(str(nxt))
+        os.replace(tmp, seq_path)
         return nxt
 
     def upsert(self, records: DataFrame | list[dict]) -> int:
@@ -67,22 +75,62 @@ class VectorStore:
         e.g. ``metadata``) by id, last call wins. Returns the number
         of bucket partitions rewritten (O(batch), not O(index))."""
         if not isinstance(records, DataFrame):
+            if not records:
+                return 0
             records = self.spark.createDataFrame(records)
         assert "id" in records.columns and "values" in records.columns
+        self._persist_schema(records)
         stamped = records.withColumn("_ver", F.lit(self._next_version()))
         return upsert_parquet_partitioned(
             self.spark, self.path, stamped, ["id"], "_ver"
         )
 
     def delete(self, ids: list) -> int:
-        """Remove ids; only their bucket partitions are rewritten."""
+        """Remove ids; only their bucket partitions are rewritten.
+        Empty id list is a no-op."""
+        if not ids:
+            return 0
         keys = self.spark.createDataFrame([(i,) for i in ids], ["id"])
         return delete_keys(self.spark, self.path, keys, ["id"])
+
+    def _schema_path(self) -> str:
+        return os.path.join(self.path, "_schema.ddl")
+
+    def _persist_schema(self, records: DataFrame) -> None:
+        """Remember the record schema (underscore file, invisible to
+        Spark) so a store whose every row was deleted still reads as
+        an EMPTY frame instead of failing parquet schema inference."""
+        ddl_path = self._schema_path()
+        if not os.path.exists(ddl_path):
+            os.makedirs(self.path, exist_ok=True)
+            import uuid
+
+            tmp = ddl_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write(records.schema.json())
+            os.replace(tmp, ddl_path)
 
     # -- read path ---------------------------------------------------
 
     def _table(self) -> DataFrame:
         recover_table(self.path)
+        from .sinks import _observed_bucket_ids
+
+        if not _observed_bucket_ids(self.path, "kbucket"):
+            # every row deleted (or nothing upserted yet): an empty
+            # store reads as an empty frame, never a parquet
+            # schema-inference failure
+            from pyspark.sql.types import IntegerType, StructType
+
+            if os.path.exists(self._schema_path()):
+                import json as _json
+
+                with open(self._schema_path()) as fh:
+                    schema = StructType.fromJson(_json.load(fh))
+            else:
+                schema = StructType()
+            schema = schema.add("_ver", "long").add("kbucket", IntegerType())
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.path)
 
     def query(
@@ -118,11 +166,13 @@ class VectorStore:
 
     def fetch(self, ids: list) -> DataFrame:
         """Point lookups with bucket pruning: only the partitions the
-        ids hash into are read."""
+        ids hash into are read. Empty id list -> empty frame."""
         from .sinks import _read_marker
 
         n, _rows = _read_marker(self.path)
         t = self._table()
+        if not ids:
+            return t.limit(0).drop("kbucket", "_ver")
         if n:
             buckets = {
                 r[0]

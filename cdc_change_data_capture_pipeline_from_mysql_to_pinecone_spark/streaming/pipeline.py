@@ -634,7 +634,8 @@ def stateful_funnel(
 
     k = len(steps)
     gap_us = max_gap_seconds * 1_000_000 if max_gap_seconds is not None else None
-    out_fields = [T.StructField(user_col, T.LongType())] + [
+    key_type = stream.schema[user_col].dataType  # generic over key type
+    out_fields = [T.StructField(user_col, key_type)] + [
         T.StructField(f"t{j + 1}_us", T.LongType()) for j in range(k)
     ]
     out_schema = T.StructType(out_fields)
@@ -647,6 +648,12 @@ def stateful_funnel(
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(ts_col)
         for ts, typ in zip(batch[ts_col], batch[type_col]):
+            if pd.isna(ts):
+                # NULL event time: unusable for ordering/gap math —
+                # skip, matching the batch operator (whose min/compare
+                # semantics drop NULLs); binding NaT would poison the
+                # chain with -2^63 micros forever
+                continue
             i = next((j for j in range(k) if bound[j] is None), None)
             if i is None:
                 break

@@ -214,7 +214,6 @@ def test_changelog_maintenance_matches_model(spark_g, ops):
 
     model: dict[str, list] = {"a": [], "b": [], "c": []}
     rows = []
-    next_id = 0
     for op, k, v in ops:
         if op == "I":
             model[k].append(v)
@@ -227,7 +226,6 @@ def test_changelog_maintenance_matches_model(spark_g, ops):
             else:
                 model[k][0] = v
                 rows.append((k, "U", before, v))
-        next_id += 1
     if not rows:
         return
     log = spark_g.createDataFrame(

@@ -312,7 +312,9 @@ def test_stateful_funnel_matches_batch_and_carries_state(spark, sf_dir, tmp_path
     e = load_table(spark, sf_dir, "events")
     want = {
         r["user_id"]: tuple(
-            None if r[f"t{j}"] is None else int(r[f"t{j}"].timestamp() * 1_000_000)
+            # exact micros: timestamp()*1e6 is a lossy float round-trip
+            None if r[f"t{j}"] is None
+            else int(r[f"t{j}"].timestamp()) * 1_000_000 + r[f"t{j}"].microsecond
             for j in (1, 2, 3)
         )
         for r in sequence_funnel(e, "user_id", "ts", "event_type", steps, gap).collect()
@@ -353,3 +355,46 @@ def test_stateful_funnel_matches_batch_and_carries_state(spark, sf_dir, tmp_path
     assert rows, "chain must complete across three micro-batches"
     t1, t2, t3 = rows[-1]["t1_us"], rows[-1]["t2_us"], rows[-1]["t3_us"]
     assert t1 < t2 < t3
+
+
+def test_stateful_funnel_string_keys_and_null_ts(spark, tmp_path):
+    """Review fixes: the output schema derives the key type from the
+    stream (string keys work), and NULL event times are skipped
+    instead of binding NaT's -2^63 micros and bricking the chain."""
+    import datetime
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        stateful_funnel,
+    )
+
+    src = str(tmp_path / "sk")
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        [
+            ("alice", pd.NaT, "signup"),          # must NOT bind
+            ("alice", t0, "signup"),
+            ("alice", t0 + datetime.timedelta(minutes=5), "click"),
+        ],
+        columns=["user_id", "ts", "event_type"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(os.path.join(src, "b.parquet"), index=False)
+    ms = (
+        spark.readStream.schema("user_id string, ts timestamp, event_type string")
+        .parquet(src)
+    )
+    q = (
+        stateful_funnel(ms, "user_id", "ts", "event_type", ["signup", "click"], 3600)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_str")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_str").collect()
+    assert rows and rows[0]["user_id"] == "alice"
+    t0_us = int(t0.timestamp()) * 1_000_000
+    assert rows[0]["t1_us"] == t0_us              # real signup, not NaT
+    assert rows[0]["t2_us"] == t0_us + 300_000_000

@@ -178,3 +178,24 @@ def test_vector_store_facade_end_to_end(spark, tmp_path):
     assert store.stats()["count"] == 28
     assert store.fetch(["doc7"]).count() == 0
     assert store.query(q, top_k=3).collect()[0]["id"] != "doc7"
+
+
+def test_vector_store_empty_edges(spark, tmp_path):
+    """Review fixes: empty-list upsert/delete/fetch are no-ops, and a
+    store whose EVERY row was deleted still reads as an empty frame
+    (persisted schema) instead of a parquet inference failure."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    dim = 4
+    store = VectorStore(spark, str(tmp_path / "idx2"), dim=dim)
+    assert store.upsert([]) == 0
+    assert store.delete([]) == 0
+    ids = [f"d{i}" for i in range(5)]
+    store.upsert([{"id": i, "values": [1.0, 0.0, 0.0, 0.0]} for i in ids])
+    assert store.fetch([]).count() == 0
+    assert store.delete(ids) > 0
+    assert store.stats()["count"] == 0
+    assert store.fetch(ids).count() == 0          # empty-store read path
+    assert store.query([1.0, 0, 0, 0], top_k=3).count() == 0
