@@ -5643,6 +5643,72 @@ def text_bpe_pair_merge(spark, sf_dir):
 
 
 @_q(
+    "text_mad_outliers",
+    """
+    WITH med AS (SELECT lang, median(n_chars) AS m FROM documents GROUP BY lang),
+    dev AS (SELECT d.doc_id, d.lang, d.n_chars, abs(d.n_chars - med.m) AS ad, med.m
+            FROM documents d JOIN med USING (lang)),
+    mad AS (SELECT lang, median(ad) AS mad FROM dev GROUP BY lang)
+    SELECT dev.doc_id, dev.lang, dev.n_chars,
+           round((dev.n_chars - dev.m) / (1.4826 * mad.mad), 4) AS robust_z
+    FROM dev JOIN mad USING (lang)
+    WHERE abs(dev.n_chars - dev.m) > 1.5 * 1.4826 * mad.mad
+    """,
+)
+def text_mad_outliers(spark, sf_dir):
+    """Robust per-language outlier scoring via MAD (median absolute
+    deviation — the quality filter that survives the heavy tails that
+    wreck a stddev z-score): two exact-median passes, each producing
+    one row per language broadcast back onto the corpus; flags docs
+    beyond 1.5 robust sigmas (the synthetic lengths are near-uniform —
+    tighter than the classic 3-sigma so the filter actually fires). Exact percentile is the oracle-parity
+    choice (same (n-1)p interpolation both engines); at 100 TB the
+    same call sites take approx_percentile sketches."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    med = d.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("m"))
+    dev = d.join(F.broadcast(med), "lang").withColumn(
+        "ad", F.abs(F.col("n_chars") - F.col("m"))
+    )
+    mad = dev.groupBy("lang").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "lang")
+    return scored.filter(
+        F.col("ad") > 1.5 * 1.4826 * F.col("mad")
+    ).select(
+        "doc_id", "lang", "n_chars",
+        F.round((F.col("n_chars") - F.col("m")) / (1.4826 * F.col("mad")), 4).alias(
+            "robust_z"
+        ),
+    )
+
+
+@_q(
+    "window_time_range_moving_sum",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN 3600000000 PRECEDING
+                                            AND CURRENT ROW), 3) AS hour_sum
+    FROM events
+    """,
+)
+def window_time_range_moving_sum(spark, sf_dir):
+    """Event-TIME range frame (W5 extension): per-user trailing-hour
+    sum — a RANGE frame over microseconds, not a row-count frame, so
+    the window adapts to irregular event spacing (and ties on the
+    same microsecond are peers in both engines by the SQL standard)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 3).alias("hour_sum"),
+    )
+
+
+@_q(
     "text_unigram_surprisal",
     """
     WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
