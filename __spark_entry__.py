@@ -2454,7 +2454,11 @@ def incremental_minhash_rollup(spark, sf_dir):
         state = merge_minhash_rollups(
             state, delta_minhash_rollup(t, ["lang"], "text"), ["lang"]
         )
-    return estimate_resemblance(state, "lang")
+    # max_groups=None: the state is lang-grained (5 groups by
+    # construction) and the guard's early-out count would execute the
+    # whole 3-tick sketch chain at plan-build time — the fail-fast
+    # ceiling is for callers whose key cardinality is unknown.
+    return estimate_resemblance(state, "lang", max_groups=None)
 
 
 def _duck_pca_sql(dim: int = 64, iters: int = 2) -> str:
@@ -5652,7 +5656,7 @@ def text_bpe_pair_merge(spark, sf_dir):
     SELECT dev.doc_id, dev.lang, dev.n_chars,
            round((dev.n_chars - dev.m) / (1.4826 * mad.mad), 4) AS robust_z
     FROM dev JOIN mad USING (lang)
-    WHERE abs(dev.n_chars - dev.m) > 1.5 * 1.4826 * mad.mad
+    WHERE mad.mad > 0 AND abs(dev.n_chars - dev.m) > 1.5 * 1.4826 * mad.mad
     """,
 )
 def text_mad_outliers(spark, sf_dir):
@@ -5671,8 +5675,12 @@ def text_mad_outliers(spark, sf_dir):
     )
     mad = dev.groupBy("lang").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
     scored = dev.join(F.broadcast(mad), "lang")
+    # mad > 0 guard: a stratum where >half the docs share the median
+    # length has mad = 0 — without the predicate the ratio is ±Inf and
+    # round(inf) diverges between engines. Degenerate strata have no
+    # meaningful robust z anyway; they are simply not outlier-scored.
     return scored.filter(
-        F.col("ad") > 1.5 * 1.4826 * F.col("mad")
+        (F.col("mad") > 0) & (F.col("ad") > 1.5 * 1.4826 * F.col("mad"))
     ).select(
         "doc_id", "lang", "n_chars",
         F.round((F.col("n_chars") - F.col("m")) / (1.4826 * F.col("mad")), 4).alias(

@@ -317,9 +317,13 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), n_windows),
         lambda i: F.array_min(F.slice("_h", i, window)),
     )
+    # NULL/empty text produces a NULL shingle array, which flows through
+    # the window-min transform as a single NULL fingerprint; left in,
+    # candidate generation would bucket every textless doc together and
+    # emit them as mutual "overlaps". Textless docs have no fingerprints.
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(minima)).alias("fingerprint")
-    )
+    ).filter(F.col("fingerprint").isNotNull())
 
 
 def winnow_candidate_pairs(

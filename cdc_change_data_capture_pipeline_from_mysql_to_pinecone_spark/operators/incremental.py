@@ -236,15 +236,46 @@ def merge_minhash_rollups(
     return merged.groupBy(*keys).agg(*aggs)
 
 
-def estimate_resemblance(rollup: DataFrame, key: str, num_hashes: int = 16) -> DataFrame:
+def estimate_resemblance(
+    rollup: DataFrame, key: str, num_hashes: int = 16, max_groups: int = 10_000
+) -> DataFrame:
     """Pairwise estimated Jaccard between key groups from their
     sketches: fraction of agreeing MinHash components. O(groups²)
     pairs of O(k)-wide states — groups are domains/shards (thousands),
-    never documents, so the cross join is on the TINY state table."""
+    never documents, so the cross join is on the TINY state table.
+
+    ``max_groups`` is a fail-fast guard for that contract: a call
+    mis-keyed on a document-grained column would silently queue a
+    quadratic cross join; instead we count groups with an early-out
+    ``limit(n+1).count()`` scan and raise with guidance. Raise the
+    ceiling explicitly (or pass ``None``) only when the quadratic cost
+    is understood.
+
+    Agreement is null-safe: a group whose rows all had NULL/empty text
+    carries NULL sketch components, and ``==`` would propagate NULL
+    through the agree sum, nulling est_jaccard for every pair touching
+    that group. A NULL component matches nothing — including another
+    NULL (no evidence is not shared evidence) — so each term is
+    both-not-null AND equal."""
+    if max_groups is not None:
+        n = rollup.limit(max_groups + 1).count()
+        if n > max_groups:
+            raise ValueError(
+                f"estimate_resemblance: state table has >{max_groups} groups; "
+                f"the pairwise cross join is O(groups^2) and is meant for "
+                f"domain/shard-grained keys, not '{key}' at this cardinality. "
+                f"Re-key the rollup coarser, or pass max_groups=None/higher "
+                f"to accept the quadratic cost."
+            )
     a = rollup.select(F.col(key).alias("key_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)])
     b = rollup.select(F.col(key).alias("key_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)])
     agree = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+        (
+            F.col(f"a{i}").isNotNull()
+            & F.col(f"b{i}").isNotNull()
+            & (F.col(f"a{i}") == F.col(f"b{i}"))
+        ).cast("int")
+        for i in range(num_hashes)
     )
     return (
         a.crossJoin(b)

@@ -12,6 +12,15 @@ exactly-once effect given deterministic ids (SURVEY §4 "exactly-once").
 
 At 100 TB the same call sites would target Delta/Iceberg MERGE — the
 operator contract (keyed last-writer-wins) is format-independent.
+
+Durability primitives (atomic file write, rename-aside swap, restore,
+writer lock) live in :mod:`._commit`; its module docstring states the
+SINGLE-WRITER and POSIX-rename-atomicity contract every function here
+inherits. The merge functions themselves do not take the lock — the
+caller owning the table (e.g. :class:`..sources.vector_store.
+VectorStore`, the streaming sink's foreachBatch) serializes writers,
+because one logical commit often spans several calls (version stamp +
+merge) that must be atomic together.
 """
 
 from __future__ import annotations
@@ -23,6 +32,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ._commit import atomic_write_file, restore_or_clean, swap_in
 
 
 def upsert_parquet(
@@ -52,45 +63,10 @@ def upsert_parquet(
     _swap_in(path, tmp)
 
 
-def _swap_in(path: str, tmp: str) -> None:
-    """Crash-safe directory swap: rename the live dir aside, rename the
-    new one in, then delete the old. A crash between the two renames
-    leaves the aside copy recoverable; rmtree-before-replace would lose
-    the table."""
-    old = None
-    base = os.path.basename(path.rstrip("/"))
-    if os.path.exists(path):
-        # underscore prefix: invisible to Spark's file/partition listing,
-        # so a concurrent reader never sees the aside copy as data; the
-        # target's name is embedded so recover_table can attribute it
-        old = os.path.join(
-            os.path.dirname(path) or ".", f"_old-{base}-{uuid.uuid4().hex[:8]}"
-        )
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if old:
-        shutil.rmtree(old)
-
-
-def _restore_or_clean(parent: str, base: str) -> str:
-    """If ``parent/base`` is missing but an ``_old-{base}-*`` aside
-    exists, promote the aside back; delete any remaining matching
-    asides and tmp dirs. Returns 'ok' | 'restored' | 'cleaned'."""
-    target = os.path.join(parent, base)
-    entries = os.listdir(parent) if os.path.isdir(parent) else []
-    asides = sorted(d for d in entries if d.startswith(f"_old-{base}-"))
-    tmps = [
-        d for d in entries if d.startswith((f"{base}.tmp-", f"{base}.regrow-"))
-    ]
-    status = "ok"
-    if not os.path.exists(target) and asides:
-        os.rename(os.path.join(parent, asides.pop(0)), target)
-        status = "restored"
-    for d in asides + tmps:
-        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
-        if status == "ok":
-            status = "cleaned"
-    return status
+# Commit primitives re-exported under their historical private names —
+# the implementations (and the durability contract) live in _commit.
+_swap_in = swap_in
+_restore_or_clean = restore_or_clean
 
 
 def recover_table(path: str) -> str:
@@ -191,12 +167,14 @@ def _observed_bucket_ids(path: str, bucket_col: str) -> list[int]:
 def _write_marker(path: str, n: int, rows: int | None) -> None:
     """Atomically persist the table's bucket count and committed row
     count. The row count is advisory (it only drives the regrow
-    threshold); the bucket count is load-bearing for the key mapping."""
-    os.makedirs(path, exist_ok=True)
-    tmp = _nbuckets_marker(path) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(json.dumps({"n": n, "rows": rows}))
-    os.replace(tmp, _nbuckets_marker(path))
+    threshold and ``stats()``); the bucket count is load-bearing for
+    the key mapping. Advisory means: a crash between the last bucket
+    swap and this write leaves the marker stale by one batch (e.g. a
+    crashed delete_keys over-reports until the delete is re-run) —
+    acceptable because every regrow decision re-confirms with the
+    authoritative footer walk before paying an O(table) rewrite, and
+    re-running the interrupted operation converges the marker."""
+    atomic_write_file(_nbuckets_marker(path), json.dumps({"n": n, "rows": rows}))
 
 
 def _footer_rows(path: str) -> int:
@@ -499,7 +477,10 @@ def delete_keys(
     fully-emptied bucket is renamed aside before removal (the
     _swap_in discipline): a crash in the window leaves the aside for
     recover_table, which restores the pre-delete state — re-running
-    the delete then converges (idempotent)."""
+    the delete then converges (idempotent). The marker's row count is
+    written AFTER all bucket swaps, so a crash mid-sequence leaves it
+    stale (over-reporting) until the delete is re-run — advisory by
+    contract, see ``_write_marker``."""
     import os
     import shutil
     import uuid

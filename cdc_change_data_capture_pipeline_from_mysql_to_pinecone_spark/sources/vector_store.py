@@ -24,6 +24,14 @@ monotonically increasing store version (persisted in a ``_verseq``
 marker next to the table), so replaying an upsert batch is idempotent
 and two sequential calls resolve to the later one, matching the
 reference index's overwrite-by-id behavior.
+
+Concurrency: every mutating call (upsert/delete) holds the table's
+writer lock (:func:`.._commit.table_lock`) for its WHOLE
+read-merge-swap span, so concurrent upserts from threads or processes
+on one host serialize — each gets a distinct version and the final
+state is the later call everywhere. The lock does not reach across
+machines or object storage; for that, back the store with a
+transactional table format (see the _commit module contract).
 """
 
 from __future__ import annotations
@@ -34,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import vectors as vec_ops
+from ._commit import atomic_write_file, table_lock
 from .sinks import delete_keys, recover_table, upsert_parquet_partitioned
 
 _VERSEQ = "_verseq"
@@ -51,47 +60,52 @@ class VectorStore:
     # -- write path --------------------------------------------------
 
     def _next_version(self) -> int:
+        """Read-increment-replace of the ``_verseq`` file. NOT safe to
+        call outside the table's writer lock: unsynchronized callers
+        can read the same ``last`` and stamp the same version, making
+        last-call-wins nondeterministic (max_by tie). Both mutating
+        call sites (upsert) hold :func:`table_lock` around the stamp
+        AND the merge it versions. The write itself is atomic
+        (tmp+replace): a crash inside a truncating open would zero the
+        sequence and every later upsert would stamp versions BELOW the
+        stored rows' — max_by would then silently keep stale data
+        forever."""
         seq_path = os.path.join(self.path, _VERSEQ)
         last = 0
         if os.path.exists(seq_path):
             with open(seq_path) as fh:
                 last = int(fh.read().strip() or 0)
         nxt = last + 1
-        os.makedirs(self.path, exist_ok=True)
-        # atomic write (tmp + replace, the _write_marker discipline):
-        # a crash inside a truncating open would zero the sequence and
-        # every later upsert would stamp versions BELOW the stored
-        # rows' — max_by would then silently keep stale data forever
-        import uuid
-
-        tmp = seq_path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(str(nxt))
-        os.replace(tmp, seq_path)
+        atomic_write_file(seq_path, str(nxt))
         return nxt
 
     def upsert(self, records: DataFrame | list[dict]) -> int:
         """MERGE records (``id``, ``values``, optional extra columns
         e.g. ``metadata``) by id, last call wins. Returns the number
-        of bucket partitions rewritten (O(batch), not O(index))."""
+        of bucket partitions rewritten (O(batch), not O(index)).
+        Serialized against other same-host writers by the table lock —
+        held across stamp+merge so version order equals commit order."""
         if not isinstance(records, DataFrame):
             if not records:
                 return 0
             records = self.spark.createDataFrame(records)
         assert "id" in records.columns and "values" in records.columns
-        self._persist_schema(records)
-        stamped = records.withColumn("_ver", F.lit(self._next_version()))
-        return upsert_parquet_partitioned(
-            self.spark, self.path, stamped, ["id"], "_ver"
-        )
+        with table_lock(self.path):
+            self._persist_schema(records)
+            stamped = records.withColumn("_ver", F.lit(self._next_version()))
+            return upsert_parquet_partitioned(
+                self.spark, self.path, stamped, ["id"], "_ver"
+            )
 
     def delete(self, ids: list) -> int:
         """Remove ids; only their bucket partitions are rewritten.
-        Empty id list is a no-op."""
+        Empty id list is a no-op. Takes the same writer lock as
+        upsert — a delete racing a merge is a lost-update hazard too."""
         if not ids:
             return 0
         keys = self.spark.createDataFrame([(i,) for i in ids], ["id"])
-        return delete_keys(self.spark, self.path, keys, ["id"])
+        with table_lock(self.path):
+            return delete_keys(self.spark, self.path, keys, ["id"])
 
     def _schema_path(self) -> str:
         return os.path.join(self.path, "_schema.ddl")

@@ -144,3 +144,32 @@ def test_set_similarity_join_exact_on_sparse_corpus(spark):
         for r in set_similarity_join(df, "text", "doc_id", threshold=0.9).collect()
     }
     assert strict == {(3, 4)}
+
+
+def test_winnow_textless_docs_have_no_fingerprints(spark):
+    """ADVICE r5: NULL/empty text must yield ZERO fingerprint rows —
+    before the fix a single NULL fingerprint row per textless doc made
+    every textless doc a mutual winnow "overlap" candidate."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (4, "real words here repeated real words here repeated again and again"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=4, window=8)
+    rows = fps.collect()
+    assert all(r["fingerprint"] is not None for r in rows)
+    assert {r["doc_id"] for r in rows} == {4}
+    pairs = winnow_candidate_pairs(fps, "doc_id", min_shared=1, max_bucket_size=None)
+    assert pairs.count() == 0
+    # empty STRING is distinct from NULL by design: word_shingles keeps
+    # sub-k-token docs as their full join, so "" fingerprints as itself
+    empty = spark.createDataFrame([(9, "")], ["doc_id", "text"])
+    assert winnow_fingerprints(empty, "text", "doc_id", k=4, window=8).count() == 1

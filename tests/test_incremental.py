@@ -411,3 +411,39 @@ def test_sweep_changelog_rollup_large_lsn_watermark(spark, tmp_path):
     state = {r["k"]: r["sum_v"] for r in
              spark.read.parquet(os.path.join(store, "rollup_t")).collect()}
     assert state == {"a": 3.0}
+
+
+def test_estimate_resemblance_group_ceiling_and_null_safety(spark):
+    """VERDICT r5 task 6 + ADVICE: (a) a state table past max_groups
+    fails fast with guidance instead of queuing an O(groups^2) cross
+    join; (b) NULL sketch components (all-NULL-text group) count as
+    NO agreement — est_jaccard is 0, never NULL."""
+    import pytest
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        estimate_resemblance,
+    )
+
+    k = 4
+    cols = ["key"] + [f"mh{i}" for i in range(k)]
+    big = spark.range(20).selectExpr(
+        "CAST(id AS STRING) AS key", *[f"id + {i} AS mh{i}" for i in range(k)]
+    )
+    with pytest.raises(ValueError, match="O\\(groups\\^2\\)"):
+        estimate_resemblance(big, "key", num_hashes=k, max_groups=10)
+    # happy path under the ceiling is unchanged
+    assert estimate_resemblance(big, "key", num_hashes=k, max_groups=100).count() == 190
+
+    rows = [
+        ("a", 1, 2, 3, 4),
+        ("b", 1, 2, 9, 9),          # agrees with a on 2/4
+        ("c", None, None, None, None),  # sketchless group
+    ]
+    est = {
+        (r["key_a"], r["key_b"]): r["est_jaccard"]
+        for r in estimate_resemblance(
+            spark.createDataFrame(rows, cols), "key", num_hashes=k, max_groups=None
+        ).collect()
+    }
+    assert est[("a", "b")] == 0.5
+    assert est[("a", "c")] == 0.0 and est[("b", "c")] == 0.0

@@ -199,3 +199,53 @@ def test_vector_store_empty_edges(spark, tmp_path):
     assert store.stats()["count"] == 0
     assert store.fetch(ids).count() == 0          # empty-store read path
     assert store.query([1.0, 0, 0, 0], top_k=3).count() == 0
+
+
+def test_vector_store_concurrent_upserts_serialize(spark, tmp_path):
+    """VERDICT r5 task 5: the table writer lock makes interleaved
+    upserts from two threads serialize — every call stamps a DISTINCT
+    version, and the final state of every id comes from the single
+    highest-version call (no torn merges, no max_by ties)."""
+    import threading
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    dim = 4
+    path = str(tmp_path / "cidx")
+    store = VectorStore(spark, path, dim=dim)
+    ids = [f"d{i}" for i in range(12)]
+    calls_per_thread = 3
+    errors = []
+
+    def writer(tag: str):
+        try:
+            for it in range(calls_per_thread):
+                store.upsert(
+                    [
+                        {"id": i, "values": [1.0, 0.0, 0.0, 0.0],
+                         "metadata": f"{tag}-{it}"}
+                        for i in ids
+                    ]
+                )
+        except Exception as e:  # surface across the thread boundary
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("t1", "t2")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    rows = spark.read.parquet(path).collect()
+    n_calls = 2 * calls_per_thread
+    assert len(rows) == len(ids)
+    # every id's survivor carries the FINAL version: each call got a
+    # distinct stamp (lock around read-increment-write) and each later
+    # call fully overwrote the overlapping ids (lock around the merge)
+    assert {r["_ver"] for r in rows} == {n_calls}
+    assert len({r["metadata"] for r in rows}) == 1
+    with open(f"{path}/_verseq") as fh:
+        assert int(fh.read()) == n_calls
