@@ -2018,6 +2018,50 @@ def funnel_three_step_gated(spark, sf_dir):
 
 
 @_q(
+    "funnel_three_step_maximal",
+    """
+    WITH RECURSIVE feas AS (
+      SELECT user_id, 1 AS step, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'signup'
+      UNION
+      SELECT e.user_id, f.step + 1, epoch_us(e.ts)
+      FROM feas f JOIN events e USING (user_id)
+      WHERE f.step < 3
+        AND e.event_type = (CASE f.step WHEN 1 THEN 'click' ELSE 'purchase' END)
+        AND epoch_us(e.ts) > f.t AND epoch_us(e.ts) <= f.t + 604800000000
+    )
+    SELECT user_id,
+           min(t) FILTER (WHERE step = 1) AS t1_us,
+           min(t) FILTER (WHERE step = 2) AS t2_us,
+           min(t) FILTER (WHERE step = 3) AS t3_us
+    FROM feas GROUP BY user_id
+    """,
+)
+def funnel_three_step_maximal(spark, sf_dir):
+    """EXISTENCE-MAXIMAL 3-step funnel (the variant greedy-first
+    concedes, VERDICT r5 task 7): same signup -> click -> purchase
+    steps and 7-day gate as funnel_three_step_gated, but step i
+    reports min over ALL feasible i-step prefixes — a user completes
+    iff ANY satisfying chain exists, where greedy can bind an early
+    click and kill a chain a later click keeps alive. Per-user DP over
+    time-sorted events via one applyInPandas pass
+    (relational.sequence_funnel_maximal); the oracle enumerates the
+    full feasible-state space with a recursive CTE — the DP's
+    max-witness pruning is checked against exhaustive recursion."""
+    e = _t(spark, sf_dir, "events")
+    out = relational.sequence_funnel_maximal(
+        e, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], max_gap_seconds=7 * 86400,
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("t1").alias("t1_us"),
+        F.unix_micros("t2").alias("t2_us"),
+        F.unix_micros("t3").alias("t3_us"),
+    )
+
+
+@_q(
     "funnel_signup_to_purchase",
     """
     WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
@@ -5770,91 +5814,91 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Registry surfacing order (round 5 rotation). The driver's correctness
-# gate samples the dict from the front (50 entries per round). Slots
-# 1-45: every query whose latest driver row predates the Spark-4
-# runtime (r2-era gate windows; VERDICT r4 task 3 — local parity covers
-# them under 4.1.2, this gives each a fresh driver row), in r2 window
-# order. Slots 46-47: the two r4-verified queries whose plans changed
-# this round. Slots 46-50: the five queries NEW in r5 (changelog-apply
-# tombstones, per-source cap, length outliers, PQ encode, PQ ADC
-# top-k), never driver-verified. Just past the window: the two
-# value-stable r5 replans (multigrain grouping_id, leakage-split
-# aliasing — locally parity-green) lead the r6 refresh.
+# Registry surfacing order (round 6 rotation). The driver's correctness
+# gate samples the dict from the front (50 entries per round). This
+# window closes the driver-row freshness gap (VERDICT r5 task 1):
+# slots 1-3 are the queries registered after the r5 window cut (the
+# two r5 post-window additions plus the declared rows-only HLL rollup,
+# never driver-sampled); slot 4 is NEW in r6 (existence-maximal funnel
+# DP, recursive-CTE oracle); slots 5-25 are the 21 queries whose
+# latest driver row is still r2-era (pre-Spark-4 runtime), in r2
+# window order; slots 26-50 are the 25 stalest r3-era rows, in r3
+# window order. The 22 remaining r3-era rows (led by
+# text_normalize_stopwords) queue for the r7 refresh — after r6 every
+# query's latest driver row is r4+ except that named tail.
 _PRIORITY = [
-    "cdc_apply_changelog",
-    "text_source_cap",
-    "text_length_outliers",
-    "vec_pq_codes",
-    "vec_pq_topk_adc",
-    "vec_ivfpq_topk",
-    "incremental_join_delta",
-    "sql_frontend_window_gsets",
-    "sql_frontend_setops",
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_candidates",
-    "incremental_changelog_rollup",
-    "text_unigram_surprisal",
-    "text_bpe_pair_merge",
-    "text_bigram_surprisal",
-    "vec_pca_projection",
-    "join_interval_overlap",
-    "join_bloom_prefilter",
-    "ids_dense_assign",
-    "ml_weighted_sample",
-    "incremental_minhash_rollup",
-    "dedup_setsim_exact",
-    "funnel_three_step_gated",
-    "sql_frontend_lateral",
-    "dedup_cluster_best_survivors",
-    "cdc_store_diff",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "q18_large_orders_having",
-    "q19_disjunctive_predicates",
-    "vec_knn_bruteforce",
-    "vec_ivf_trained_cells",
-    "vec_lsh_bucket_histogram",
-    "dedup_embedding_neardup",
-    "ml_hash_split",
-    "text_tfidf_topk",
-    "text_chunk_token_budget",
-    "join_range_binned",
-    "join_salted_skew",
-    "subquery_above_avg_customers",
-    "agg_stats_lineitem",
-    "agg_percentile_prices",
-    "agg_corr_covar",
-    "agg_cube_status_priority",
-    "pipeline_training_data",
-    "mm_binary_features",
-    "ml_stratified_sample",
-    "profile_documents",
-    "vec_ann_topk",
-    "vec_ivf_topk",
-    "vec_centroid_per_label",
+    "text_mad_outliers",
+    "window_time_range_moving_sum",
+    "incremental_distinct_rollup",
+    "funnel_three_step_maximal",
+    "q15_top_supplier",
+    "q6_forecast_revenue",
     "q10_returned_items",
     "q12_priority_shipmode",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "cdc_snapshot_diff",
-    "stream_sessionize",
-    "sql_frontend_cte_exists",
-    "mm_resize_plan",
-    "mm_frame_sample",
-    "ml_kfold_assign",
+    "q14_promo_share",
+    "vec_ann_topk",
+    "vec_ivf_topk",
     "vec_ivf_cells",
     "vec_banded_neardup",
+    "vec_centroid_per_label",
+    "ml_stratified_sample",
+    "ml_kfold_assign",
+    "profile_documents",
+    "mm_binary_features",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    "stream_sessionize",
     "cdc_time_travel",
+    "cdc_snapshot_diff",
     "sql_frontend_having",
-    "q14_promo_share",
-    "timeseries_multigrain_rollup",
-    "ml_split_leakage_safe",
+    "sql_frontend_cte_exists",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_part_promo_suppliers",
+    "window_range_frame_spend",
+    "window_moving_avg_nth",
+    "agg_grouping_sets",
+    "set_ops_all_variants",
+    "agg_collect_nations",
+    "agg_bitwise_events",
+    "agg_boolean_lineitem",
+    "agg_approx_sketches",
+    "unpivot_customer_metrics",
+    "subquery_correlated_order_above_cust_avg",
+    "cdc_late_data_rescan",
+    "join_cross_region_nation",
+    "scalar_math_lineitem",
+    "scalar_datetime_parse_roundtrip",
+    "scalar_try_cast_safe",
+    "scalar_regexp_advanced",
+    "array_ops_documents",
+    "array_hof_documents",
+    "array_posexplode_tokens",
+    "map_ops_events",
+    "text_normalize_stopwords",
+    "text_top_bigram_per_lang",
+    "text_fingerprint",
+    "text_bpe_regex_tokens",
+    "vec_l2_normalize",
+    "vec_label_norms",
+    "embed_documents",
+    "search_end_to_end",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_outer_customer_orders",
+    "join_semi_customers_with_open_orders",
+    "join_anti_customers_without_orders",
+    "join_full_outer_keys",
+    "join_theta_acctbal_band",
+    "agg_distinct_by_status",
+    "agg_rollup_region_nation",
+    "window_rank_orders_per_customer",
+    "window_running_revenue",
+    "window_first_last_value",
+    "window_share_of_total",
 ]
 
 

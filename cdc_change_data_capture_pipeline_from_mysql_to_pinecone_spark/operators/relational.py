@@ -498,3 +498,101 @@ def sequence_funnel(
             )
             chain = chain.join(nxt, "_u", "left")
     return chain.withColumnRenamed("_u", user_col)
+
+
+def sequence_funnel_maximal(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """EXISTENCE-MAXIMAL funnel — the variant ``sequence_funnel``'s
+    greedy-first docstring concedes. Under a per-step gap constraint,
+    binding step i to its EARLIEST qualifying event can kill a chain a
+    later event would keep alive (a later step-i event leaves more
+    slack for step i+1). Here step i's reported time is
+    ``min(F_i)`` where ``F_i`` is the set of ALL event times that can
+    end a feasible i-step prefix — so ``t{k}`` is the earliest time
+    the funnel can complete under ANY valid chain, and a user
+    completes iff a satisfying chain exists at all. Output matches
+    sequence_funnel's shape: (user, t1..tk), NULL from the first step
+    with an empty feasible set (F_i nonempty requires F_{i-1}
+    nonempty, so NULLs are prefix-closed).
+
+    Per-user DP over time-sorted events (one Arrow-batched
+    applyInPandas pass, O(events * steps) per user): scanning
+    ascending, an event t of type step_i extends a feasible prefix iff
+    some t' in F_{i-1} has t' < t <= t' + gap; the best witness is the
+    LARGEST feasible t' strictly below t (its upper bound t'+gap is
+    loosest), so per step only the max feasible time — plus the min
+    for reporting — is carried, never the full set. Events sharing a
+    timestamp are batched so same-instant chaining (t' < t is strict)
+    cannot occur through intra-batch state updates.
+
+    Scale shape: one shuffle on the user key, per-user work linear in
+    that user's events — the same partitioning a sessionizer uses. The
+    streaming cousin is the applyInPandasWithState automaton
+    (streaming.pipeline.funnel_state_update), which tracks the greedy
+    chain; this batch DP is the exact-existence backstop."""
+    import pandas as pd
+
+    gap_us = None if max_gap_seconds is None else int(max_gap_seconds) * 1_000_000
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    user_field = df.schema[user_col]
+    out_schema = ", ".join(
+        [f"{user_col} {user_field.dataType.simpleString()}"]
+        + [f"t{i + 1} timestamp" for i in range(k)]
+    )
+
+    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        user = pdf[user_col].iloc[0]
+        t_us = pdf["_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        s_idx = pdf["_si"].to_numpy()
+        order = t_us.argsort(kind="stable")
+        maxfeas = [None] * k  # largest feasible end time per prefix
+        minfeas = [None] * k  # smallest (reported)
+        i = 0
+        n = len(order)
+        while i < n:
+            j = i
+            t = t_us[order[i]]
+            updates = []
+            while j < n and t_us[order[j]] == t:  # same-instant batch
+                si = s_idx[order[j]]
+                if si == 0:
+                    updates.append(0)
+                else:
+                    w = maxfeas[si - 1]
+                    if w is not None and w < t and (gap_us is None or t <= w + gap_us):
+                        updates.append(si)
+                j += 1
+            for si in updates:  # state visible only to later instants
+                maxfeas[si] = t if maxfeas[si] is None else max(maxfeas[si], t)
+                minfeas[si] = t if minfeas[si] is None else min(minfeas[si], t)
+            i = j
+        row = {user_col: user}
+        for i in range(k):
+            row[f"t{i + 1}"] = (
+                pd.Timestamp(minfeas[i], unit="us") if minfeas[i] is not None else pd.NaT
+            )
+        return pd.DataFrame([row])
+
+    # map the step type to its index JVM-side so the pandas fn never
+    # string-compares
+    mapping = F.create_map(*[F.lit(x) for s in steps for x in (s, step_idx[s])])
+    ev = (
+        df.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col),
+            F.col(ts_col).alias("_ts"),
+            mapping[F.col(type_col)].cast("int").alias("_si"),
+        )
+    )
+    return (
+        ev.groupBy(user_col)
+        .applyInPandas(dp, schema=out_schema)
+        .filter(F.col("t1").isNotNull())
+    )

@@ -67,3 +67,52 @@ def test_sequence_funnel_gap_gate_and_dropoff(spark):
     assert out[1] == (ts(0), ts(5), ts(10))
     assert out[2] == (ts(0), None, None)
     assert out[3] == (ts(0), ts(1), None)  # no purchase after the bound click
+
+
+def test_sequence_funnel_maximal_finds_chain_greedy_misses(spark):
+    """VERDICT r5 task 7: under a gap gate, greedy-first binds step 2
+    to the earliest click and can kill the chain; the DP completes iff
+    ANY chain exists. Also: same-instant events never chain (strict
+    t' < t), and reported times are per-prefix minima."""
+    import datetime as dt
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        sequence_funnel,
+        sequence_funnel_maximal,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def T(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: greedy binds click@1 -> purchase@15 outside (1, 11];
+        # the DP chains signup@0 -> click@9 -> purchase@15
+        (1, T(0), "signup"), (1, T(1), "click"),
+        (1, T(9), "click"), (1, T(15), "purchase"),
+        (2, T(0), "signup"), (2, T(5), "click"), (2, T(8), "purchase"),
+        (3, T(0), "signup"), (3, T(20), "purchase"), (3, T(25), "click"),
+        # user 4: click at the signup instant must NOT chain (strict >)
+        (4, T(0), "signup"), (4, T(0), "click"),
+        (4, T(3), "click"), (4, T(5), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["signup", "click", "purchase"]
+    greedy = {r["user_id"]: r for r in
+              sequence_funnel(df, "user_id", "ts", "event_type", steps, 10).collect()}
+    maximal = {r["user_id"]: r for r in
+               sequence_funnel_maximal(df, "user_id", "ts", "event_type", steps, 10).collect()}
+
+    assert greedy[1]["t3"] is None            # the concession
+    assert maximal[1]["t3"] == T(15)          # the DP finds it
+    assert maximal[1]["t2"] == T(1)           # min feasible prefix time
+    for u in (2, 3, 4):                       # agreement where greedy suffices
+        assert tuple(greedy[u]) == tuple(maximal[u])
+    assert maximal[4]["t2"] == T(3)           # same-instant click ignored
+    # no-gap mode: feasibility degenerates to greedy for every user
+    g0 = {tuple(r) for r in
+          sequence_funnel(df, "user_id", "ts", "event_type", steps).collect()}
+    m0 = {tuple(r) for r in
+          sequence_funnel_maximal(df, "user_id", "ts", "event_type", steps).collect()}
+    assert g0 == m0
