@@ -1157,6 +1157,30 @@ def _duck_shingles(n: int = 3) -> str:
     """
 
 
+def _duck_token_poly_base(key: str) -> str:
+    """CTE pair (``th``, ``bh``) computing the token-polynomial word
+    3-gram shingle hashes per ``key`` — the DuckDB mirror of
+    functions.hashing.token_hashes + poly_shingle_expr (one md5 per
+    token, shingles combined as (acc*P + h) % M31 folds; sub-3-token
+    docs fold their whole array). ``bh.base`` is the distinct shingle
+    hash list the minhash family mins over. Expects a ``toks`` CTE
+    with (key, t) already defined."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        MERSENNE31 as M,
+        SHINGLE_P as P,
+    )
+
+    tri = f"((((th[i] * {P} + th[i+1]) % {M}) * {P} + th[i+2]) % {M})"
+    return f"""
+    th AS (SELECT {key}, list_transform(t,
+             tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % {M}) AS th FROM toks),
+    bh AS (SELECT {key}, list_distinct(CASE
+             WHEN len(th) = 1 THEN [th[1]]
+             WHEN len(th) = 2 THEN [(th[1] * {P} + th[2]) % {M}]
+             ELSE list_transform(generate_series(1, len(th) - 2), i -> {tri})
+           END) AS base FROM th)"""
+
+
 def _duck_minhash_sql(num_hashes: int) -> str:
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
         MERSENNE31,
@@ -1170,11 +1194,7 @@ def _duck_minhash_sql(num_hashes: int) -> str:
     )
     return f"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-         sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
-         bh AS (SELECT doc_id,
-                       list_transform(shingles,
-                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS base
-                FROM sh)
+         {_duck_token_poly_base('doc_id')}
     SELECT doc_id,
            {hash_cols}
     FROM bh
@@ -1209,11 +1229,7 @@ def _duck_lsh_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_band: int =
     )
     return f"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-         sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
-         bh AS (SELECT doc_id,
-                       list_transform(shingles,
-                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS base
-                FROM sh),
+         {_duck_token_poly_base('doc_id')},
          sig AS (SELECT doc_id, {hash_cols} FROM bh),
          bands AS ({band_rows})
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -1225,9 +1241,27 @@ def _duck_lsh_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_band: int =
 @_q("dedup_lsh_candidates", _duck_lsh_sql())
 def dedup_lsh_candidates(spark, sf_dir):
     """MinHash-LSH banding: near-dup candidate pairs via per-bucket
-    self-join — no global cross join (A9 scale path)."""
+    self-join — no global cross join (A9 scale path).
+
+    Stage sizing (r6, VERDICT r5 task 4): below ~100k docs (parquet
+    footer stat, no job) the signature aggregate is narrowed to one
+    hash partition and coalesce(1)'d, whose SinglePartition output
+    satisfies the banding groupBy AND the pair distinct — both their
+    exchanges vanish, leaving md5/banding work on the parallel map
+    side of ONE shuffle (measured -28% steady, sf0.1, interleaved).
+    Above the gate the operators keep their conf-sized partial-
+    aggregating shape."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = dedup.minhash_signatures(d, "text", "doc_id", num_hashes=16)
+    # gate measured at both fixture scales: 5k docs (250k exploded
+    # hashes) runs best single-partition; 50k docs (2.5M exploded)
+    # already wants the conf-sized partial-combining shape — the
+    # cutover sits between, and the safe side is the scale shape
+    small = _table_rows(sf_dir, "documents") < 20_000
+    sig = dedup.minhash_signatures(
+        d, "text", "doc_id", num_hashes=16, agg_partitions=1 if small else None
+    )
+    if small:
+        sig = sig.coalesce(1)
     return dedup.lsh_candidate_pairs(sig, "doc_id", num_bands=4, rows_per_band=4)
 
 
@@ -1399,11 +1433,7 @@ def _duck_cluster_survivors_sql(
     u AS (SELECT doc_id, text FROM documents
           UNION ALL SELECT doc_id + 1000000, text FROM documents),
     toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM u),
-    sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
-    bh AS (SELECT doc_id,
-                  list_transform(shingles,
-                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS base
-           FROM sh),
+    {_duck_token_poly_base('doc_id')},
     sig AS (SELECT doc_id, {hash_cols} FROM bh),
     bands AS ({band_rows}),
     pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -1445,11 +1475,7 @@ def _duck_cluster_labels_cte() -> str:
     u AS (SELECT doc_id, text FROM documents
           UNION ALL SELECT doc_id + 1000000, text FROM documents),
     toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM u),
-    sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
-    bh AS (SELECT doc_id,
-                  list_transform(shingles,
-                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS base
-           FROM sh),
+    {_duck_token_poly_base('doc_id')},
     sig AS (SELECT doc_id, {hash_cols} FROM bh),
     bands AS ({band_rows}),
     pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -1602,11 +1628,7 @@ def _duck_minhash_est_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_ban
     )
     return f"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-         sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
-         bh AS (SELECT doc_id,
-                       list_transform(shingles,
-                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31}) AS base
-                FROM sh),
+         {_duck_token_poly_base('doc_id')},
          sig AS (SELECT doc_id, {hash_cols} FROM bh),
          bands AS ({band_rows}),
          pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -2466,10 +2488,9 @@ def _duck_minhash_rollup_sql(num_hashes: int = 16) -> str:
     )
     return f"""
     WITH toks AS (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-    sh AS (SELECT lang, {_duck_shingles(3)} AS shingles FROM toks),
-    bh AS (SELECT lang, unnest(list_transform(shingles,
-             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31})) AS h FROM sh),
-    sk AS (SELECT lang, {hash_cols} FROM bh GROUP BY lang)
+    {_duck_token_poly_base('lang')},
+    hx AS (SELECT lang, unnest(base) AS h FROM bh),
+    sk AS (SELECT lang, {hash_cols} FROM hx GROUP BY lang)
     SELECT a.lang AS key_a, b.lang AS key_b,
            ({agree}) / {num_hashes}.0 AS est_jaccard
     FROM sk a JOIN sk b ON a.lang < b.lang
@@ -2706,19 +2727,35 @@ def timeseries_gap_fill(spark, sf_dir):
 def pipeline_training_data(spark, sf_dir):
     """Composite training-data pipeline (the north-star use case end
     to end): quality filter -> fingerprint dedup -> per-language token
-    budget. One scan, one dedup shuffle, one agg shuffle — each stage
-    is the operator tested standalone elsewhere.
+    budget. ONE exchange end-to-end at fixture scale (r6, VERDICT r5
+    task 2: the residual vs DuckDB was the two aggregation exchanges'
+    per-stage floor, not data work).
 
-    The dedup survivor (first doc_id per fingerprint) is picked with
-    a hash aggregate — groupBy(fp).min_by(needed-cols, doc_id) —
-    not a row_number window: the window is sort-based with no partial
-    aggregation (every quality row shuffles and sorts), while min_by
-    combines map-side, so only one small struct per fingerprint per
-    input partition crosses the dedup shuffle and the text bodies
-    never do. Measured -7% at sf0.1 (r5 interleaved A/B); at 100 TB
-    the shuffle-volume difference is the whole table vs one row per
-    distinct fingerprint per partition."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    Shape: the dedup shuffle is sized from the table's parquet footer
+    row count (plan-time stats, no job — the static analogue of AQE
+    partition coalescing, which the sub-GiB bench session rightly
+    disables); below ~8 post-shuffle partitions the survivor table is
+    coalesce(1)'d, whose SinglePartition output satisfies the
+    per-language aggregation's clustering requirement, so the second
+    exchange VANISHES — survivor pick and language rollup run inside
+    one task of one stage. At 100 TB the same code takes the
+    conf-sized shuffle and a real partial+final language aggregate
+    (the coalesce gate doesn't fire); the survivor pick stays
+    min_by — one small struct per fingerprint crosses the shuffle,
+    text bodies never do. Measured -15% vs the two-exchange r5 form
+    (interleaved, sf0.1)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.plans.partitioning import (
+        ensure_parallelism,
+    )
+
+    # fan the scan out before the regex stage: a few-MB documents file
+    # reads as 1-2 partitions, which serializes the per-row regex work
+    # (the sf1 cross-scale run showed it dominating); the raw-text
+    # round-robin is cheap relative to 16-31 idle cores (-31% at sf1,
+    # neutral at sf0.1 — same rationale as minhash_signatures)
+    d = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
+    )
     # regexp_count forms: token count = whitespace-run count + 1 and
     # punct count = direct class count — value-identical to the
     # oracle's split-array / replace-and-diff forms (A/B verified) but
@@ -2729,9 +2766,16 @@ def pipeline_training_data(spark, sf_dir):
     quality = d.select(
         "doc_id", "lang", "text", toks.alias("n_tokens"), n_chars.alias("n_chars")
     ).filter((toks >= 20) & (n_punct / n_chars <= 0.2))
-    survivors = quality.groupBy(text_ops.fingerprint(F.col("text")).alias("_fp")).agg(
-        F.min_by(F.struct("lang", "n_tokens", "n_chars"), "doc_id").alias("s")
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    npart = max(1, min(conf_parts, -(-_table_rows(sf_dir, "documents") // 100_000)))
+    survivors = (
+        quality.withColumn("_fp", text_ops.fingerprint(F.col("text")))
+        .repartition(npart, "_fp")
+        .groupBy("_fp")
+        .agg(F.min_by(F.struct("lang", "n_tokens", "n_chars"), "doc_id").alias("s"))
     )
+    if npart <= 8:
+        survivors = survivors.coalesce(1)
     return survivors.groupBy(F.col("s.lang").alias("lang")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("s.n_tokens").cast("long").alias("total_tokens"),

@@ -51,18 +51,21 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
     """The benchmark session policy, shared by bench.py and
     tools/ab.py so A/B ratios always measure under the configuration
     the bench records: size the session to the data, same policy a
-    cluster deploy uses — small (sub-GiB) inputs get shuffle
-    partitions = cores and AQE off (its stage materialization barriers
-    dominate sub-GB queries; its skew/replan value only exists at
-    scale — measured ~30% here). The r4 drop to 4 partitions was
-    re-measured interleaved in r5 and lost ~8-18% across the headline
-    set vs matching cores (PERFORMANCE.md r5)."""
+    cluster deploy uses — small (<64 MiB on disk, the sf0.1 regime)
+    inputs get shuffle partitions = cores and AQE off (its stage
+    materialization barriers dominate tens-of-MB queries; measured
+    ~30% there). From ~sf1 up (the r6 cross-scale fixtures, 168 MB)
+    AQE pays for itself: q5 -34%, minhash -19% interleaved — the
+    skew/replan value starts existing, so the threshold sits between
+    the two measured regimes, not at 1 GiB. The r4 drop to 4
+    partitions was re-measured interleaved in r5 and lost ~8-18%
+    across the headline set vs matching cores (PERFORMANCE.md r5)."""
     input_bytes = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _d, fs in os.walk(sf_dir)
         for f in fs
     )
-    small = input_bytes < 1 << 30
+    small = input_bytes < 64 * 1024 * 1024
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     return get_spark(
         app_name,

@@ -48,26 +48,76 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame, text_col: str, key_cols: list[str], shingle_n: int = 3
+) -> DataFrame:
+    """(keys..., _h) rows: one row per DISTINCT word-n-gram shingle
+    hash per input row, via the token-polynomial family
+    (functions.hashing.poly_shingle_expr — md5 once per token, n-grams
+    combined arithmetically). Shared base of minhash_signatures and
+    delta_minhash_rollup so the sketch families stay identical. The
+    token-hash array is materialized through a Generate barrier;
+    NULL-text rows contribute no hashes."""
+    from ..functions.hashing import poly_shingle_expr, token_hashes
+
+    keys = [F.col(c) for c in key_cols]
+    th = df.select(*keys, F.explode(F.array(token_hashes(F.col(text_col)))).alias("_th"))
+    return th.select(
+        *keys,
+        F.explode(F.array_distinct(F.expr(poly_shingle_expr(shingle_n)))).alias("_h"),
+    ).filter(F.col("_h").isNotNull())
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    agg_partitions: int | None = None,
 ) -> DataFrame:
     """MinHash signature per document: k min-hashes over the word
     n-gram shingle set via a universal hash family — each shingle is
     md5'd ONCE (base hash), the k family members are multiply-adds in
     the Mersenne-31 field.
 
-    Shape: explode shingles -> one row-wise base hash -> grouped MIN
-    per family member. The row-wise projection keeps the md5 evaluated
-    once per shingle (array-transform formulations let CollapseProject
-    inline the shingle expression into every one of the k lambdas — a
-    k-fold recompute), and the grouped MINs combine map-side, so the
-    shuffle carries only (id, k longs) per document."""
+    Base hashing (r6, changed family): one md5 per TOKEN, shingle
+    hash = polynomial combination of its n token hashes in the
+    Mersenne field (functions.hashing.poly_shingle_expr — the
+    cross-engine contract the DuckDB oracles mirror). The pre-r6 form
+    md5'd every shingle STRING, i.e. each byte of text n times plus a
+    string build per shingle; the token-poly form was measured 3.4x
+    faster at 50k docs and is what let the minhash family's
+    Spark/DuckDB ratio stop growing with scale. Signature VALUES
+    differ from the old family — collision behavior (what MinHash
+    estimates) is equivalent.
+
+    Shape: token-hash array materialized per doc through a Generate
+    barrier (md5 once per token; inlined, CollapseProject would
+    re-evaluate the array per subscript), explode the distinct shingle
+    hashes, then grouped MIN per family member — map-side combining,
+    so the shuffle carries only (id, k longs) per document.
+
+    ``agg_partitions``: explicit width for the grouped-min shuffle.
+    Default (None) takes the session's shuffle-partition count with
+    map-side partial combining — the 100 TB shape. A SMALL explicit
+    value is the plan-time analogue of AQE partition coalescing for
+    corpora known (from footer stats) to be tiny relative to the
+    session: the exploded base-hash rows hash-repartition to that
+    width and the aggregate runs single-phase there. The md5 work
+    stays on the parallel map side of that exchange either way; what
+    is given up is only the partial combine, i.e. the shuffle carries
+    (id, hash) per shingle instead of per (doc, partition) — a
+    deliberate trade that only makes sense when the exploded volume is
+    a few MB (callers gate on row counts, e.g. the sub-GiB bench
+    entries), and the reason this is opt-in."""
     from ..plans.partitioning import ensure_parallelism
 
-    exploded = ensure_parallelism(df, id_col).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_s"),
-    ).select(F.col(id_col), base_hash31(F.col("_s")).alias("_h"))
+    exploded = shingle_hash_rows(
+        ensure_parallelism(df, id_col), text_col, [id_col], shingle_n
+    )
+    if agg_partitions is not None:
+        exploded = exploded.repartition(agg_partitions, id_col)
     # one parsed expr per family member: literal-folding the (a, b)
     # coefficients into SQL text keeps driver-side plan construction at
     # k py4j calls instead of ~10k (column-algebra construction cost is

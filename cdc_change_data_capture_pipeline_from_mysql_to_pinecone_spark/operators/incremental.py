@@ -206,12 +206,10 @@ def delta_minhash_rollup(
     fraction of agreeing components) stays queryable at any point
     without ever rescanning old documents. Output columns ``mh0..mh{k-1}``
     plus ``rollup_rows``."""
-    from ..functions.hashing import MERSENNE31, base_hash31, universal_coeffs, word_shingles
+    from ..functions.hashing import MERSENNE31, universal_coeffs
+    from .dedup import shingle_hash_rows
 
-    exploded = delta.select(
-        *[F.col(c) for c in keys],
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_s"),
-    ).select(*keys, base_hash31(F.col("_s")).alias("_h"))
+    exploded = shingle_hash_rows(delta, text_col, keys, shingle_n)
     aggs = [
         F.expr(f"min(({a} * _h + {b}) % {MERSENNE31})").alias(f"mh{i}")
         for i, (a, b) in enumerate(universal_coeffs(num_hashes))

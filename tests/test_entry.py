@@ -10,24 +10,22 @@ def test_registry_priority_order():
     names = list(m.queries())
     assert names[: len(m._PRIORITY)] == m._PRIORITY
     assert len(names) == len(set(names)) == len(m._REG)
-    # spot-pin the r5 gate window: every oracle-backed query that has
-    # never had a driver correctness row leads (14 as of late r5), the
-    # rest of the 50 slots refresh the stalest pre-Spark-4 driver rows
+    # spot-pin the r6 gate window (VERDICT r5 task 1 rotation): the
+    # queries without a current-runtime driver row lead — the two r5
+    # post-window registrations, the never-sampled rows-only HLL
+    # rollup, the new r6 maximal funnel, then the r2-era and stalest
+    # r3-era rows
     front = set(names[:50])
-    for probe in ("q4_order_priority", "q22_global_sales_opportunity",
-                  "vec_knn_bruteforce", "vec_ivf_trained_cells",
-                  "dedup_embedding_neardup",
-                  "text_tfidf_topk", "join_salted_skew",
-                  "agg_cube_status_priority", "pipeline_training_data",
-                  "cdc_apply_changelog", "text_source_cap",
-                  "text_length_outliers", "vec_pq_codes",
-                  "vec_pq_topk_adc", "vec_ivfpq_topk",
-                  "incremental_join_delta", "sql_frontend_window_gsets",
-                  "sql_frontend_setops", "dedup_winnow_fingerprints",
-                  "dedup_winnow_candidates", "incremental_changelog_rollup",
-                  "text_unigram_surprisal", "text_bpe_pair_merge",
-                  "text_bigram_surprisal", "vec_pca_projection",
-                  "join_interval_overlap", "join_bloom_prefilter", "ids_dense_assign", "ml_weighted_sample", "incremental_minhash_rollup", "dedup_setsim_exact", "funnel_three_step_gated", "sql_frontend_lateral", "dedup_cluster_best_survivors", "cdc_store_diff"):
+    for probe in ("text_mad_outliers", "window_time_range_moving_sum",
+                  "incremental_distinct_rollup", "funnel_three_step_maximal",
+                  "q15_top_supplier", "vec_ann_topk", "vec_banded_neardup",
+                  "ml_stratified_sample", "profile_documents",
+                  "mm_binary_features", "stream_sessionize",
+                  "cdc_time_travel", "sql_frontend_having",
+                  "q2_min_cost_supplier", "agg_grouping_sets",
+                  "set_ops_all_variants", "cdc_late_data_rescan",
+                  "scalar_regexp_advanced", "array_hof_documents",
+                  "map_ops_events"):
         assert probe in front, probe
 
 

@@ -288,3 +288,39 @@ def test_r5_continuation_plan_shapes(spark, sf_dir):
 
     plan = qs["join_interval_overlap"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_pipeline_training_data_single_exchange_at_fixture_scale(spark, sf_dir):
+    """VERDICT r5 task 2: at footer-stat fixture scale the composite
+    pipeline plans exactly TWO exchanges — the scan-parallelism
+    fan-out (regex work above it) and the fingerprint dedup shuffle.
+    The per-language rollup's clustering requirement is satisfied by
+    the coalesce(1) SinglePartition, so ITS exchange vanishes; no
+    broadcast/cartesian anywhere."""
+    df = entrymod.queries()["pipeline_training_data"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # npart=1 renders as "Exchange SinglePartition", larger counts as
+    # "Exchange hashpartitioning" — count every exchange either way
+    n_exchanges = len(re.findall(r"\bExchange ", plan))
+    assert n_exchanges == 2, plan
+    assert "hashpartitioning(lang" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_lsh_candidates_single_exchange_at_fixture_scale(spark, sf_dir):
+    """VERDICT r5 task 4: below the footer-stat gate the LSH candidate
+    plan has exactly ONE data shuffle (the signature aggregate's) plus
+    the parallelism round-robin — banding groupBy and pair distinct
+    ride the SinglePartition output; md5 stays on the parallel map
+    side (the serial variant was measured 5x worse and must not come
+    back)."""
+    df = entrymod.queries()["dedup_lsh_candidates"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly two exchanges, both on doc_id BELOW the signature
+    # aggregate: the scan-parallelism fan-out and the narrow agg
+    # shuffle; banding groupBy (band/bucket keys) and pair distinct
+    # (id_a/id_b keys) must have none
+    exchanges = re.findall(r"Exchange \S+[^\n]*", plan)
+    assert len(exchanges) == 2, plan
+    assert not re.search(r"Exchange hashpartitioning\((?:band|bucket|id_a)", plan), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
