@@ -4701,6 +4701,43 @@ def text_tfidf_topk(spark, sf_dir):
 
 
 @_q(
+    "text_bm25_rank",
+    """
+    WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    d2 AS (SELECT doc_id, len(t) AS dl, t FROM docs),
+    consts AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d2),
+    hits AS (SELECT doc_id, dl, unnest(t) AS tok FROM d2),
+    tf AS (SELECT doc_id, tok, count(*) AS tf, first(dl) AS dl
+           FROM hits WHERE tok IN ('hash', 'join', 'filter')
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY tok)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+           round(sum(ln(1 + (c.n - d.dfc + 0.5) / (d.dfc + 0.5))
+                     * (t.tf * 2.2)
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / c.avgdl))),
+                 4) AS score
+    FROM tf t JOIN dfreq d USING (tok) CROSS JOIN consts c
+    GROUP BY t.doc_id
+    """,
+)
+def text_bm25_rank(spark, sf_dir):
+    """Okapi BM25 lexical ranking (operators.text.bm25_scores) against
+    the 3-term query {hash, join, filter} — the retrieval-stack
+    counterpart of vec_knn_bruteforce; hybrid search is the score-join
+    of the two. Lucene's non-negative idf; k1=1.2, b=0.75. Tokens are
+    filtered to query terms BEFORE aggregation, corpus constants and
+    per-term document frequencies ride 1-row / |terms|-row broadcast
+    joins — one shuffle on (doc, term). round(4) absorbs the
+    engines' last-ulp ln() differences."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.bm25_scores(d, "doc_id", "text", ["hash", "join", "filter"])
+    return out.select(
+        "doc_id", "n_terms_matched", F.round("score", 4).alias("score")
+    )
+
+
+@_q(
     "cdc_scd2_history",
     """
     SELECT user_id, event_id,
@@ -5341,6 +5378,75 @@ def incremental_changelog_rollup(spark, sf_dir):
     )
 
 
+def _duck_topk_rollup_sql(k: int = 3) -> str:
+    """Tick-replay oracle for the Misra-Gries heavy-hitters rollup:
+    three event ticks (event_id % 3), each reduced to a k-counter
+    summary, chain-merged with the SAME deterministic reduction
+    (rank by cnt DESC, item; subtract the (k+1)-th count; drop
+    non-positive). MG tick-merge != single-shot MG in general, so the
+    oracle replays the exact tick-and-merge sequence the Spark side
+    executes — approximation with a reproducible contract."""
+    def reduce_cte(src: str, out: str) -> str:
+        return f"""
+    {out}_r AS (SELECT day_us, item, cnt,
+                row_number() OVER (PARTITION BY day_us ORDER BY cnt DESC, item) AS rn
+                FROM {src}),
+    {out} AS (SELECT day_us, item, cnt - ck1 AS cnt FROM (
+                SELECT day_us, item, cnt, rn,
+                       coalesce(max(CASE WHEN rn = {k + 1} THEN cnt END)
+                                OVER (PARTITION BY day_us), 0) AS ck1
+                FROM {out}_r) z
+              WHERE rn <= {k} AND cnt - ck1 > 0)"""
+
+    ticks = ",".join(
+        f"""
+    c{i} AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type AS item,
+                    count(*) AS cnt
+             FROM events WHERE event_id % 3 = {i} GROUP BY 1, 2),{reduce_cte(f'c{i}', f's{i}')}"""
+        for i in range(3)
+    )
+    return f"""
+    WITH {ticks},
+    u01 AS (SELECT day_us, item, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1) GROUP BY 1, 2),
+    {reduce_cte('u01', 'm01')},
+    u012 AS (SELECT day_us, item, CAST(sum(cnt) AS BIGINT) AS cnt
+             FROM (SELECT * FROM m01 UNION ALL SELECT * FROM s2) GROUP BY 1, 2),
+    {reduce_cte('u012', 'fin')}
+    SELECT day_us, item, CAST(cnt AS BIGINT) AS cnt FROM fin
+    """
+
+
+@_q("incremental_topk_rollup", _duck_topk_rollup_sql())
+def incremental_topk_rollup(spark, sf_dir):
+    """Maintained per-day HEAVY-HITTERS (frequent event types) — the
+    Misra-Gries member of the maintained-rollup family (HLL =
+    distinct, MinHash = similarity, this = top items): three CDC
+    ticks each reduced to a 3-counter summary
+    (incremental.delta_topk_rollup), chain-merged by count-add +
+    re-reduce (merge_topk_rollups). Counts are LOWER bounds within
+    dropped-mass/k of exact; the reduction is deterministic, so the
+    oracle replays the identical tick-and-merge sequence and the
+    driver hash-checks the merge algebra end to end."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_topk_rollup,
+        merge_topk_rollups,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        F.col("event_type").alias("item"),
+        "event_id",
+    )
+    ticks = [e.filter(F.col("event_id") % 3 == i).drop("event_id") for i in range(3)]
+    state = delta_topk_rollup(ticks[0], ["day_us"], "item", k=3)
+    for t in ticks[1:]:
+        state = merge_topk_rollups(
+            state, delta_topk_rollup(t, ["day_us"], "item", k=3), ["day_us"], "item", k=3
+        )
+    return state.select("day_us", "item", F.col("cnt").cast("long").alias("cnt"))
+
+
 def _duck_pq_codes_sql(dim: int = 64, m_parts: int = 4, k: int = 16) -> str:
     """DuckDB mirror of vectors.pq_encode: same hash-derived codeword
     literals, same left-associative squared-L2 accumulation, same
@@ -5864,17 +5970,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots 1-3 are the queries registered after the r5 window cut (the
 # two r5 post-window additions plus the declared rows-only HLL rollup,
 # never driver-sampled); slot 4 is NEW in r6 (existence-maximal funnel
-# DP, recursive-CTE oracle); slots 5-25 are the 21 queries whose
-# latest driver row is still r2-era (pre-Spark-4 runtime), in r2
-# window order; slots 26-50 are the 25 stalest r3-era rows, in r3
-# window order. The 22 remaining r3-era rows (led by
-# text_normalize_stopwords) queue for the r7 refresh — after r6 every
+# DP, recursive-CTE oracle); slots 5-6 are also NEW in r6 (BM25
+# lexical ranking, Misra-Gries heavy-hitters rollup); slots 7-27 are
+# the 21 queries whose latest driver row is still r2-era (pre-Spark-4
+# runtime), in r2 window order; slots 28-50 are the 23 stalest
+# r3-era rows, in r3 window order. The 24 remaining r3-era rows (led
+# by array_posexplode_tokens and map_ops_events, displaced by the two
+# r6 late-window additions) queue for the r7 refresh — after r6 every
 # query's latest driver row is r4+ except that named tail.
 _PRIORITY = [
     "text_mad_outliers",
     "window_time_range_moving_sum",
     "incremental_distinct_rollup",
     "funnel_three_step_maximal",
+    "text_bm25_rank",
+    "incremental_topk_rollup",
     "q15_top_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",

@@ -280,3 +280,62 @@ def estimate_resemblance(
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", (agree / F.lit(num_hashes)).alias("est_jaccard"))
     )
+
+
+def _mg_reduce(counts: DataFrame, keys: list[str], item_col: str, k: int) -> DataFrame:
+    """Reduce exact (keys..., item, cnt) rows to a k-counter
+    Misra-Gries summary per key group: rank items by (cnt DESC, item),
+    subtract the (k+1)-th count from the top k, drop non-positive.
+    Deterministic — the cross-engine contract an SQL oracle replays
+    exactly. MG guarantee: every true frequency f is bounded by
+    summary_cnt <= f <= summary_cnt + (dropped mass / k)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("cnt").desc(), F.col(item_col))
+    wk = Window.partitionBy(*keys)
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    ck1 = F.max(F.when(F.col("_rn") == k + 1, F.col("cnt")).otherwise(F.lit(0))).over(wk)
+    return (
+        ranked.withColumn("_ck1", ck1)
+        .filter((F.col("_rn") <= k) & (F.col("cnt") - F.col("_ck1") > 0))
+        .select(*keys, item_col, (F.col("cnt") - F.col("_ck1")).alias("cnt"))
+    )
+
+
+def delta_topk_rollup(
+    delta: DataFrame, keys: list[str], item_col: str, k: int = 3
+) -> DataFrame:
+    """Per-key-group HEAVY-HITTERS sketch state from one tick — the
+    frequent-items member of the maintained-rollup family (HLL =
+    distinct count, MinHash = similarity, this = top items): a
+    k-counter Misra-Gries summary of item frequencies, mergeable by
+    count addition + re-reduction, so the per-source "what dominates
+    this feed" question stays answerable from CDC deltas without
+    rescanning history. Output: (keys..., item, cnt) with at most k
+    rows per key group; ``cnt`` is a LOWER bound on the true
+    frequency (within dropped-mass/k of exact — the MG guarantee).
+
+    Scale shape: one exact (key, item)-grained count aggregate
+    (map-side combining) then a rank window over each key group's
+    distinct items. The summary construction is deterministic (rank
+    by count desc, item) so an external SQL oracle replays the exact
+    tick-and-merge sequence — approximation with a reproducible
+    contract, like the HLL rollup's fixed register layout."""
+    counts = delta.groupBy(*keys, item_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return _mg_reduce(counts, keys, item_col, k)
+
+
+def merge_topk_rollups(
+    stored: DataFrame, update: DataFrame, keys: list[str], item_col: str, k: int = 3
+) -> DataFrame:
+    """Merge two Misra-Gries summaries: add counts for common items,
+    then re-reduce to k counters. Associative and order-insensitive
+    in its error BOUND (each merge adds at most the dropped mass/k);
+    the reduction rule is deterministic, so any fixed merge order is
+    exactly replayable by the oracle."""
+    merged = (
+        stored.unionByName(update)
+        .groupBy(*keys, item_col)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _mg_reduce(merged, keys, item_col, k)

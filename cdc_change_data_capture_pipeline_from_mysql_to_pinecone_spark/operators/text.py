@@ -391,3 +391,59 @@ def bigram_surprisal(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.avg("_nll").alias("surprisal"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — the lexical ranking half of a retrieval stack (the other
+    half, vector ANN, lives in operators.vectors; hybrid search is
+    their score-join). Lucene's non-negative idf variant:
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+
+    Scale shape: tokens explode once and are FILTERED TO QUERY TERMS
+    before anything aggregates, so the per-(doc, term) tf table is
+    |terms|-bounded per doc, never vocabulary-sized; the two corpus
+    constants (N, avgdl) come from one 1-row aggregate and the
+    per-term document frequencies from a |terms|-row aggregate — both
+    broadcast back (literally: broadcast joins on 1 and |terms| rows).
+    One shuffle on (id, term). Output: (id, n_terms_matched, score)
+    for docs matching >= 1 term.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), F.col(text_col)).filter(F.col(text_col).isNotNull())
+    docs = base.select(F.col(id_col), F.size(toks).alias("_dl"), toks.alias("_t"))
+    consts = docs.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    hits = (
+        docs.select(F.col(id_col), "_dl", F.explode("_t").alias("_tok"))
+        .filter(F.col("_tok").isin(query_terms))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    dfreq = hits.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "_tok")
+        .join(F.broadcast(consts))
+        .withColumn(
+            "_idf",
+            F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)),
+        )
+        .withColumn(
+            "_term_score",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("_term_score").alias("score"),
+    )

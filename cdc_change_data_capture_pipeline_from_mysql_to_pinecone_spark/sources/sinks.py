@@ -164,17 +164,62 @@ def _observed_bucket_ids(path: str, bucket_col: str) -> list[int]:
     ]
 
 
-def _write_marker(path: str, n: int, rows: int | None) -> None:
-    """Atomically persist the table's bucket count and committed row
-    count. The row count is advisory (it only drives the regrow
-    threshold and ``stats()``); the bucket count is load-bearing for
-    the key mapping. Advisory means: a crash between the last bucket
-    swap and this write leaves the marker stale by one batch (e.g. a
-    crashed delete_keys over-reports until the delete is re-run) —
-    acceptable because every regrow decision re-confirms with the
-    authoritative footer walk before paying an O(table) rewrite, and
-    re-running the interrupted operation converges the marker."""
-    atomic_write_file(_nbuckets_marker(path), json.dumps({"n": n, "rows": rows}))
+def _read_marker_schema(path: str):
+    """The table's canonical row schema from the marker (a StructType,
+    or None for legacy/plain tables). Load-bearing once the schema has
+    EVOLVED: buckets written before a column was added lack it in
+    their parquet footers, and a plain ``spark.read.parquet`` infers
+    from one arbitrary footer — reading with the stored superset
+    schema makes the missing columns NULL everywhere instead."""
+    marker = _nbuckets_marker(path)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        text = fh.read().strip()
+    try:
+        obj = json.loads(text)
+    except ValueError:
+        return None
+    if isinstance(obj, dict) and obj.get("schema"):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(obj["schema"])
+    return None
+
+
+def read_keyed_table(spark: SparkSession, path: str, *_ignored) -> DataFrame:
+    """Read a keyed bucketed table under its canonical (possibly
+    evolved) schema. The single sanctioned read path for tables
+    maintained by upsert_parquet_partitioned/delete_keys."""
+    schema = _read_marker_schema(path)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
+
+
+def _write_marker(
+    path: str, n: int, rows: int | None, schema_json: dict | None = None
+) -> None:
+    """Atomically persist the table's bucket count, committed row
+    count, and (once known) canonical row schema. The row count is
+    advisory (it only drives the regrow threshold and ``stats()``);
+    the bucket count is load-bearing for the key mapping; the schema
+    is load-bearing after evolution (see ``_read_marker_schema``).
+    Advisory means: a crash between the last bucket swap and this
+    write leaves the marker stale by one batch (e.g. a crashed
+    delete_keys over-reports until the delete is re-run) — acceptable
+    because every regrow decision re-confirms with the authoritative
+    footer walk before paying an O(table) rewrite, and re-running the
+    interrupted operation converges the marker. Callers that don't
+    change the schema (delete, regrow, count maintenance) pass None
+    and the stored schema is carried forward."""
+    if schema_json is None:
+        prior = _read_marker_schema(path)
+        schema_json = prior.jsonValue() if prior is not None else None
+    atomic_write_file(
+        _nbuckets_marker(path),
+        json.dumps({"n": n, "rows": rows, "schema": schema_json}),
+    )
 
 
 def _footer_rows(path: str) -> int:
@@ -271,9 +316,20 @@ def upsert_parquet_partitioned(
         return 0
     has_current = bool(observed)
     if has_current:
-        # partition pruning: only the touched bucket directories are read
-        current = spark.read.parquet(path).filter(F.col(bucket_col).isin(touched))
-        merged = current.unionByName(keyed)
+        # partition pruning: only the touched bucket directories are
+        # read — under the stored canonical schema, so buckets written
+        # before a prior schema evolution surface their missing
+        # columns as NULL instead of poisoning inference
+        current = read_keyed_table(spark, path).filter(F.col(bucket_col).isin(touched))
+        # SCHEMA EVOLUTION (the CDC reality the reference breaks on —
+        # its cursor.description mapping dies on ALTER TABLE): columns
+        # new in this batch append to the table schema (old rows read
+        # NULL); columns absent from the batch stay (new rows hold
+        # NULL — last-writer-wins is row-granular). Same-name
+        # type conflicts fail loudly in unionByName. The merged schema
+        # is persisted to the marker below so every later read uses
+        # the superset.
+        merged = current.unionByName(keyed, allowMissingColumns=True)
     else:
         merged = keyed
     # last-writer-wins via max_by: a partial-aggregating hash aggregate
@@ -311,7 +367,7 @@ def upsert_parquet_partitioned(
         total = committed_rows - removed + added
     else:
         total = _footer_rows(path)  # legacy/new table: one-time walk
-    _write_marker(path, n, total)
+    _write_marker(path, n, total, deduped.schema.jsonValue())
     _maybe_grow_buckets(
         spark, path, key_cols, version_col, bucket_col, n, target_bucket_rows, total
     )
@@ -345,8 +401,13 @@ def _maybe_grow_buckets(
     if total <= 2 * target_bucket_rows * n:
         return n
     n2 = max(n * 2, _pow2_at_least(-(-total // target_bucket_rows)))
+    schema_json = (
+        _read_marker_schema(path).jsonValue()
+        if _read_marker_schema(path) is not None
+        else None
+    )
     rebucketed = (
-        spark.read.parquet(path)
+        read_keyed_table(spark, path)
         .drop(bucket_col)
         .withColumn(bucket_col, F.pmod(F.hash(*key_cols), F.lit(n2)).cast("int"))
     )
@@ -354,7 +415,9 @@ def _maybe_grow_buckets(
     rebucketed.repartition(*[F.col(c) for c in key_cols]).write.mode(
         "overwrite"
     ).partitionBy(bucket_col).parquet(tmp)
-    _write_marker(tmp, n2, total)  # regrow moves rows, never changes the count
+    # regrow moves rows, never changes count or schema — carry both to
+    # the replacement dir's marker explicitly (the tmp has no prior)
+    _write_marker(tmp, n2, total, schema_json)
     _swap_in(path, tmp)
     return n2
 
@@ -514,7 +577,7 @@ def delete_keys(
     )
     if not touched:
         return 0
-    current = spark.read.parquet(path).filter(F.col(bucket_col).isin(touched))
+    current = read_keyed_table(spark, path).filter(F.col(bucket_col).isin(touched))
     remaining = current.join(
         F.broadcast(keyed.select(*key_cols)), key_cols, "left_anti"
     )

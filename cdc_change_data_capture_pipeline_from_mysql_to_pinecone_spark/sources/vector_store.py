@@ -145,7 +145,12 @@ class VectorStore:
                 schema = StructType()
             schema = schema.add("_ver", "long").add("kbucket", IntegerType())
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self.path)
+        from .sinks import read_keyed_table
+
+        # canonical-schema read: records upserted after a schema
+        # evolution (new metadata columns) read correctly against
+        # buckets written before it (missing columns -> NULL)
+        return read_keyed_table(self.spark, self.path)
 
     def query(
         self,

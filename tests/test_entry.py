@@ -25,7 +25,7 @@ def test_registry_priority_order():
                   "q2_min_cost_supplier", "agg_grouping_sets",
                   "set_ops_all_variants", "cdc_late_data_rescan",
                   "scalar_regexp_advanced", "array_hof_documents",
-                  "map_ops_events"):
+                  "text_bm25_rank", "incremental_topk_rollup"):
         assert probe in front, probe
 
 

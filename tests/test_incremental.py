@@ -447,3 +447,33 @@ def test_estimate_resemblance_group_ceiling_and_null_safety(spark):
     }
     assert est[("a", "b")] == 0.5
     assert est[("a", "c")] == 0.0 and est[("b", "c")] == 0.0
+
+
+def test_topk_rollup_mg_guarantees(spark):
+    """Misra-Gries contract: (a) summary counts are LOWER bounds on
+    exact frequencies; (b) any item with true frequency > m/(k+1)
+    survives every tick-merge (here: a 60%-mass item over 3 ticks);
+    (c) per key group at most k counters."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_topk_rollup,
+        merge_topk_rollups,
+    )
+
+    # one key group, skewed stream: 60 x 'hot', 40 spread over 8 others
+    items = ["hot"] * 60 + [f"c{i % 8}" for i in range(40)]
+    rows = [(1, it, i) for i, it in enumerate(items)]
+    df = spark.createDataFrame(rows, ["g", "item", "seq"])
+    k = 3
+    ticks = [df.filter(F.col("seq") % 3 == i).drop("seq") for i in range(3)]
+    state = delta_topk_rollup(ticks[0], ["g"], "item", k=k)
+    for t in ticks[1:]:
+        state = merge_topk_rollups(state, delta_topk_rollup(t, ["g"], "item", k=k), ["g"], "item", k=k)
+    summary = {r["item"]: r["cnt"] for r in state.collect()}
+    exact = {r["item"]: r["cnt"] for r in
+             df.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert len(summary) <= k
+    assert all(summary[i] <= exact[i] for i in summary)   # lower bounds
+    assert "hot" in summary                               # 60 > 100/(k+1)
+    # MG error bound: undercount <= dropped mass / k per reduction;
+    # 3 ticks + 2 merges never push 'hot' below f - m/(k+1)
+    assert summary["hot"] >= 60 - 100 // (k + 1)

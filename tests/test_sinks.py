@@ -515,3 +515,47 @@ def test_partitioned_upsert_marker_drift_self_heals(spark, tmp_path):
     n, rows = sinks._read_marker(path)
     assert n == 8, "spurious regrow from a drifted marker"
     assert rows == 40, "walk should re-sync the drifted count"
+
+
+def test_upsert_schema_evolution_new_column(spark, tmp_path):
+    """CDC schema drift (the reference's ALTER TABLE blind spot): a
+    batch carrying a NEW column merges cleanly — old rows read NULL
+    for it even from untouched buckets (canonical marker schema), a
+    batch MISSING a column leaves NULLs for its new rows, and the
+    evolved schema survives delete + regrow marker rewrites."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.sinks import (
+        delete_keys,
+        read_keyed_table,
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "evo")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(40)], ["id", "val", "ver"]
+    )
+    upsert_parquet_partitioned(spark, path, base, ["id"], "ver", num_buckets=4)
+
+    # evolve: new column arrives for a handful of keys (touches SOME buckets)
+    evolved = spark.createDataFrame(
+        [(1, "v1b", 2, "en"), (2, "v2b", 2, "de")], ["id", "val", "ver", "lang"]
+    )
+    upsert_parquet_partitioned(spark, path, evolved, ["id"], "ver")
+    t = read_keyed_table(spark, path)
+    assert "lang" in t.columns
+    rows = {r["id"]: (r["val"], r["lang"]) for r in t.collect()}
+    assert len(rows) == 40
+    assert rows[1] == ("v1b", "en") and rows[2] == ("v2b", "de")
+    assert rows[3] == ("v3", None)          # untouched bucket, NULL column
+
+    # a later batch WITHOUT the evolved column: its rows hold NULL lang
+    upsert_parquet_partitioned(
+        spark, path, spark.createDataFrame([(3, "v3c", 3)], ["id", "val", "ver"]),
+        ["id"], "ver",
+    )
+    t2 = {r["id"]: (r["val"], r["lang"]) for r in read_keyed_table(spark, path).collect()}
+    assert t2[3] == ("v3c", None) and t2[1] == ("v1b", "en")
+
+    # schema survives a delete's marker rewrite
+    delete_keys(spark, path, spark.createDataFrame([(5,)], ["id"]), ["id"])
+    t3 = read_keyed_table(spark, path)
+    assert "lang" in t3.columns and t3.count() == 39

@@ -249,3 +249,22 @@ def test_vector_store_concurrent_upserts_serialize(spark, tmp_path):
     assert len({r["metadata"] for r in rows}) == 1
     with open(f"{path}/_verseq") as fh:
         assert int(fh.read()) == n_calls
+
+
+def test_vector_store_schema_evolution(spark, tmp_path):
+    """A later upsert batch carrying a NEW metadata column evolves the
+    store: earlier records read NULL for it, fetch/query keep
+    working, and a batch missing the column still merges."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "evo_idx"), dim=4)
+    store.upsert([{"id": f"d{i}", "values": [1.0, 0.0, 0.0, 0.0]} for i in range(6)])
+    store.upsert([{"id": "d1", "values": [0.0, 1.0, 0.0, 0.0], "source": "web"}])
+    got = {r["id"]: r.asDict().get("source") for r in store.fetch(["d0", "d1"]).collect()}
+    assert got == {"d0": None, "d1": "web"}
+    top = store.query([0.0, 1.0, 0.0, 0.0], top_k=1).collect()
+    assert top[0]["id"] == "d1" and top[0]["source"] == "web"
+    store.upsert([{"id": "d2", "values": [0.5, 0.5, 0.0, 0.0]}])  # pre-evolution shape
+    assert store.fetch(["d2"]).collect()[0].asDict().get("source") is None
