@@ -1243,7 +1243,7 @@ def dedup_lsh_candidates(spark, sf_dir):
     """MinHash-LSH banding: near-dup candidate pairs via per-bucket
     self-join — no global cross join (A9 scale path).
 
-    Stage sizing (r6, VERDICT r5 task 4): below ~100k docs (parquet
+    Stage sizing (r6, VERDICT r5 task 4): below 20k docs (parquet
     footer stat, no job) the signature aggregate is narrowed to one
     hash partition and coalesce(1)'d, whose SinglePartition output
     satisfies the banding groupBy AND the pair distinct — both their
@@ -2768,14 +2768,21 @@ def pipeline_training_data(spark, sf_dir):
     ).filter((toks >= 20) & (n_punct / n_chars <= 0.2))
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     npart = max(1, min(conf_parts, -(-_table_rows(sf_dir, "documents") // 100_000)))
-    survivors = (
-        quality.withColumn("_fp", text_ops.fingerprint(F.col("text")))
-        .repartition(npart, "_fp")
-        .groupBy("_fp")
-        .agg(F.min_by(F.struct("lang", "n_tokens", "n_chars"), "doc_id").alias("s"))
-    )
+    fp = quality.withColumn("_fp", text_ops.fingerprint(F.col("text")))
+    agg = F.min_by(F.struct("lang", "n_tokens", "n_chars"), "doc_id").alias("s")
     if npart <= 8:
-        survivors = survivors.coalesce(1)
+        # small path: explicit narrow repartition + coalesce(1) — the
+        # single-phase agg trades the partial combine for erased
+        # downstream exchanges (fine at a few MB)
+        survivors = fp.repartition(npart, "_fp").groupBy("_fp").agg(agg).coalesce(1)
+    else:
+        # scale path: NO explicit repartition — the conf-sized shuffle
+        # with map-side partial min_by, so one combined struct per
+        # fingerprint per input partition crosses the exchange, never
+        # one row per document (review fix: an unconditional
+        # repartition satisfied the distribution early and hoisted the
+        # partial combine above the shuffle)
+        survivors = fp.groupBy("_fp").agg(agg)
     return survivors.groupBy(F.col("s.lang").alias("lang")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("s.n_tokens").cast("long").alias("total_tokens"),

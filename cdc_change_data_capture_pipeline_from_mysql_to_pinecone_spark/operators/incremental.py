@@ -245,9 +245,16 @@ def estimate_resemblance(
     ``max_groups`` is a fail-fast guard for that contract: a call
     mis-keyed on a document-grained column would silently queue a
     quadratic cross join; instead we count groups with an early-out
-    ``limit(n+1).count()`` scan and raise with guidance. Raise the
-    ceiling explicitly (or pass ``None``) only when the quadratic cost
-    is understood.
+    ``limit(n+1).count()`` scan and raise with guidance. COST: the
+    guard EXECUTES the upstream plan once at call time — for a state
+    table that is the product of a chained rollup, that means running
+    the chain twice (or at plan-build time, if the caller builds
+    lazily). When the key's cardinality is known-small by
+    construction, pass ``None`` (as the registry's lang-keyed caller
+    does); when the chain is expensive and the guard still wanted,
+    ``persist()`` the rollup first. The default stays ON because the
+    failure it prevents — an unbounded cross join on a mis-keyed
+    call — is strictly worse than a duplicated scan.
 
     Agreement is null-safe: a group whose rows all had NULL/empty text
     carries NULL sketch components, and ``==`` would propagate NULL

@@ -401,11 +401,8 @@ def _maybe_grow_buckets(
     if total <= 2 * target_bucket_rows * n:
         return n
     n2 = max(n * 2, _pow2_at_least(-(-total // target_bucket_rows)))
-    schema_json = (
-        _read_marker_schema(path).jsonValue()
-        if _read_marker_schema(path) is not None
-        else None
-    )
+    prior_schema = _read_marker_schema(path)
+    schema_json = prior_schema.jsonValue() if prior_schema is not None else None
     rebucketed = (
         read_keyed_table(spark, path)
         .drop(bucket_col)

@@ -133,9 +133,17 @@ class VectorStore:
         if not _observed_bucket_ids(self.path, "kbucket"):
             # every row deleted (or nothing upserted yet): an empty
             # store reads as an empty frame, never a parquet
-            # schema-inference failure
+            # schema-inference failure. The marker's canonical schema
+            # is authoritative (it tracks evolution — review fix: the
+            # once-written _schema.ddl goes stale after a new column
+            # arrives); the ddl file is the pre-first-delete fallback.
             from pyspark.sql.types import IntegerType, StructType
 
+            from .sinks import _read_marker_schema
+
+            marker_schema = _read_marker_schema(self.path)
+            if marker_schema is not None:
+                return self.spark.createDataFrame([], marker_schema)
             if os.path.exists(self._schema_path()):
                 import json as _json
 

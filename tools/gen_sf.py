@@ -38,19 +38,39 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-# per-table key columns that shift by i * (max+1) per replica; value
-# columns pass through
+# key columns mapped to their key DOMAIN: every column of a domain
+# shifts by the same i * (domain_max + 1) per replica, where
+# domain_max is the max over ALL the domain's columns — a per-column
+# max would desynchronize a FK from its PK whenever some PK values
+# are unreferenced (review fix: on standard TPC-H a third of
+# customers place no orders, so max(o_custkey) < max(c_custkey) and
+# per-column offsets would point replica orders at missing
+# customers). Value columns pass through.
 KEYED = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
+    "events": {"event_id": "eventkey", "user_id": "userkey"},
+    "documents": {"doc_id": "dockey"},
+    "embeddings": {"vec_id": "veckey"},
 }
 COPY_ONLY = ["region", "nation"]
+
+
+def _domain_offsets(src: str) -> dict[str, int]:
+    """offset unit per key domain: max over every column of the domain
+    across all tables, + 1."""
+    maxima: dict[str, int] = {}
+    for name, cols in KEYED.items():
+        table = pq.read_table(
+            os.path.join(src, f"{name}.parquet"), columns=list(cols)
+        )
+        for col, domain in cols.items():
+            m = int(pa.compute.max(table[col]).as_py())
+            maxima[domain] = max(maxima.get(domain, 0), m)
+    return {d: m + 1 for d, m in maxima.items()}
 
 
 def _mutate_text(texts: np.ndarray, replica: int) -> tuple[list, list]:
@@ -69,13 +89,11 @@ def _mutate_text(texts: np.ndarray, replica: int) -> tuple[list, list]:
     return out, n_chars
 
 
-def scale_table(src: str, dst: str, name: str, k: int) -> int:
+def scale_table(src: str, dst: str, name: str, k: int, units: dict[str, int]) -> int:
     table = pq.read_table(os.path.join(src, f"{name}.parquet"))
     writer = pq.ParquetWriter(os.path.join(dst, f"{name}.parquet"), table.schema)
     rng = np.random.RandomState(42)
-    offsets = {
-        c: int(pa.compute.max(table[c]).as_py()) + 1 for c in KEYED.get(name, [])
-    }
+    offsets = {c: units[d] for c, d in KEYED.get(name, {}).items()}
     total = 0
     for i in range(k):
         cols = {}
@@ -111,8 +129,9 @@ def main() -> None:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
         print(f"{name}: {t.num_rows} (copied)")
+    units = _domain_offsets(src)
     for name in KEYED:
-        n = scale_table(src, dst, name, k)
+        n = scale_table(src, dst, name, k, units)
         print(f"{name}: {n}")
 
 
