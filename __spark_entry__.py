@@ -4745,6 +4745,61 @@ def text_bm25_rank(spark, sf_dir):
 
 
 @_q(
+    "search_rrf_fusion",
+    """
+    WITH docs AS (SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    d2 AS (SELECT doc_id, n_chars, len(t) AS dl, t FROM docs),
+    consts AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d2),
+    hits AS (SELECT doc_id, dl, unnest(t) AS tok FROM d2),
+    tf AS (SELECT doc_id, tok, count(*) AS tf, first(dl) AS dl
+           FROM hits WHERE tok IN ('hash', 'join', 'filter')
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY tok),
+    bm AS (SELECT t.doc_id,
+                  round(sum(ln(1 + (c.n - d.dfc + 0.5) / (d.dfc + 0.5))
+                            * (t.tf * 2.2)
+                            / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / c.avgdl))),
+                        6) AS score
+           FROM tf t JOIN dfreq d USING (tok) CROSS JOIN consts c
+           GROUP BY t.doc_id),
+    a AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+          FROM bm QUALIFY rn <= 30),
+    b AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+          FROM d2 QUALIFY rn <= 30)
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + a.rn), 0) + coalesce(1.0 / (60 + b.rn), 0),
+                 6) AS rrf_score
+    FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def search_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (vectors.rrf_fuse, Cormack SIGIR'09) of
+    two heterogeneous retrieval lists over the corpus — the BM25
+    lexical top-30 and a length-prior top-30 — into one
+    calibration-free ranking: the hybrid-search combiner (in the
+    facade it fuses BM25 with the vector ranking,
+    VectorStore.query(mode='hybrid')). BM25 scores are rounded to 6
+    BEFORE ranking so mathematically-tied docs rank by the id
+    tiebreak identically in both engines (a raw double rank would let
+    last-ulp summation drift swap adjacent equals)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    bm = (
+        text_ops.bm25_scores(d, "doc_id", "text", ["hash", "join", "filter"])
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(30)
+    )
+    ln = (
+        d.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(30)
+    )
+    fused = vec_ops.rrf_fuse([bm, ln], "doc_id", k=60)
+    return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
+
+
+@_q(
     "cdc_scd2_history",
     """
     SELECT user_id, event_id,
@@ -5977,14 +6032,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots 1-3 are the queries registered after the r5 window cut (the
 # two r5 post-window additions plus the declared rows-only HLL rollup,
 # never driver-sampled); slot 4 is NEW in r6 (existence-maximal funnel
-# DP, recursive-CTE oracle); slots 5-6 are also NEW in r6 (BM25
-# lexical ranking, Misra-Gries heavy-hitters rollup); slots 7-27 are
-# the 21 queries whose latest driver row is still r2-era (pre-Spark-4
-# runtime), in r2 window order; slots 28-50 are the 23 stalest
-# r3-era rows, in r3 window order. The 24 remaining r3-era rows (led
-# by array_posexplode_tokens and map_ops_events, displaced by the two
-# r6 late-window additions) queue for the r7 refresh — after r6 every
-# query's latest driver row is r4+ except that named tail.
+# DP, recursive-CTE oracle); slots 5-7 are also NEW in r6 (BM25
+# lexical ranking, Misra-Gries heavy-hitters rollup, RRF hybrid-search
+# fusion); slots 8-28 are the 21 queries whose latest driver row is
+# still r2-era (pre-Spark-4 runtime), in r2 window order; slots 29-50
+# are the 22 stalest r3-era rows, in r3 window order. The 25
+# remaining r3-era rows (led by array_hof_documents, displaced by the
+# three r6 late-window additions) queue for the r7 refresh — after r6
+# every query's latest driver row is r4+ except that named tail.
 _PRIORITY = [
     "text_mad_outliers",
     "window_time_range_moving_sum",
@@ -5992,6 +6047,7 @@ _PRIORITY = [
     "funnel_three_step_maximal",
     "text_bm25_rank",
     "incremental_topk_rollup",
+    "search_rrf_fusion",
     "q15_top_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",

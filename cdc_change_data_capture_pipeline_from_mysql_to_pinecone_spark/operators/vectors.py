@@ -677,3 +677,37 @@ def pca_project(
     return emb_df.select(
         F.col(id_col), vdot(cent, lit_double_array(direction)).alias(out_col)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], id_col: str, k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of candidate
+    lists: each input is an (id, score) frame; an item's fused score
+    is ``sum over lists of 1 / (k + rank_in_list)`` with rank 1 =
+    highest score (ties broken by id — deterministic, the
+    cross-engine contract). Items absent from a list simply
+    contribute nothing for it — the standard hybrid-retrieval
+    combiner (BM25 list + vector-ANN list -> one ranking) that needs
+    no score calibration between heterogeneous scorers.
+
+    Scale shape: ranking each list is a GLOBAL ordering — by design
+    this operator takes top-N CANDIDATE lists (each already bounded
+    by its retriever's k), so the windows sort hundreds of rows, not
+    corpora. Feeding an unbounded scored table here is a misuse;
+    bound it with the retriever's own top-k first."""
+    from pyspark.sql import Window
+
+    fused = None
+    for i, r in enumerate(rankings):
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+        ranked = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k) + F.row_number().over(w))).alias(f"_c{i}"),
+        )
+        fused = ranked if fused is None else fused.join(ranked, id_col, "full_outer")
+    contribs = [F.coalesce(F.col(f"_c{i}"), F.lit(0.0)) for i in range(len(rankings))]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return fused.select(F.col(id_col), total.alias("rrf_score"))

@@ -166,11 +166,19 @@ class VectorStore:
         top_k: int = 10,
         mode: str = "exact",
         multi_probe: int = 0,
+        query_terms: list[str] | None = None,
+        text_col: str = "metadata",
+        rrf_k: int = 60,
     ) -> DataFrame:
         """Top-k most-cosine-similar records. ``mode='exact'`` scans
         everything through a TakeOrderedAndProject; ``mode='ann'``
         probes the query's LSH bucket(s) — the scan-fraction dial for
-        an index that outgrew exact search."""
+        an index that outgrew exact search; ``mode='hybrid'`` fuses
+        the exact vector ranking with a BM25 lexical ranking of
+        ``query_terms`` over ``text_col`` by reciprocal-rank fusion
+        (the hybrid-search verb of hosted vector stores): each
+        retriever contributes its top-4k candidates, fusion needs no
+        score calibration, and the returned ``score`` is the RRF sum."""
         t = self._table()
         if mode == "exact":
             hits = vec_ops.cosine_topk(t, "id", "values", vector, k=top_k)
@@ -180,8 +188,29 @@ class VectorStore:
                 n_planes=None, multi_probe=multi_probe,
                 n_rows=self.stats()["count"],
             )
+        elif mode == "hybrid":
+            if not query_terms:
+                raise ValueError("mode='hybrid' needs query_terms")
+            if text_col not in t.columns:
+                raise ValueError(f"no {text_col!r} column to rank lexically")
+            from ..operators.text import bm25_scores
+
+            cand = max(top_k * 4, top_k)
+            vec_hits = vec_ops.cosine_topk(t, "id", "values", vector, k=cand)
+            lex_hits = (
+                bm25_scores(t, "id", text_col, query_terms)
+                .orderBy(F.col("score").desc(), "id")
+                .limit(cand)
+                .select("id", "score")
+            )
+            hits = (
+                vec_ops.rrf_fuse([vec_hits.select("id", "score"), lex_hits], "id", k=rrf_k)
+                .orderBy(F.col("rrf_score").desc(), "id")
+                .limit(top_k)
+                .select("id", F.col("rrf_score").alias("score"))
+            )
         else:
-            raise ValueError(f"mode must be exact|ann, got {mode!r}")
+            raise ValueError(f"mode must be exact|ann|hybrid, got {mode!r}")
         meta = [c for c in t.columns if c not in ("values", "kbucket", "_ver")]
         # the metadata join does not preserve the top-k order — restore
         # it (k rows; the sort is driver-trivial)

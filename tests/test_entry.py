@@ -24,8 +24,9 @@ def test_registry_priority_order():
                   "cdc_time_travel", "sql_frontend_having",
                   "q2_min_cost_supplier", "agg_grouping_sets",
                   "set_ops_all_variants", "cdc_late_data_rescan",
-                  "scalar_regexp_advanced", "array_hof_documents",
-                  "text_bm25_rank", "incremental_topk_rollup"):
+                  "scalar_regexp_advanced", "array_ops_documents",
+                  "text_bm25_rank", "incremental_topk_rollup",
+                  "search_rrf_fusion"):
         assert probe in front, probe
 
 

@@ -268,3 +268,39 @@ def test_vector_store_schema_evolution(spark, tmp_path):
     assert top[0]["id"] == "d1" and top[0]["source"] == "web"
     store.upsert([{"id": "d2", "values": [0.5, 0.5, 0.0, 0.0]}])  # pre-evolution shape
     assert store.fetch(["d2"]).collect()[0].asDict().get("source") is None
+
+
+def test_vector_store_hybrid_query(spark, tmp_path):
+    """Hybrid search (the hosted-store verb): RRF fusion of the exact
+    vector ranking with a BM25 ranking over the metadata text. A doc
+    that is mediocre on BOTH lists must outrank docs that only one
+    retriever likes; missing query_terms / text column raise."""
+    import pytest
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "hy_idx"), dim=4)
+    store.upsert([
+        # vector-perfect, lexically irrelevant
+        {"id": "vec_only", "values": [1.0, 0.0, 0.0, 0.0], "metadata": "nothing relevant here"},
+        # lexically perfect, orthogonal vector
+        {"id": "lex_only", "values": [0.0, 0.0, 0.0, 1.0],
+         "metadata": "spark engine spark engine spark"},
+        # decent on both
+        {"id": "both", "values": [0.9, 0.1, 0.0, 0.0], "metadata": "spark joins and scans"},
+        {"id": "neither", "values": [0.0, 0.0, 1.0, 0.0], "metadata": "filler words only"},
+    ])
+    out = store.query(
+        [1.0, 0.0, 0.0, 0.0], top_k=3, mode="hybrid", query_terms=["spark", "engine"]
+    ).collect()
+    ids = [r["id"] for r in out]
+    # RRF sums (k=60): lex_only = 1/63 (vec rank 3, zero-cos tie broken
+    # by id) + 1/61 (lex rank 1) ≈ .03227; both = 1/62 + 1/62 ≈ .03226;
+    # vec_only = 1/61 + 0 ≈ .01639 — the two cross-retriever docs must
+    # lead, the single-retriever champion trails them, 'neither' drops
+    assert set(ids[:2]) == {"both", "lex_only"}
+    assert ids[2] == "vec_only" and "neither" not in ids
+    with pytest.raises(ValueError, match="query_terms"):
+        store.query([1.0, 0, 0, 0], mode="hybrid")
