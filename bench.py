@@ -67,6 +67,9 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
     )
     small = input_bytes < 64 * 1024 * 1024
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local[8] vs local[32] was A/B'd twice in r6 and is host-noise:
+    # one interleaved window favored 8 by ~15%, the next favored 32 —
+    # the default stays at the machine's cores ($SPARK_GRAFT_CPUS)
     return get_spark(
         app_name,
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus if small else "64")),

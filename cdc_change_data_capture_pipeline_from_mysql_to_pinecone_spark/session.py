@@ -22,13 +22,19 @@ def get_spark(
     app_name: str = "cdc_pipeline_spark",
     shuffle_partitions: int | None = None,
     adaptive: bool = True,
+    cores: int | None = None,
 ) -> SparkSession:
     """``adaptive=False`` turns AQE off — right for sub-GB workloads
     where AQE's stage-by-stage materialization barriers cost more than
     its runtime re-planning saves (measured ~30% on the sf0.1 bench).
     At real scale leave it on: coalescing, skew splits, and dynamic
-    join switches are the 100 TB safety net."""
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    join switches are the 100 TB safety net. ``cores`` overrides the
+    local-mode thread count ($SPARK_GRAFT_CPUS, default 32) for
+    experiments — an auto-narrowing default was A/B'd in r6 and
+    rejected as host-noise (one interleaved window favored local[8]
+    by ~15%, the next favored local[32]). NOTE: in one JVM the first
+    getOrCreate pins the master for the process."""
+    cpus = cores if cores is not None else os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
     builder = (
