@@ -605,6 +605,63 @@ def sweep_changelog_rollup(
     return wm_row["batch_rows"]
 
 
+def sweep_topk_rollup(
+    spark: SparkSession,
+    src_path: str,
+    store_dir: str,
+    name: str,
+    change_col: str,
+    keys: list[str],
+    item_col: str,
+    k: int = 3,
+) -> int:
+    """Maintain per-key-group HEAVY-HITTERS summaries from watermark
+    deltas — the Misra-Gries member of the sweep family (sweep_rollup
+    = algebraic, sweep_changelog_rollup = retractable,
+    sweep_distinct via HLL sketches, this = frequent items): each
+    tick reads only rows past the stored watermark, reduces them to a
+    k-counter summary (operators.incremental.delta_topk_rollup),
+    merges by count-add + deterministic re-reduction, and commits
+    state + watermark in ONE atomic rename — the shared exactly-once
+    pivot, which here prevents a replayed tick from inflating the
+    lower-bound counts above the true frequencies (the one MG
+    guarantee a correct pipeline must keep). State is <= k rows per
+    key group forever; returns delta rows folded (0 = idle tick)."""
+    import os
+
+    from ..operators import cdc as cdc_ops
+    from ..operators.incremental import delta_topk_rollup, merge_topk_rollups
+    from ..sources.sinks import recover_table
+
+    rollup_path = os.path.join(store_dir, f"topk_{name}")
+    recover_table(rollup_path)
+    wm_marker = os.path.join(rollup_path, "_watermark")
+    watermark = None
+    if os.path.exists(wm_marker):
+        with open(wm_marker) as fh:
+            watermark = fh.read().strip()
+
+    src = spark.read.parquet(src_path)
+    if watermark is None:
+        delta = src
+    else:
+        wm_typed = F.lit(watermark).cast(src.schema[change_col].dataType)
+        delta = src.filter(F.col(change_col) > wm_typed)
+    wm_row = cdc_ops.next_watermark(delta, change_col).collect()[0]
+    if wm_row["batch_rows"] == 0:
+        return 0
+
+    update = delta_topk_rollup(delta, keys, item_col, k=k)
+    if os.path.isdir(rollup_path):
+        stored = spark.read.parquet(rollup_path)
+        new_state = merge_topk_rollups(stored, update, keys, item_col, k=k)
+    else:
+        new_state = update
+
+    _commit_rollup(rollup_path, new_state, wm_row["last_updated"])
+    return wm_row["batch_rows"]
+
+
 def stateful_funnel(
     stream: DataFrame,
     user_col: str,

@@ -477,3 +477,49 @@ def test_topk_rollup_mg_guarantees(spark):
     # MG error bound: undercount <= dropped mass / k per reduction;
     # 3 ticks + 2 merges never push 'hot' below f - m/(k+1)
     assert summary["hot"] >= 60 - 100 // (k + 1)
+
+
+def test_sweep_topk_rollup_ticks_and_replay(spark, tmp_path):
+    """Heavy-hitters sweep: ticks fold only past-watermark rows, the
+    state equals the python replay of the same tick sequence, an idle
+    tick is a no-op, and a crash-replayed tick cannot inflate counts
+    past true frequencies (exactly-once commit)."""
+    import os
+    from collections import Counter
+
+    import pandas as pd
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        sweep_topk_rollup,
+    )
+
+    src = str(tmp_path / "log"); os.makedirs(src)
+    store = str(tmp_path / "store")
+    k = 2
+
+    def append(fname, rows):
+        pd.DataFrame(rows, columns=["lsn", "g", "item"]).to_parquet(
+            os.path.join(src, fname), index=False
+        )
+
+    def reduce_py(counts):
+        ranked = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+        ck1 = ranked[k][1] if len(ranked) > k else 0
+        return {i: c - ck1 for i, c in ranked[:k] if c - ck1 > 0}
+
+    t1 = [(i, 1, it) for i, it in enumerate(["a"] * 5 + ["b"] * 3 + ["c"] * 2)]
+    t2 = [(100 + i, 1, it) for i, it in enumerate(["b"] * 4 + ["d"] * 3)]
+    append("t1.parquet", t1)
+    assert sweep_topk_rollup(spark, src, store, "ev", "lsn", ["g"], "item", k=k) == 10
+    append("t2.parquet", t2)
+    assert sweep_topk_rollup(spark, src, store, "ev", "lsn", ["g"], "item", k=k) == 7
+    # idle tick: nothing new
+    assert sweep_topk_rollup(spark, src, store, "ev", "lsn", ["g"], "item", k=k) == 0
+
+    state = {r["item"]: r["cnt"] for r in
+             spark.read.parquet(os.path.join(store, "topk_ev")).collect()}
+    s_py = reduce_py(Counter(it for _, _, it in t1))
+    m = Counter(s_py); m.update(reduce_py(Counter(it for _, _, it in t2)))
+    assert state == reduce_py(dict(m))
+    true = Counter(it for _, _, it in t1 + t2)
+    assert all(state[i] <= true[i] for i in state)   # replay-safe lower bounds

@@ -279,3 +279,131 @@ def test_store_diff_matches_set_model(spark_g, drop, change, extra):
     want.update({i: "changed" for i in change if i not in drop})
     want.update({i: "extra" for i in extra})
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),                       # doc id
+            st.lists(st.sampled_from(["a", "b", "c", "x", "y"]), min_size=1, max_size=12),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_bm25_matches_python_model(spark_g, docs):
+    """bm25_scores vs a direct python BM25 (same Lucene idf, k1=1.2,
+    b=0.75) over random small corpora — per-doc scores agree to 1e-9
+    and exactly the term-matching docs appear."""
+    import math
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        bm25_scores,
+    )
+
+    terms = ["a", "b"]
+    df = spark_g.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(df, "doc_id", "text", terms).collect()
+    }
+
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    dfreq = {t: sum(1 for _, toks in docs if t in toks) for t in terms}
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, toks in docs:
+        s = 0.0
+        matched = False
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            matched = True
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if matched:
+            want[i] = s
+    assert set(got) == set(want)
+    assert all(abs(got[i] - want[i]) < 1e-9 for i in want)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 15), st.floats(0, 100, allow_nan=False)),
+            min_size=1, max_size=10, unique_by=lambda t: t[0],
+        ),
+        min_size=1, max_size=3,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_rrf_fuse_matches_python_model(spark_g, lists_):
+    """rrf_fuse vs direct python RRF over random candidate lists:
+    ranks from (score desc, id) ordering, absent items contribute
+    nothing, fused scores agree to 1e-12."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        rrf_fuse,
+    )
+
+    frames = [
+        spark_g.createDataFrame(lst, ["doc_id", "score"]) for lst in lists_
+    ]
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse(frames, "doc_id", k=60).collect()}
+
+    want: dict[int, float] = {}
+    for lst in lists_:
+        ordered = sorted(lst, key=lambda t: (-t[1], t[0]))
+        for rank, (i, _s) in enumerate(ordered, 1):
+            want[i] = want.get(i, 0.0) + 1.0 / (60 + rank)
+    assert set(got) == set(want)
+    assert all(abs(got[i] - want[i]) < 1e-12 for i in want)
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]), min_size=3, max_size=60),
+    st.integers(2, 4),
+)
+@settings(max_examples=20, deadline=None)
+def test_misra_gries_matches_python_model(spark_g, stream, k):
+    """delta/merge_topk_rollups vs a python replay of the SAME
+    deterministic reduction over a 2-tick split — exact equality (the
+    reduction rule IS the contract), plus the MG lower-bound check
+    against true frequencies."""
+    from collections import Counter
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_topk_rollup,
+        merge_topk_rollups,
+    )
+
+    def reduce_py(counts: dict) -> dict:
+        ranked = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+        ck1 = ranked[k][1] if len(ranked) > k else 0
+        return {i: c - ck1 for i, c in ranked[:k] if c - ck1 > 0}
+
+    ticks_py = [stream[0::2], stream[1::2]]
+    state_py = reduce_py(Counter(ticks_py[0]))
+    s2 = reduce_py(Counter(ticks_py[1]))
+    merged = Counter(state_py)
+    merged.update(s2)
+    state_py = reduce_py(dict(merged))
+
+    rows = [(1, it, pos) for pos, it in enumerate(stream)]
+    df = spark_g.createDataFrame(rows, ["g", "item", "pos"])
+    t0 = df.filter(F.col("pos") % 2 == 0).drop("pos")
+    t1 = df.filter(F.col("pos") % 2 == 1).drop("pos")
+    state = merge_topk_rollups(
+        delta_topk_rollup(t0, ["g"], "item", k=k),
+        delta_topk_rollup(t1, ["g"], "item", k=k),
+        ["g"], "item", k=k,
+    )
+    got = {r["item"]: r["cnt"] for r in state.collect()}
+    assert got == state_py
+    true = Counter(stream)
+    assert all(got[i] <= true[i] for i in got)
