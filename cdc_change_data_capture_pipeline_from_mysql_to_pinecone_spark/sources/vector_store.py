@@ -49,7 +49,16 @@ _VERSEQ = "_verseq"
 
 
 class VectorStore:
-    """A keyed vector index at ``path`` (created on first upsert)."""
+    """A keyed vector index at ``path`` (created on first upsert).
+
+    NAMESPACES (the reference upserts into ``namespace='task1'``,
+    service_layer/service.py:166): every verb takes ``namespace=``;
+    each namespace is its own independent keyed table in a hidden
+    ``_ns-<name>`` subdirectory (underscore prefix: invisible to the
+    root table's Spark file listing, so the DEFAULT namespace — the
+    root — reads unchanged). Versions, locks, schema, and bucket
+    layout are all per-namespace; cross-namespace ids never collide,
+    matching the hosted-store contract."""
 
     def __init__(self, spark: SparkSession, path: str, dim: int):
         self.spark = spark
@@ -57,9 +66,32 @@ class VectorStore:
         self.dim = dim
         recover_table(path)
 
+    def _at(self, namespace: str) -> str:
+        """Table path for a namespace ('' = the root/default one)."""
+        if not namespace:
+            return self.path
+        if not namespace.replace("-", "").replace("_", "").isalnum():
+            raise ValueError(
+                f"namespace must be alphanumeric/-/_, got {namespace!r}"
+            )
+        return os.path.join(self.path, f"_ns-{namespace}")
+
+    def namespaces(self) -> list[str]:
+        """Namespaces with data ('' for the root, when present)."""
+        from .sinks import _observed_bucket_ids
+
+        out = [""] if _observed_bucket_ids(self.path, "kbucket") else []
+        if os.path.isdir(self.path):
+            for d in sorted(os.listdir(self.path)):
+                if d.startswith("_ns-") and _observed_bucket_ids(
+                    os.path.join(self.path, d), "kbucket"
+                ):
+                    out.append(d[len("_ns-"):])
+        return out
+
     # -- write path --------------------------------------------------
 
-    def _next_version(self) -> int:
+    def _next_version(self, table_path: str) -> int:
         """Read-increment-replace of the ``_verseq`` file. NOT safe to
         call outside the table's writer lock: unsynchronized callers
         can read the same ``last`` and stamp the same version, making
@@ -70,7 +102,7 @@ class VectorStore:
         sequence and every later upsert would stamp versions BELOW the
         stored rows' — max_by would then silently keep stale data
         forever."""
-        seq_path = os.path.join(self.path, _VERSEQ)
+        seq_path = os.path.join(table_path, _VERSEQ)
         last = 0
         if os.path.exists(seq_path):
             with open(seq_path) as fh:
@@ -79,44 +111,48 @@ class VectorStore:
         atomic_write_file(seq_path, str(nxt))
         return nxt
 
-    def upsert(self, records: DataFrame | list[dict]) -> int:
+    def upsert(self, records: DataFrame | list[dict], namespace: str = "") -> int:
         """MERGE records (``id``, ``values``, optional extra columns
         e.g. ``metadata``) by id, last call wins. Returns the number
         of bucket partitions rewritten (O(batch), not O(index)).
         Serialized against other same-host writers by the table lock —
         held across stamp+merge so version order equals commit order."""
+        tpath = self._at(namespace)  # validate the namespace first
         if not isinstance(records, DataFrame):
             if not records:
                 return 0
             records = self.spark.createDataFrame(records)
         assert "id" in records.columns and "values" in records.columns
-        with table_lock(self.path):
-            self._persist_schema(records)
-            stamped = records.withColumn("_ver", F.lit(self._next_version()))
+        with table_lock(tpath):
+            self._persist_schema(records, tpath)
+            stamped = records.withColumn(
+                "_ver", F.lit(self._next_version(tpath))
+            )
             return upsert_parquet_partitioned(
-                self.spark, self.path, stamped, ["id"], "_ver"
+                self.spark, tpath, stamped, ["id"], "_ver"
             )
 
-    def delete(self, ids: list) -> int:
+    def delete(self, ids: list, namespace: str = "") -> int:
         """Remove ids; only their bucket partitions are rewritten.
         Empty id list is a no-op. Takes the same writer lock as
         upsert — a delete racing a merge is a lost-update hazard too."""
         if not ids:
             return 0
         keys = self.spark.createDataFrame([(i,) for i in ids], ["id"])
-        with table_lock(self.path):
-            return delete_keys(self.spark, self.path, keys, ["id"])
+        tpath = self._at(namespace)
+        with table_lock(tpath):
+            return delete_keys(self.spark, tpath, keys, ["id"])
 
-    def _schema_path(self) -> str:
-        return os.path.join(self.path, "_schema.ddl")
+    def _schema_path(self, table_path: str) -> str:
+        return os.path.join(table_path, "_schema.ddl")
 
-    def _persist_schema(self, records: DataFrame) -> None:
+    def _persist_schema(self, records: DataFrame, table_path: str) -> None:
         """Remember the record schema (underscore file, invisible to
         Spark) so a store whose every row was deleted still reads as
         an EMPTY frame instead of failing parquet schema inference."""
-        ddl_path = self._schema_path()
+        ddl_path = self._schema_path(table_path)
         if not os.path.exists(ddl_path):
-            os.makedirs(self.path, exist_ok=True)
+            os.makedirs(table_path, exist_ok=True)
             import uuid
 
             tmp = ddl_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -126,11 +162,12 @@ class VectorStore:
 
     # -- read path ---------------------------------------------------
 
-    def _table(self) -> DataFrame:
-        recover_table(self.path)
+    def _table(self, namespace: str = "") -> DataFrame:
+        tpath = self._at(namespace)
+        recover_table(tpath)
         from .sinks import _observed_bucket_ids
 
-        if not _observed_bucket_ids(self.path, "kbucket"):
+        if not _observed_bucket_ids(tpath, "kbucket"):
             # every row deleted (or nothing upserted yet): an empty
             # store reads as an empty frame, never a parquet
             # schema-inference failure. The marker's canonical schema
@@ -141,13 +178,13 @@ class VectorStore:
 
             from .sinks import _read_marker_schema
 
-            marker_schema = _read_marker_schema(self.path)
+            marker_schema = _read_marker_schema(tpath)
             if marker_schema is not None:
                 return self.spark.createDataFrame([], marker_schema)
-            if os.path.exists(self._schema_path()):
+            if os.path.exists(self._schema_path(tpath)):
                 import json as _json
 
-                with open(self._schema_path()) as fh:
+                with open(self._schema_path(tpath)) as fh:
                     schema = StructType.fromJson(_json.load(fh))
             else:
                 schema = StructType()
@@ -158,7 +195,7 @@ class VectorStore:
         # canonical-schema read: records upserted after a schema
         # evolution (new metadata columns) read correctly against
         # buckets written before it (missing columns -> NULL)
-        return read_keyed_table(self.spark, self.path)
+        return read_keyed_table(self.spark, tpath)
 
     def query(
         self,
@@ -169,6 +206,7 @@ class VectorStore:
         query_terms: list[str] | None = None,
         text_col: str = "metadata",
         rrf_k: int = 60,
+        namespace: str = "",
     ) -> DataFrame:
         """Top-k most-cosine-similar records. ``mode='exact'`` scans
         everything through a TakeOrderedAndProject; ``mode='ann'``
@@ -179,14 +217,14 @@ class VectorStore:
         (the hybrid-search verb of hosted vector stores): each
         retriever contributes its top-4k candidates, fusion needs no
         score calibration, and the returned ``score`` is the RRF sum."""
-        t = self._table()
+        t = self._table(namespace)
         if mode == "exact":
             hits = vec_ops.cosine_topk(t, "id", "values", vector, k=top_k)
         elif mode == "ann":
             hits = vec_ops.ann_topk(
                 t, "id", "values", vector, dim=self.dim, k=top_k,
                 n_planes=None, multi_probe=multi_probe,
-                n_rows=self.stats()["count"],
+                n_rows=self.stats(namespace)["count"],
             )
         elif mode == "hybrid":
             if not query_terms:
@@ -220,13 +258,13 @@ class VectorStore:
             .orderBy(F.desc("score"), "id")
         )
 
-    def fetch(self, ids: list) -> DataFrame:
+    def fetch(self, ids: list, namespace: str = "") -> DataFrame:
         """Point lookups with bucket pruning: only the partitions the
         ids hash into are read. Empty id list -> empty frame."""
         from .sinks import _read_marker
 
-        n, _rows = _read_marker(self.path)
-        t = self._table()
+        n, _rows = _read_marker(self._at(namespace))
+        t = self._table(namespace)
         if not ids:
             return t.limit(0).drop("kbucket", "_ver")
         if n:
@@ -240,9 +278,21 @@ class VectorStore:
             t = t.filter(F.col("kbucket").isin(sorted(buckets)))
         return t.filter(F.col("id").isin(ids)).drop("kbucket", "_ver")
 
-    def stats(self) -> dict:
-        """Index statistics from the table marker (no scan)."""
+    def stats(self, namespace: str = "") -> dict:
+        """Index statistics from the table markers (no scan). With the
+        default namespace, includes the per-namespace breakdown — the
+        describe_index_stats shape of the hosted API."""
         from .sinks import _read_marker
 
-        n, rows = _read_marker(self.path)
-        return {"count": rows or 0, "num_buckets": n or 0, "dim": self.dim}
+        n, rows = _read_marker(self._at(namespace))
+        out = {"count": rows or 0, "num_buckets": n or 0, "dim": self.dim}
+        if not namespace:
+            nss = {}
+            for ns in self.namespaces():
+                if ns:
+                    _n2, r2 = _read_marker(self._at(ns))
+                    nss[ns] = {"count": r2 or 0}
+                else:
+                    nss[ns] = {"count": rows or 0}
+            out["namespaces"] = nss
+        return out

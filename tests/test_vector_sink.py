@@ -304,3 +304,43 @@ def test_vector_store_hybrid_query(spark, tmp_path):
     assert ids[2] == "vec_only" and "neither" not in ids
     with pytest.raises(ValueError, match="query_terms"):
         store.query([1.0, 0, 0, 0], mode="hybrid")
+
+
+def test_vector_store_namespaces(spark, tmp_path):
+    """Namespaces (the reference's namespace='task1' upsert verb):
+    isolated tables per namespace — same ids coexist, queries and
+    deletes scope to their namespace, the default namespace is the
+    root table unchanged, and stats() reports the per-namespace
+    breakdown."""
+    import pytest
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "ns_idx"), dim=4)
+    store.upsert([{"id": "d1", "values": [1.0, 0.0, 0.0, 0.0], "metadata": "root"}])
+    store.upsert(
+        [{"id": "d1", "values": [0.0, 1.0, 0.0, 0.0], "metadata": "t1"},
+         {"id": "d2", "values": [0.0, 0.9, 0.1, 0.0], "metadata": "t1b"}],
+        namespace="task1",
+    )
+    assert store.namespaces() == ["", "task1"]
+    # same id, different content per namespace
+    assert store.fetch(["d1"]).collect()[0]["metadata"] == "root"
+    assert store.fetch(["d1"], namespace="task1").collect()[0]["metadata"] == "t1"
+    # queries scope to the namespace
+    top = store.query([0.0, 1.0, 0.0, 0.0], top_k=1, namespace="task1").collect()
+    assert top[0]["id"] == "d1" and top[0]["metadata"] == "t1"
+    assert store.query([1.0, 0, 0, 0], top_k=1).collect()[0]["metadata"] == "root"
+    # stats breakdown (describe_index_stats shape)
+    s = store.stats()
+    assert s["namespaces"][""]["count"] == 1
+    assert s["namespaces"]["task1"]["count"] == 2
+    assert store.stats(namespace="task1")["count"] == 2
+    # deletes scope too; root untouched
+    store.delete(["d1"], namespace="task1")
+    assert store.fetch(["d1"], namespace="task1").count() == 0
+    assert store.fetch(["d1"]).count() == 1
+    with pytest.raises(ValueError, match="namespace"):
+        store.upsert([{"id": "x", "values": [0.0, 0.0, 0.0, 1.0]}], namespace="../evil")
