@@ -5440,6 +5440,69 @@ def incremental_changelog_rollup(spark, sf_dir):
     )
 
 
+@_q(
+    "incremental_theta_overlap",
+    """
+    WITH s AS (SELECT DISTINCT event_type,
+                      user_id::VARCHAR || '#' ||
+                      epoch_us(date_trunc('day', ts))::VARCHAR AS ud
+               FROM events),
+    cnt AS (SELECT event_type, count(*) AS c FROM s GROUP BY 1),
+    inter AS (SELECT x.event_type AS key_a, y.event_type AS key_b, count(*) AS c
+              FROM s x JOIN s y ON x.ud = y.ud AND x.event_type < y.event_type
+              GROUP BY 1, 2),
+    pairs AS (SELECT a.event_type AS key_a, b.event_type AS key_b
+              FROM cnt a JOIN cnt b ON a.event_type < b.event_type)
+    SELECT p.key_a, p.key_b,
+           CAST(ca.c AS BIGINT) AS nd_a, CAST(cb.c AS BIGINT) AS nd_b,
+           CAST(coalesce(i.c, 0) AS BIGINT) AS nd_and,
+           CAST(ca.c + cb.c - coalesce(i.c, 0) AS BIGINT) AS nd_or,
+           round(coalesce(i.c, 0)::DOUBLE /
+                 (ca.c + cb.c - coalesce(i.c, 0))::DOUBLE, 6) AS jaccard
+    FROM pairs p
+    JOIN cnt ca ON ca.event_type = p.key_a
+    JOIN cnt cb ON cb.event_type = p.key_b
+    LEFT JOIN inter i ON i.key_a = p.key_a AND i.key_b = p.key_b
+    """,
+)
+def incremental_theta_overlap(spark, sf_dir):
+    """Maintained audience-OVERLAP between event-type segments — the
+    theta-sketch member of the distinct family
+    (incremental.delta_theta_rollup): HLL answers only "how many
+    distinct user-days per segment"; theta states additionally
+    intersect and union, so |A∩B|/|A∪B| between segments stays
+    queryable from state alone. Three CDC ticks chain-merged
+    (theta_union_agg, order-free), then pairwise estimates. Below
+    2^15 distinct values per segment the sketch retains every hash,
+    estimates are EXACT, and the oracle is plain distinct-set SQL —
+    the driver hash-checks the whole tick-merge-intersect algebra;
+    at 100 TB the same states trade exactness for ~0.6% error."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_theta_rollup,
+        estimate_group_overlap,
+        merge_theta_rollups,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("#"),
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).cast("string"),
+        ).alias("ud"),
+    )
+    ticks = [e.filter(F.col("event_id") % 3 == i).drop("event_id") for i in range(3)]
+    state = delta_theta_rollup(ticks[0], ["event_type"], "ud")
+    for t in ticks[1:]:
+        state = merge_theta_rollups(
+            state, delta_theta_rollup(t, ["event_type"], "ud"), ["event_type"], "ud"
+        )
+    # lang-grained by construction (5 segments): skip the guard's
+    # plan-build-time count, same rationale as the minhash rollup
+    return estimate_group_overlap(state, "event_type", "ud", max_groups=None)
+
+
 def _duck_topk_rollup_sql(k: int = 3) -> str:
     """Tick-replay oracle for the Misra-Gries heavy-hitters rollup:
     three event ticks (event_id % 3), each reduced to a k-counter
@@ -6032,14 +6095,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots 1-3 are the queries registered after the r5 window cut (the
 # two r5 post-window additions plus the declared rows-only HLL rollup,
 # never driver-sampled); slot 4 is NEW in r6 (existence-maximal funnel
-# DP, recursive-CTE oracle); slots 5-7 are also NEW in r6 (BM25
+# DP, recursive-CTE oracle); slots 5-8 are also NEW in r6 (BM25
 # lexical ranking, Misra-Gries heavy-hitters rollup, RRF hybrid-search
-# fusion); slots 8-28 are the 21 queries whose latest driver row is
-# still r2-era (pre-Spark-4 runtime), in r2 window order; slots 29-50
-# are the 22 stalest r3-era rows, in r3 window order. The 25
-# remaining r3-era rows (led by array_hof_documents, displaced by the
-# three r6 late-window additions) queue for the r7 refresh — after r6
-# every query's latest driver row is r4+ except that named tail.
+# fusion, theta-sketch segment overlap); slots 9-29 are the 21
+# queries whose latest driver row is still r2-era (pre-Spark-4
+# runtime), in r2 window order; slots 30-50 are the 21 stalest
+# r3-era rows, in r3 window order. The 26 remaining r3-era rows (led
+# by array_ops_documents, displaced by the four r6 late-window
+# additions) queue for the r7 refresh — after r6 every query's
+# latest driver row is r4+ except that named tail.
 _PRIORITY = [
     "text_mad_outliers",
     "window_time_range_moving_sum",
@@ -6048,6 +6112,7 @@ _PRIORITY = [
     "text_bm25_rank",
     "incremental_topk_rollup",
     "search_rrf_fusion",
+    "incremental_theta_overlap",
     "q15_top_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",

@@ -346,3 +346,76 @@ def merge_topk_rollups(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return _mg_reduce(merged, keys, item_col, k)
+
+
+def delta_theta_rollup(
+    delta: DataFrame, keys: list[str], value_col: str, lg_k: int = 15
+) -> DataFrame:
+    """Per-key THETA sketch of distinct ``value_col`` from one tick —
+    the SET-OPERATION member of the maintained-distinct family. HLL
+    (delta_distinct_rollup) answers only "how many distinct"; theta
+    sketches additionally support intersection and difference, so the
+    stored states answer audience-OVERLAP questions — distinct users
+    in BOTH segments, churn between ticks — without rescanning base
+    data (Datasketches theta, the standard warehouse overlap sketch).
+
+    Same merge contract as the HLL rollup: union is order-free and
+    idempotent, so chained tick-merges equal the single-shot sketch
+    exactly. Below 2^lg_k distinct values per group the sketch
+    retains every hash and estimates are EXACT (the fixture-parity
+    regime, and why the oracle can be plain SQL); beyond, relative
+    error ~1/sqrt(2^lg_k) — the trade a 100 TB segment table happily
+    makes. Output: ``theta_<col>`` binary state + ``rollup_rows``."""
+    return delta.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("rollup_rows"),
+        F.theta_sketch_agg(F.col(value_col), F.lit(lg_k)).alias(f"theta_{value_col}"),
+    )
+
+
+def merge_theta_rollups(
+    stored: DataFrame, update: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Merge theta states (``theta_union_agg``) keeping them
+    mergeable; one state-sized shuffle, base data never re-read."""
+    merged = stored.unionByName(update, allowMissingColumns=True)
+    return merged.groupBy(*keys).agg(
+        F.sum("rollup_rows").alias("rollup_rows"),
+        F.theta_union_agg(F.col(f"theta_{value_col}")).alias(f"theta_{value_col}"),
+    )
+
+
+def estimate_group_overlap(
+    rollup: DataFrame, key: str, value_col: str, max_groups: int = 10_000
+) -> DataFrame:
+    """Pairwise distinct-set overlap between key groups from their
+    theta states alone: |A|, |B|, |A∩B|, |A∪B| and Jaccard per
+    (key_a < key_b) pair — the query HLL states cannot answer.
+    O(groups²) pairs over the TINY state table, with the same
+    fail-fast ``max_groups`` ceiling (and upstream-execution cost
+    caveat) as estimate_resemblance."""
+    if max_groups is not None:
+        n = rollup.limit(max_groups + 1).count()
+        if n > max_groups:
+            raise ValueError(
+                f"estimate_group_overlap: state table has >{max_groups} groups; "
+                f"the pairwise cross join is O(groups^2) — re-key coarser or "
+                f"pass max_groups=None/higher to accept the quadratic cost."
+            )
+    th = f"theta_{value_col}"
+    a = rollup.select(F.col(key).alias("key_a"), F.col(th).alias("_ta"))
+    b = rollup.select(F.col(key).alias("key_b"), F.col(th).alias("_tb"))
+    inter = F.theta_sketch_estimate(F.theta_intersection(F.col("_ta"), F.col("_tb")))
+    union = F.theta_sketch_estimate(F.theta_union(F.col("_ta"), F.col("_tb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.theta_sketch_estimate(F.col("_ta")).alias("nd_a"),
+            F.theta_sketch_estimate(F.col("_tb")).alias("nd_b"),
+            inter.alias("nd_and"),
+            union.alias("nd_or"),
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        )
+    )

@@ -24,9 +24,9 @@ def test_registry_priority_order():
                   "cdc_time_travel", "sql_frontend_having",
                   "q2_min_cost_supplier", "agg_grouping_sets",
                   "set_ops_all_variants", "cdc_late_data_rescan",
-                  "scalar_regexp_advanced", "array_ops_documents",
+                  "scalar_regexp_advanced", "scalar_try_cast_safe",
                   "text_bm25_rank", "incremental_topk_rollup",
-                  "search_rrf_fusion"):
+                  "search_rrf_fusion", "incremental_theta_overlap"):
         assert probe in front, probe
 
 

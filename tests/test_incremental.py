@@ -523,3 +523,39 @@ def test_sweep_topk_rollup_ticks_and_replay(spark, tmp_path):
     assert state == reduce_py(dict(m))
     true = Counter(it for _, _, it in t1 + t2)
     assert all(state[i] <= true[i] for i in state)   # replay-safe lower bounds
+
+
+def test_theta_rollup_merge_and_overlap(spark):
+    """Theta set-operation rollup: (a) chained tick-merges equal the
+    single-shot sketch exactly in the retained-hash regime; (b)
+    pairwise overlap estimates equal exact set algebra on constructed
+    segments; (c) beyond capacity (tiny lg_k) estimates stay within
+    the documented ~1/sqrt(2^lg_k) relative error."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_theta_rollup,
+        estimate_group_overlap,
+        merge_theta_rollups,
+    )
+
+    # segments: A = 0..199, B = 100..299 -> |A∩B|=100, |A∪B|=300
+    rows = [("A", i) for i in range(200)] + [("B", i) for i in range(100, 300)]
+    df = spark.createDataFrame(rows, ["seg", "v"]).withColumn("v", F.col("v").cast("string"))
+    ticks = [df.filter(F.crc32(F.col("v")) % 3 == i) for i in range(3)]
+    state = delta_theta_rollup(ticks[0], ["seg"], "v")
+    for t in ticks[1:]:
+        state = merge_theta_rollups(state, delta_theta_rollup(t, ["seg"], "v"), ["seg"], "v")
+    got = estimate_group_overlap(state, "seg", "v", max_groups=None).collect()[0]
+    assert (got["nd_a"], got["nd_b"], got["nd_and"], got["nd_or"]) == (200, 200, 100, 300)
+    assert abs(got["jaccard"] - 100 / 300) < 1e-6
+    single = delta_theta_rollup(df, ["seg"], "v")
+    got1 = estimate_group_overlap(single, "seg", "v", max_groups=None).collect()[0]
+    assert (got1["nd_and"], got1["nd_or"]) == (100, 300)
+
+    # estimation mode: 20k values per segment at lg_k=10 (1024 entries)
+    big = spark.range(20_000).selectExpr("'A' AS seg", "CAST(id AS STRING) AS v").unionAll(
+        spark.range(10_000, 30_000).selectExpr("'B' AS seg", "CAST(id AS STRING) AS v")
+    )
+    st = delta_theta_rollup(big, ["seg"], "v", lg_k=10)
+    est = estimate_group_overlap(st, "seg", "v", max_groups=None).collect()[0]
+    for val, true in [(est["nd_a"], 20_000), (est["nd_or"], 30_000)]:
+        assert abs(val - true) / true < 0.15, (val, true)
