@@ -407,3 +407,59 @@ def test_misra_gries_matches_python_model(spark_g, stream, k):
     assert got == state_py
     true = Counter(stream)
     assert all(got[i] <= true[i] for i in got)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3", "zz"]),   # step types + noise
+            st.integers(0, 40),                          # seconds offset
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(3, 12),                                  # gap seconds
+)
+@settings(max_examples=25, deadline=None)
+def test_funnel_maximal_matches_bruteforce(spark_g, events, gap):
+    """sequence_funnel_maximal vs itertools brute force over every
+    candidate chain: per-prefix minima and completion existence must
+    match exactly — this is what validates the DP's max-witness
+    pruning (keep only the LARGEST feasible prefix end time as the
+    witness) against literal enumeration, including same-instant
+    events and gap-boundary chains."""
+    import datetime as dt
+    from itertools import product
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        sequence_funnel_maximal,
+    )
+
+    steps = ["s1", "s2", "s3"]
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(seconds=s), t) for t, s in events]
+    df = spark_g.createDataFrame(rows, ["u", "ts", "et"])
+    got = {r["u"]: (r["t1"], r["t2"], r["t3"])
+           for r in sequence_funnel_maximal(df, "u", "ts", "et", steps, gap).collect()}
+
+    by_step = {s: sorted(sec for t, sec in events if t == s) for s in steps}
+    want = [None, None, None]
+    for k in (1, 2, 3):
+        cands = [by_step[s] for s in steps[:k]]
+        best = None
+        for chain in product(*cands):
+            ok = all(
+                chain[i] > chain[i - 1] and chain[i] <= chain[i - 1] + gap
+                for i in range(1, k)
+            )
+            if ok:
+                best = chain[-1] if best is None else min(best, chain[-1])
+        want[k - 1] = best
+
+    if want[0] is None:
+        assert 1 not in got                       # no step-1 event: no row
+    else:
+        exp = tuple(
+            base + dt.timedelta(seconds=w) if w is not None else None for w in want
+        )
+        assert got[1] == exp
