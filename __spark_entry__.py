@@ -4790,8 +4790,11 @@ def search_rrf_fusion(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(30)
     )
+    # same population as the oracle's CTEs (text IS NOT NULL): a
+    # NULL-text doc with non-NULL n_chars must not rank here either
     ln = (
-        d.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.col("n_chars").cast("double").alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(30)
     )

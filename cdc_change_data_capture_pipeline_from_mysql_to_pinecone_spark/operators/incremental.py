@@ -373,26 +373,43 @@ def delta_theta_rollup(
 
 
 def merge_theta_rollups(
-    stored: DataFrame, update: DataFrame, keys: list[str], value_col: str
+    stored: DataFrame, update: DataFrame, keys: list[str], value_col: str, lg_k: int = 15
 ) -> DataFrame:
     """Merge theta states (``theta_union_agg``) keeping them
-    mergeable; one state-sized shuffle, base data never re-read."""
+    mergeable; one state-sized shuffle, base data never re-read.
+
+    ``lg_k`` MUST match the sketches' own (delta_theta_rollup's):
+    Spark's theta_union_agg defaults to lgNomEntries=12, which would
+    silently DOWNSAMPLE lg_k=15 states to 4096 entries and break the
+    exact-below-capacity contract (review catch: a 6000-distinct
+    segment estimated 5918 after a default-union merge while the
+    single-shot sketch was exact)."""
     merged = stored.unionByName(update, allowMissingColumns=True)
     return merged.groupBy(*keys).agg(
         F.sum("rollup_rows").alias("rollup_rows"),
-        F.theta_union_agg(F.col(f"theta_{value_col}")).alias(f"theta_{value_col}"),
+        F.theta_union_agg(F.col(f"theta_{value_col}"), F.lit(lg_k)).alias(
+            f"theta_{value_col}"
+        ),
     )
 
 
 def estimate_group_overlap(
-    rollup: DataFrame, key: str, value_col: str, max_groups: int = 10_000
+    rollup: DataFrame,
+    key: str,
+    value_col: str,
+    max_groups: int = 10_000,
+    lg_k: int = 15,
 ) -> DataFrame:
     """Pairwise distinct-set overlap between key groups from their
     theta states alone: |A|, |B|, |A∩B|, |A∪B| and Jaccard per
     (key_a < key_b) pair — the query HLL states cannot answer.
     O(groups²) pairs over the TINY state table, with the same
     fail-fast ``max_groups`` ceiling (and upstream-execution cost
-    caveat) as estimate_resemblance."""
+    caveat) as estimate_resemblance. ``lg_k`` must match the states'
+    — the pairwise theta_union otherwise downsamples to its
+    4096-entry default and nd_or/jaccard lose the exact-below-
+    capacity guarantee (review catch; theta_intersection never
+    downsamples and takes no size)."""
     if max_groups is not None:
         n = rollup.limit(max_groups + 1).count()
         if n > max_groups:
@@ -405,7 +422,9 @@ def estimate_group_overlap(
     a = rollup.select(F.col(key).alias("key_a"), F.col(th).alias("_ta"))
     b = rollup.select(F.col(key).alias("key_b"), F.col(th).alias("_tb"))
     inter = F.theta_sketch_estimate(F.theta_intersection(F.col("_ta"), F.col("_tb")))
-    union = F.theta_sketch_estimate(F.theta_union(F.col("_ta"), F.col("_tb")))
+    union = F.theta_sketch_estimate(
+        F.theta_union(F.col("_ta"), F.col("_tb"), F.lit(lg_k))
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("key_a") < F.col("key_b"))

@@ -124,6 +124,13 @@ class VectorStore:
             records = self.spark.createDataFrame(records)
         assert "id" in records.columns and "values" in records.columns
         with table_lock(tpath):
+            # crash recovery BEFORE the merge reads current buckets
+            # (review catch: __init__ recovers only the root table — a
+            # write-only namespace workflow after a mid-swap crash
+            # would merge against a missing bucket and silently drop
+            # its committed rows, then a later read's recover would
+            # delete the aside)
+            recover_table(tpath)
             self._persist_schema(records, tpath)
             stamped = records.withColumn(
                 "_ver", F.lit(self._next_version(tpath))
@@ -141,6 +148,7 @@ class VectorStore:
         keys = self.spark.createDataFrame([(i,) for i in ids], ["id"])
         tpath = self._at(namespace)
         with table_lock(tpath):
+            recover_table(tpath)  # same pre-merge recovery as upsert
             return delete_keys(self.spark, tpath, keys, ["id"])
 
     def _schema_path(self, table_path: str) -> str:
@@ -221,10 +229,16 @@ class VectorStore:
         if mode == "exact":
             hits = vec_ops.cosine_topk(t, "id", "values", vector, k=top_k)
         elif mode == "ann":
+            from .sinks import _read_marker
+
+            # one marker read — stats('') would also build the whole
+            # per-namespace breakdown (a listdir + read per namespace)
+            # on every ANN query
+            _n, row_count = _read_marker(self._at(namespace))
             hits = vec_ops.ann_topk(
                 t, "id", "values", vector, dim=self.dim, k=top_k,
                 n_planes=None, multi_probe=multi_probe,
-                n_rows=self.stats(namespace)["count"],
+                n_rows=row_count or 0,
             )
         elif mode == "hybrid":
             if not query_terms:

@@ -491,33 +491,58 @@ def sweep_rollup(
     window itself is repaired by recover_table at the next tick."""
     import os
 
-    from ..operators import cdc as cdc_ops
     from ..operators.incremental import delta_rollup, merge_rollups
-    from ..sources.sinks import _swap_in, recover_table
     from ..sources.tables import load_table
 
-    rollup_path = os.path.join(store_dir, f"rollup_{table}")
-    recover_table(rollup_path)
-    wm_marker = os.path.join(rollup_path, "_watermark")
-    watermark = "1970-01-01"
+    return _run_sweep(
+        spark,
+        load_table(spark, sf_dir, table),
+        os.path.join(store_dir, f"rollup_{table}"),
+        change_col,
+        lambda d: delta_rollup(d, keys, measures),
+        lambda s, u: merge_rollups(s, u, keys, measures),
+    )
+
+
+def _run_sweep(spark, source_df, state_path, change_col, delta_fn, merge_fn) -> int:
+    """The ONE exactly-once sweep scaffold every maintained-state
+    family shares (algebraic, changelog, heavy-hitters — review fix:
+    three near-verbatim copies meant protocol fixes like the
+    string-vs-bigint LSN cast had to be re-applied per copy): recover
+    a half-swapped state dir, read the in-state watermark, filter the
+    source to rows strictly past it with the marker CAST TO THE
+    COLUMN'S OWN TYPE (a string-vs-bigint compare coerces to DOUBLE
+    and collapses adjacent LSNs above 2^53), early-out on an idle
+    tick, fold the delta with ``delta_fn``, merge into stored state
+    with ``merge_fn``, and commit state + watermark in ONE atomic
+    rename (_commit_rollup)."""
+    import os
+
+    from ..operators import cdc as cdc_ops
+    from ..sources.sinks import recover_table
+
+    recover_table(state_path)
+    wm_marker = os.path.join(state_path, "_watermark")
+    watermark = None
     if os.path.exists(wm_marker):
         with open(wm_marker) as fh:
             watermark = fh.read().strip()
 
-    df = load_table(spark, sf_dir, table)
-    delta = cdc_ops.incremental_scan(df, change_col, watermark)
+    if watermark is None:
+        delta = source_df
+    else:
+        wm_typed = F.lit(watermark).cast(source_df.schema[change_col].dataType)
+        delta = source_df.filter(F.col(change_col) > wm_typed)
     wm_row = cdc_ops.next_watermark(delta, change_col).collect()[0]
     if wm_row["batch_rows"] == 0:
         return 0
 
-    update = delta_rollup(delta, keys, measures)
-    if os.path.isdir(rollup_path):
-        stored = spark.read.parquet(rollup_path)
-        new_state = merge_rollups(stored, update, keys, measures)
+    update = delta_fn(delta)
+    if os.path.isdir(state_path):
+        new_state = merge_fn(spark.read.parquet(state_path), update)
     else:
         new_state = update
-
-    _commit_rollup(rollup_path, new_state, wm_row["last_updated"])
+    _commit_rollup(state_path, new_state, wm_row["last_updated"])
     return wm_row["batch_rows"]
 
 
@@ -566,43 +591,16 @@ def sweep_changelog_rollup(
     (0 = idle tick, store untouched)."""
     import os
 
-    from ..operators import cdc as cdc_ops
     from ..operators.incremental import changelog_delta_rollup, merge_rollups
-    from ..sources.sinks import recover_table
 
-    rollup_path = os.path.join(store_dir, f"rollup_{name}")
-    recover_table(rollup_path)
-    wm_marker = os.path.join(rollup_path, "_watermark")
-    # no epoch-string default: change_col is an LSN (any orderable
-    # type), so the first tick takes the whole log unfiltered
-    watermark = None
-    if os.path.exists(wm_marker):
-        with open(wm_marker) as fh:
-            watermark = fh.read().strip()
-
-    log = spark.read.parquet(log_path)
-    # cast the marker string to the LSN column's own type BEFORE the
-    # compare: a string-vs-bigint comparison coerces both sides to
-    # DOUBLE, and adjacent LSNs above 2^53 collapse to equal doubles —
-    # a silently skipped (or replayed) changelog row
-    if watermark is None:
-        delta = log
-    else:
-        wm_typed = F.lit(watermark).cast(log.schema[change_col].dataType)
-        delta = log.filter(F.col(change_col) > wm_typed)
-    wm_row = cdc_ops.next_watermark(delta, change_col).collect()[0]
-    if wm_row["batch_rows"] == 0:
-        return 0
-
-    update = changelog_delta_rollup(delta, keys, measures, op_col=op_col)
-    if os.path.isdir(rollup_path):
-        stored = spark.read.parquet(rollup_path)
-        new_state = merge_rollups(stored, update, keys, measures)
-    else:
-        new_state = update
-
-    _commit_rollup(rollup_path, new_state, wm_row["last_updated"])
-    return wm_row["batch_rows"]
+    return _run_sweep(
+        spark,
+        spark.read.parquet(log_path),
+        os.path.join(store_dir, f"rollup_{name}"),
+        change_col,
+        lambda d: changelog_delta_rollup(d, keys, measures, op_col=op_col),
+        lambda s, u: merge_rollups(s, u, keys, measures),
+    )
 
 
 def sweep_topk_rollup(
@@ -629,37 +627,16 @@ def sweep_topk_rollup(
     key group forever; returns delta rows folded (0 = idle tick)."""
     import os
 
-    from ..operators import cdc as cdc_ops
     from ..operators.incremental import delta_topk_rollup, merge_topk_rollups
-    from ..sources.sinks import recover_table
 
-    rollup_path = os.path.join(store_dir, f"topk_{name}")
-    recover_table(rollup_path)
-    wm_marker = os.path.join(rollup_path, "_watermark")
-    watermark = None
-    if os.path.exists(wm_marker):
-        with open(wm_marker) as fh:
-            watermark = fh.read().strip()
-
-    src = spark.read.parquet(src_path)
-    if watermark is None:
-        delta = src
-    else:
-        wm_typed = F.lit(watermark).cast(src.schema[change_col].dataType)
-        delta = src.filter(F.col(change_col) > wm_typed)
-    wm_row = cdc_ops.next_watermark(delta, change_col).collect()[0]
-    if wm_row["batch_rows"] == 0:
-        return 0
-
-    update = delta_topk_rollup(delta, keys, item_col, k=k)
-    if os.path.isdir(rollup_path):
-        stored = spark.read.parquet(rollup_path)
-        new_state = merge_topk_rollups(stored, update, keys, item_col, k=k)
-    else:
-        new_state = update
-
-    _commit_rollup(rollup_path, new_state, wm_row["last_updated"])
-    return wm_row["batch_rows"]
+    return _run_sweep(
+        spark,
+        spark.read.parquet(src_path),
+        os.path.join(store_dir, f"topk_{name}"),
+        change_col,
+        lambda d: delta_topk_rollup(d, keys, item_col, k=k),
+        lambda s, u: merge_topk_rollups(s, u, keys, item_col, k=k),
+    )
 
 
 def stateful_funnel(

@@ -551,11 +551,29 @@ def test_theta_rollup_merge_and_overlap(spark):
     got1 = estimate_group_overlap(single, "seg", "v", max_groups=None).collect()[0]
     assert (got1["nd_and"], got1["nd_or"]) == (100, 300)
 
+    # THE regime the review caught (4096 < n <= 2^15): merge and
+    # pairwise union must stay exact — Spark's theta_union(_agg)
+    # default lgNomEntries=12 silently downsampled here before lg_k
+    # was threaded through
+    mid = spark.range(6_000).selectExpr("'A' AS seg", "CAST(id AS STRING) AS v").unionAll(
+        spark.range(3_000, 9_000).selectExpr("'B' AS seg", "CAST(id AS STRING) AS v")
+    )
+    ticks2 = [mid.filter(F.crc32(F.col("v")) % 2 == i) for i in range(2)]
+    st2 = merge_theta_rollups(
+        delta_theta_rollup(ticks2[0], ["seg"], "v"),
+        delta_theta_rollup(ticks2[1], ["seg"], "v"),
+        ["seg"], "v",
+    )
+    mid_est = estimate_group_overlap(st2, "seg", "v", max_groups=None).collect()[0]
+    assert (mid_est["nd_a"], mid_est["nd_b"], mid_est["nd_and"], mid_est["nd_or"]) == (
+        6_000, 6_000, 3_000, 9_000,
+    )
+
     # estimation mode: 20k values per segment at lg_k=10 (1024 entries)
     big = spark.range(20_000).selectExpr("'A' AS seg", "CAST(id AS STRING) AS v").unionAll(
         spark.range(10_000, 30_000).selectExpr("'B' AS seg", "CAST(id AS STRING) AS v")
     )
     st = delta_theta_rollup(big, ["seg"], "v", lg_k=10)
-    est = estimate_group_overlap(st, "seg", "v", max_groups=None).collect()[0]
+    est = estimate_group_overlap(st, "seg", "v", max_groups=None, lg_k=10).collect()[0]
     for val, true in [(est["nd_a"], 20_000), (est["nd_or"], 30_000)]:
         assert abs(val - true) / true < 0.15, (val, true)
