@@ -215,6 +215,7 @@ class VectorStore:
         text_col: str = "metadata",
         rrf_k: int = 60,
         namespace: str = "",
+        where: str | None = None,
     ) -> DataFrame:
         """Top-k most-cosine-similar records. ``mode='exact'`` scans
         everything through a TakeOrderedAndProject; ``mode='ann'``
@@ -224,8 +225,19 @@ class VectorStore:
         ``query_terms`` over ``text_col`` by reciprocal-rank fusion
         (the hybrid-search verb of hosted vector stores): each
         retriever contributes its top-4k candidates, fusion needs no
-        score calibration, and the returned ``score`` is the RRF sum."""
+        score calibration, and the returned ``score`` is the RRF sum.
+
+        ``where`` is a SQL predicate over the record's columns (the
+        hosted API's metadata filter, e.g. ``"meta.source = 'web'"``),
+        applied BEFORE ranking — filtered-out records can never
+        displace matches from the top-k, which post-filtering the hit
+        list would get wrong. In exact/hybrid modes the predicate
+        rides the scan (pushdown); ann mode applies it after the
+        bucket probe (the LSH bucket is the coarse index, the
+        predicate the fine one)."""
         t = self._table(namespace)
+        if where is not None:
+            t = t.filter(where)
         if mode == "exact":
             hits = vec_ops.cosine_topk(t, "id", "values", vector, k=top_k)
         elif mode == "ann":

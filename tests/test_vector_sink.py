@@ -344,3 +344,31 @@ def test_vector_store_namespaces(spark, tmp_path):
     assert store.fetch(["d1"]).count() == 1
     with pytest.raises(ValueError, match="namespace"):
         store.upsert([{"id": "x", "values": [0.0, 0.0, 0.0, 1.0]}], namespace="../evil")
+
+
+def test_vector_store_query_metadata_filter(spark, tmp_path):
+    """The hosted API's metadata filter: a `where` predicate restricts
+    the candidate set BEFORE ranking, so the top-k comes entirely from
+    matching records (post-filtering a hit list would instead return
+    fewer than k); works in exact and ann modes."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "f_idx"), dim=4)
+    store.upsert([
+        {"id": f"w{i}", "values": [1.0 - i * 0.01, i * 0.01, 0.0, 0.0], "src": "web"}
+        for i in range(5)
+    ] + [
+        {"id": f"b{i}", "values": [1.0, 0.0, 0.0, 0.0], "src": "books"}
+        for i in range(3)
+    ])
+    q = [1.0, 0.0, 0.0, 0.0]
+    # unfiltered: the exact-match books rows dominate
+    assert store.query(q, top_k=3).collect()[0]["id"].startswith("b")
+    # filtered: every hit is web, and we still get a FULL top-3
+    hits = store.query(q, top_k=3, where="src = 'web'").collect()
+    assert len(hits) == 3 and all(r["src"] == "web" for r in hits)
+    assert hits[0]["id"] == "w0"
+    ann = store.query(q, top_k=2, mode="ann", where="src = 'web'").collect()
+    assert ann and all(r["src"] == "web" for r in ann)
