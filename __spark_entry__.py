@@ -5475,11 +5475,18 @@ def incremental_theta_overlap(spark, sf_dir):
     distinct user-days per segment"; theta states additionally
     intersect and union, so |A∩B|/|A∪B| between segments stays
     queryable from state alone. Three CDC ticks chain-merged
-    (theta_union_agg, order-free), then pairwise estimates. Below
-    2^15 distinct values per segment the sketch retains every hash,
-    estimates are EXACT, and the oracle is plain distinct-set SQL —
-    the driver hash-checks the whole tick-merge-intersect algebra;
-    at 100 TB the same states trade exactness for ~0.6% error."""
+    (theta_union_agg, order-free), then pairwise estimates.
+
+    Exactness contract (ADVICE r6): the BINDING bound is not per-
+    segment distincts but the pairwise |A∪B| — theta_union keeps
+    every hash only while the union fits 2^lg_k entries. At sf0.1
+    segment unions reach ~26.5k, ~81% of the lg_k=15 capacity, so
+    this query pins lg_k=16 end-to-end (~40% occupancy at sf0.1,
+    ~4% at the sf0.01 gate) and the estimates stay EXACT — the
+    plain distinct-set SQL oracle hash-checks the whole
+    tick-merge-intersect algebra. Past capacity the same states
+    degrade gracefully to ~0.6% error (the 100 TB trade), which
+    would surface here as an oracle mismatch rather than silence."""
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
         delta_theta_rollup,
         estimate_group_overlap,
@@ -5496,14 +5503,19 @@ def incremental_theta_overlap(spark, sf_dir):
         ).alias("ud"),
     )
     ticks = [e.filter(F.col("event_id") % 3 == i).drop("event_id") for i in range(3)]
-    state = delta_theta_rollup(ticks[0], ["event_type"], "ud")
+    # lg_k threads through ALL of delta/merge/overlap — a mismatch
+    # anywhere silently downsamples the union (incremental.py review
+    # catch); 16 per the union-occupancy analysis in the docstring
+    lg = 16
+    state = delta_theta_rollup(ticks[0], ["event_type"], "ud", lg_k=lg)
     for t in ticks[1:]:
         state = merge_theta_rollups(
-            state, delta_theta_rollup(t, ["event_type"], "ud"), ["event_type"], "ud"
+            state, delta_theta_rollup(t, ["event_type"], "ud", lg_k=lg),
+            ["event_type"], "ud", lg_k=lg,
         )
     # lang-grained by construction (5 segments): skip the guard's
     # plan-build-time count, same rationale as the minhash rollup
-    return estimate_group_overlap(state, "event_type", "ud", max_groups=None)
+    return estimate_group_overlap(state, "event_type", "ud", max_groups=None, lg_k=lg)
 
 
 def _duck_topk_rollup_sql(k: int = 3) -> str:

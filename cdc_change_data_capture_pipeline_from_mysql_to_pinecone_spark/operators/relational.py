@@ -581,10 +581,13 @@ def sequence_funnel_maximal(
         return pd.DataFrame([row])
 
     # map the step type to its index JVM-side so the pandas fn never
-    # string-compares
+    # string-compares. NULL timestamps are dropped up front: SQL
+    # comparison semantics make a NULL ts never-chaining (t' < t is
+    # unknown), while pandas NaT would coerce to int64-min in the DP
+    # and fabricate an always-feasible prefix (ADVICE r6).
     mapping = F.create_map(*[F.lit(x) for s in steps for x in (s, step_idx[s])])
     ev = (
-        df.filter(F.col(type_col).isin(steps))
+        df.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
         .select(
             F.col(user_col),
             F.col(ts_col).alias("_ts"),

@@ -44,12 +44,34 @@ def atomic_write_file(path: str, text: str) -> None:
 
     A crash inside a truncating ``open(path, "w")`` would leave a
     half-written or empty file; the tmp+replace pair leaves either the
-    old content or the new, never anything in between."""
+    old content or the new, never anything in between. The tmp file is
+    fsync'd before the rename and the parent directory after it, so
+    the guarantee holds across power loss too — without the fsyncs the
+    kernel may persist the rename before the data blocks, leaving a
+    zero-length marker (ADVICE r6)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         fh.write(text)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path) or ".")
+
+
+def _fsync_dir(dirpath: str) -> None:
+    """fsync a directory so a just-committed rename survives power
+    loss; best-effort (some filesystems reject O_RDONLY dir fsync)."""
+    try:
+        fd = os.open(dirpath, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def swap_in(path: str, tmp: str) -> None:
@@ -68,6 +90,10 @@ def swap_in(path: str, tmp: str) -> None:
         )
         os.rename(path, old)
     os.rename(tmp, path)
+    # persist both renames before deleting the only remaining copy of
+    # the old table — power loss after an un-fsync'd rename pair could
+    # otherwise resurface a path with neither version intact
+    _fsync_dir(os.path.dirname(path.rstrip("/")) or ".")
     if old:
         shutil.rmtree(old)
 

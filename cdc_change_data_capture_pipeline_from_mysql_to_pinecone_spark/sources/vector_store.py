@@ -231,10 +231,12 @@ class VectorStore:
         hosted API's metadata filter, e.g. ``"meta.source = 'web'"``),
         applied BEFORE ranking — filtered-out records can never
         displace matches from the top-k, which post-filtering the hit
-        list would get wrong. In exact/hybrid modes the predicate
-        rides the scan (pushdown); ann mode applies it after the
-        bucket probe (the LSH bucket is the coarse index, the
-        predicate the fine one)."""
+        list would get wrong. The predicate is applied up front in
+        every mode — in exact/hybrid it rides the scan (pushdown); in
+        ann mode it composes with the bucket probe inside one scan
+        (bucket assignment depends only on the vector, so pre- vs
+        post-probe filtering is plan-equivalent, and pre lets Catalyst
+        push both predicates down together)."""
         t = self._table(namespace)
         if where is not None:
             t = t.filter(where)

@@ -116,3 +116,46 @@ def test_sequence_funnel_maximal_finds_chain_greedy_misses(spark):
     m0 = {tuple(r) for r in
           sequence_funnel_maximal(df, "user_id", "ts", "event_type", steps).collect()}
     assert g0 == m0
+
+
+def test_sequence_funnel_maximal_null_ts_never_chains(spark):
+    """ADVICE r6: a NULL timestamp must behave as never-chaining (SQL
+    comparison semantics), not coerce to int64-min in the pandas DP
+    and fabricate an always-feasible step-1 prefix."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        sequence_funnel_maximal,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    schema = StructType([
+        StructField("user_id", IntegerType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+    ])
+    rows = [
+        # user 1: the ONLY signup has NULL ts -> no feasible prefix at
+        # all, despite a later click+purchase
+        (1, None, "signup"),
+        (1, base + dt.timedelta(seconds=5), "click"),
+        (1, base + dt.timedelta(seconds=8), "purchase"),
+        # user 2: NULL-ts click must not displace the real chain
+        (2, base, "signup"),
+        (2, None, "click"),
+        (2, base + dt.timedelta(seconds=3), "click"),
+        (2, base + dt.timedelta(seconds=6), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    steps = ["signup", "click", "purchase"]
+    out = {r["user_id"]: r for r in
+           sequence_funnel_maximal(df, "user_id", "ts", "event_type", steps, 10).collect()}
+    assert 1 not in out  # NULL signup is not a chain start
+    assert out[2]["t2"] == base + dt.timedelta(seconds=3)
+    assert out[2]["t3"] == base + dt.timedelta(seconds=6)
+    assert df.filter(F.col("ts").isNull()).count() == 2  # fixture sanity
