@@ -1210,7 +1210,12 @@ def dedup_minhash_signatures(spark, sf_dir):
     return sig.select("doc_id", *[F.col("minhash")[i].alias(f"h{i}") for i in range(4)])
 
 
-def _duck_lsh_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_band: int = 4) -> str:
+def _duck_lsh_sql(
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> str:
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
         MERSENNE31,
         universal_coeffs,
@@ -1227,14 +1232,32 @@ def _duck_lsh_sql(num_hashes: int = 16, num_bands: int = 4, rows_per_band: int =
         + ")) AS bucket FROM sig"
         for b in range(num_bands)
     )
+    # The cap predicate is over the bucket's MEMBER COUNT — a property
+    # of the doc partition, identical across engines even though the
+    # bucket keys differ (Spark: xxhash64 of the slice; here: md5 of
+    # the joined text) since key equality <=> slice equality both ways.
+    cap = (
+        f",\n         sized AS (SELECT band, bucket, count(*) AS n"
+        f" FROM bands GROUP BY 1, 2),\n"
+        f"         keep AS (SELECT band, bucket FROM sized"
+        f" WHERE n <= {max_bucket_size})"
+        if max_bucket_size is not None
+        else ""
+    )
+    keep_join = (
+        "JOIN keep k ON k.band = l.band AND k.bucket = l.bucket"
+        if max_bucket_size is not None
+        else ""
+    )
     return f"""
     WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
          {_duck_token_poly_base('doc_id')},
          sig AS (SELECT doc_id, {hash_cols} FROM bh),
-         bands AS ({band_rows})
+         bands AS ({band_rows}){cap}
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
     FROM bands l JOIN bands r
       ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    {keep_join}
     """
 
 
@@ -1262,7 +1285,35 @@ def dedup_lsh_candidates(spark, sf_dir):
     )
     if small:
         sig = sig.coalesce(1)
+    # NOTE (VERDICT r6 task 5): this entry runs UNCAPPED so the oracle
+    # enumerates all pairs; at production scale always pass
+    # max_bucket_size (boilerplate megabuckets emit B^2/2 pairs) — the
+    # driver-checked capped variant is dedup_lsh_candidates_capped.
     return dedup.lsh_candidate_pairs(sig, "doc_id", num_bands=4, rows_per_band=4)
+
+
+@_q("dedup_lsh_candidates_capped", _duck_lsh_sql(max_bucket_size=2))
+def dedup_lsh_candidates_capped(spark, sf_dir):
+    """LSH banding WITH the production bucket-size cap exercised
+    (VERDICT r6 task 5): buckets larger than ``max_bucket_size`` are
+    dropped before pair expansion — the 100 TB guard against
+    boilerplate megabuckets (one million-doc bucket is 5*10^11 pairs;
+    its members belong in exact-hash dedup, not pair enumeration).
+    The oracle mirrors the cap as a HAVING over the bucket member
+    count, which is engine-independent even though bucket keys differ.
+    The cap is set to 2 — BELOW the fixture's max observed bucket (3
+    at sf0.01) — precisely so the gate proves pairs get dropped, not
+    just that the predicate parses; production values are ~10^3."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    small = _table_rows(sf_dir, "documents") < 20_000
+    sig = dedup.minhash_signatures(
+        d, "text", "doc_id", num_hashes=16, agg_partitions=1 if small else None
+    )
+    if small:
+        sig = sig.coalesce(1)
+    return dedup.lsh_candidate_pairs(
+        sig, "doc_id", num_bands=4, rows_per_band=4, max_bucket_size=2
+    )
 
 
 def _duck_winnow_cte(k: int = 4, w: int = 8) -> str:
@@ -5518,6 +5569,70 @@ def incremental_theta_overlap(spark, sf_dir):
     return estimate_group_overlap(state, "event_type", "ud", max_groups=None, lg_k=lg)
 
 
+@_q(
+    "incremental_ivf_cells",
+    """
+    WITH img AS (SELECT vec_id,
+                        CASE WHEN vec_id % 7 = 3
+                             THEN list_transform(embedding::DOUBLE[], x -> -x)
+                             ELSE embedding::DOUBLE[] END AS emb,
+                        CASE WHEN vec_id % 7 = 3 THEN 2 ELSE 1 END AS version
+                 FROM embeddings),
+    centroids AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
+                  FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (SELECT i.vec_id, i.version, c.cell,
+                      list_dot_product(i.emb, c.cvec) AS score
+               FROM img i CROSS JOIN centroids c),
+    assigned AS (SELECT vec_id, version, cell FROM (
+                   SELECT vec_id, version, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY score DESC, cell DESC) AS rn
+                   FROM scored) t WHERE rn = 1)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM assigned GROUP BY cell
+    """,
+)
+def incremental_ivf_cells(spark, sf_dir):
+    """Incrementally-MAINTAINED IVF cell map (VERDICT r6 task 6): tick
+    1 quantizes the whole corpus; tick 2 re-upserts every vec_id%7==3
+    vector NEGATED (guaranteed cell flip for any non-degenerate
+    quantizer) at a higher version; merge is per-id last-writer-wins
+    (operators.incremental.delta_ivf_assign / merge_ivf_assignments —
+    the batch algebra sweep_ivf_assign commits with the one-rename
+    protocol). The oracle computes the same map from the LATEST image
+    per id in one shot — tick-merge == recompute is exactly the
+    maintained-index invariant, and the per-cell update counts prove
+    the UPDATE path moved rows rather than duplicating them (a
+    non-LWW merge would inflate n). Quantizer fixed across ticks
+    (vec_id % 50 seeds, ≙ vec_ivf_cells); retraining = offline
+    rebuild, the hosted-ANN contract."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_ivf_assign,
+        merge_ivf_assignments,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    t1 = e.withColumn("version", F.lit(1))
+    t2 = (
+        e.filter(F.col("vec_id") % 7 == 3)
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+        .withColumn("version", F.lit(2))
+    )
+    cents = _ivf_centroids(spark, sf_dir)
+    state = delta_ivf_assign(t1, "vec_id", "embedding", cents, "version")
+    state = merge_ivf_assignments(
+        state,
+        delta_ivf_assign(t2, "vec_id", "embedding", cents, "version"),
+        "vec_id",
+        "version",
+    )
+    return state.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("version") == 2).cast("long")).alias("n_updated"),
+    )
+
+
 def _duck_topk_rollup_sql(k: int = 3) -> str:
     """Tick-replay oracle for the Misra-Gries heavy-hitters rollup:
     three event ticks (event_id % 3), each reduced to a k-counter
@@ -6104,72 +6219,21 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Registry surfacing order (round 6 rotation). The driver's correctness
+# Registry surfacing order (round 7 rotation). The driver's correctness
 # gate samples the dict from the front (50 entries per round). This
-# window closes the driver-row freshness gap (VERDICT r5 task 1):
-# slots 1-3 are the queries registered after the r5 window cut (the
-# two r5 post-window additions plus the declared rows-only HLL rollup,
-# never driver-sampled); slot 4 is NEW in r6 (existence-maximal funnel
-# DP, recursive-CTE oracle); slots 5-8 are also NEW in r6 (BM25
-# lexical ranking, Misra-Gries heavy-hitters rollup, RRF hybrid-search
-# fusion, theta-sketch segment overlap); slots 9-29 are the 21
-# queries whose latest driver row is still r2-era (pre-Spark-4
-# runtime), in r2 window order; slots 30-50 are the 21 stalest
-# r3-era rows, in r3 window order. The 26 remaining r3-era rows (led
-# by array_ops_documents, displaced by the four r6 late-window
-# additions) queue for the r7 refresh — after r6 every query's
-# latest driver row is r4+ except that named tail.
+# window completes the freshness rotation (VERDICT r6 task 1): slots
+# 1-2 are NEW in r7 (the production-capped LSH variant and the
+# maintained IVF cell map, never driver-sampled); slots 3-28 are ALL
+# 26 remaining r3-era rows (the named tail from the r6 verdict — q1/
+# q3/q5, the outer/semi/anti/theta join family, four window siblings,
+# the array/map family, four text queries, two vec norms, embed +
+# search), in r3 window order; slots 29-50 are the 22 stalest r4-era
+# rows in registration order. After r7 every registered query's
+# latest driver row is r4+, and the r4 cohort continues rotating in
+# subsequent rounds.
 _PRIORITY = [
-    "text_mad_outliers",
-    "window_time_range_moving_sum",
-    "incremental_distinct_rollup",
-    "funnel_three_step_maximal",
-    "text_bm25_rank",
-    "incremental_topk_rollup",
-    "search_rrf_fusion",
-    "incremental_theta_overlap",
-    "q15_top_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipmode",
-    "q14_promo_share",
-    "vec_ann_topk",
-    "vec_ivf_topk",
-    "vec_ivf_cells",
-    "vec_banded_neardup",
-    "vec_centroid_per_label",
-    "ml_stratified_sample",
-    "ml_kfold_assign",
-    "profile_documents",
-    "mm_binary_features",
-    "mm_resize_plan",
-    "mm_frame_sample",
-    "stream_sessionize",
-    "cdc_time_travel",
-    "cdc_snapshot_diff",
-    "sql_frontend_having",
-    "sql_frontend_cte_exists",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_count",
-    "q20_part_promo_suppliers",
-    "window_range_frame_spend",
-    "window_moving_avg_nth",
-    "agg_grouping_sets",
-    "set_ops_all_variants",
-    "agg_collect_nations",
-    "agg_bitwise_events",
-    "agg_boolean_lineitem",
-    "agg_approx_sketches",
-    "unpivot_customer_metrics",
-    "subquery_correlated_order_above_cust_avg",
-    "cdc_late_data_rescan",
-    "join_cross_region_nation",
-    "scalar_math_lineitem",
-    "scalar_datetime_parse_roundtrip",
-    "scalar_try_cast_safe",
-    "scalar_regexp_advanced",
+    "dedup_lsh_candidates_capped",
+    "incremental_ivf_cells",
     "array_ops_documents",
     "array_hof_documents",
     "array_posexplode_tokens",
@@ -6196,6 +6260,28 @@ _PRIORITY = [
     "window_running_revenue",
     "window_first_last_value",
     "window_share_of_total",
+    "window_lag_event_gaps",
+    "sort_topk_lineitem",
+    "sort_nulls_ordering",
+    "set_ops_customer_years",
+    "scalar_string_part",
+    "scalar_string_extended",
+    "scalar_datetime_orders",
+    "scalar_encoding_misc",
+    "scalar_json_events",
+    "case_pred_orders",
+    "agg_price_histogram",
+    "scalar_conditional_lineitem",
+    "pivot_priority_status",
+    "cdc_incremental_scan",
+    "cdc_watermark_next",
+    "cdc_watermark_upsert",
+    "cdc_serialize_rows",
+    "cdc_chunk_documents",
+    "cdc_snapshot_latest",
+    "asof_join_purchase_click",
+    "cdc_catalog_watermark_join",
+    "window_ranking_suite",
 ]
 
 

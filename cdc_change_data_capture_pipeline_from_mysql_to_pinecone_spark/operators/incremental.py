@@ -438,3 +438,51 @@ def estimate_group_overlap(
             F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
         )
     )
+
+
+def delta_ivf_assign(
+    delta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    version_col: str,
+) -> DataFrame:
+    """IVF cell assignment of a CDC DELTA — the vector-index member of
+    the maintained-state family (VERDICT r6 task 6). Quantizes only
+    the tick's new/updated vectors against the FIXED centroid set
+    (operators.vectors.ivf_assign: per-row argmax, no shuffle, the
+    broadcast path above ~64 centroids) and keeps ``version_col`` so
+    the merge can last-writer-wins per id. The centroids must stay
+    fixed across ticks — retraining them is an index REBUILD, not a
+    tick (same contract a hosted ANN index has: incremental upserts
+    against a trained quantizer, periodic re-train offline).
+
+    State is one row per vector id: (id, cell, version) — O(corpus),
+    but ~16 bytes of payload per vector, not the vector itself; the
+    maintained cell map is exactly what ivf_topk's probe filter needs,
+    so a CDC tick keeps ANN search fresh without re-quantizing the
+    corpus (≙ the reference's per-sweep index.upsert keeping Pinecone
+    current, service.py:151-166, in maintained rather than
+    full-rewrite form)."""
+    from .vectors import ivf_assign
+
+    assigned = ivf_assign(delta, id_col, vec_col, centroids)
+    return assigned.select(id_col, F.col("cell"), F.col(version_col))
+
+
+def merge_ivf_assignments(
+    stored: DataFrame, update: DataFrame, id_col: str, version_col: str
+) -> DataFrame:
+    """Merge a tick's cell assignments into the stored map:
+    last-writer-wins per id on ``version_col`` (sort-free max_by —
+    one partial-aggregating shuffle on the id, never a window sort).
+    Replay-safe: a replayed tick re-delivers identical (id, version,
+    cell) rows, and max_by over duplicates of the winner returns the
+    same row — unlike additive rollups, no double-merge hazard, but
+    the shared one-rename commit still makes state+watermark move
+    together."""
+    merged = stored.unionByName(update)
+    return merged.groupBy(id_col).agg(
+        F.max_by("cell", F.col(version_col)).alias("cell"),
+        F.max(version_col).alias(version_col),
+    )

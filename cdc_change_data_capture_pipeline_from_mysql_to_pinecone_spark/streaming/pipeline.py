@@ -639,6 +639,44 @@ def sweep_topk_rollup(
     )
 
 
+def sweep_ivf_assign(
+    spark: SparkSession,
+    src_path: str,
+    store_dir: str,
+    name: str,
+    change_col: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> int:
+    """Maintain a stored IVF cell-assignment map from watermark deltas
+    — the ANN-index member of the sweep family (VERDICT r6 task 6):
+    each tick quantizes ONLY vectors past the stored watermark against
+    the fixed centroid set (operators.incremental.delta_ivf_assign),
+    merges per-id last-writer-wins on ``change_col``
+    (merge_ivf_assignments), and commits state + watermark in the ONE
+    atomic rename every sweep shares. A CDC tick thus keeps the
+    (cell -> vectors) probe map an IVF search filters on current
+    without re-quantizing or re-bucketing the corpus — the maintained
+    form of the reference's per-sweep index.upsert loop
+    (service.py:151-166). Centroid retraining is an offline REBUILD
+    (delete the state dir, re-run), never a tick.
+
+    Returns delta rows assigned (0 = idle tick, store untouched)."""
+    import os
+
+    from ..operators.incremental import delta_ivf_assign, merge_ivf_assignments
+
+    return _run_sweep(
+        spark,
+        spark.read.parquet(src_path),
+        os.path.join(store_dir, f"ivf_{name}"),
+        change_col,
+        lambda d: delta_ivf_assign(d, id_col, vec_col, centroids, change_col),
+        lambda s, u: merge_ivf_assignments(s, u, id_col, change_col),
+    )
+
+
 def stateful_funnel(
     stream: DataFrame,
     user_col: str,

@@ -577,3 +577,67 @@ def test_theta_rollup_merge_and_overlap(spark):
     est = estimate_group_overlap(st, "seg", "v", max_groups=None, lg_k=10).collect()[0]
     for val, true in [(est["nd_a"], 20_000), (est["nd_or"], 30_000)]:
         assert abs(val - true) / true < 0.15, (val, true)
+
+
+def test_sweep_ivf_assign_ticks_update_and_replay(spark, tmp_path):
+    """IVF-assignment sweep (VERDICT r6 task 6): ticks quantize only
+    past-watermark vectors; an UPDATE tick re-delivering an id with a
+    moved vector flips its cell (last-writer-wins); the maintained
+    state equals a one-shot ivf_assign over the LATEST image per id
+    (tick == recompute); idle ticks and crash replays are no-ops."""
+    import os
+
+    import pandas as pd
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        ivf_assign,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        sweep_ivf_assign,
+    )
+
+    src = str(tmp_path / "vecs"); os.makedirs(src)
+    store = str(tmp_path / "store")
+    # 2-D corpus, two obvious cells: +x and +y
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    def append(fname, rows):
+        pd.DataFrame(rows, columns=["lsn", "vid", "vec"]).to_parquet(
+            os.path.join(src, fname), index=False
+        )
+
+    t1 = [(1, 1, [0.9, 0.1]), (2, 2, [0.1, 0.9]), (3, 3, [0.8, 0.2])]
+    append("t1.parquet", t1)
+    args = (spark, src, store, "emb", "lsn", "vid", "vec", cents)
+    assert sweep_ivf_assign(*args) == 3
+    state_path = os.path.join(store, "ivf_emb")
+    s1 = {r["vid"]: r["cell"] for r in spark.read.parquet(state_path).collect()}
+    assert s1 == {1: 0, 2: 1, 3: 0}
+
+    # tick 2: new vector 4, and vector 3 MOVES into the +y cell
+    t2 = [(4, 4, [0.2, 0.7]), (5, 3, [0.05, 0.95])]
+    append("t2.parquet", t2)
+    assert sweep_ivf_assign(*args) == 2
+    s2 = {r["vid"]: r["cell"] for r in spark.read.parquet(state_path).collect()}
+    assert s2 == {1: 0, 2: 1, 3: 1, 4: 1}
+    assert sweep_ivf_assign(*args) == 0   # idle tick: store untouched
+
+    # tick == recompute: one-shot assignment over latest image per id
+    latest = (
+        spark.read.parquet(src)
+        .groupBy("vid")
+        .agg(F.max_by("vec", "lsn").alias("vec"))
+    )
+    oneshot = {
+        r["vid"]: r["cell"]
+        for r in ivf_assign(latest, "vid", "vec", cents).collect()
+    }
+    assert s2 == oneshot
+
+    # crash replay: watermark zeroed but state kept -> re-folding every
+    # tick converges to the same map (max_by over identical winners)
+    wm = os.path.join(state_path, "_watermark")
+    os.remove(wm)
+    assert sweep_ivf_assign(*args) == 5
+    s3 = {r["vid"]: r["cell"] for r in spark.read.parquet(state_path).collect()}
+    assert s3 == s2
