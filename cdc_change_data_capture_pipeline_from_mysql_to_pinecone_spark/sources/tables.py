@@ -131,6 +131,31 @@ def jdbc_reader_options(
     (discovered via information_schema, utils/util.py:2-18) so every
     task reads a bounded slice; Catalyst pushes filters (e.g. the
     CDC watermark predicate, service.py:53) into the generated SQL.
+
+    MySQL dialect mapping (documented, not executed — no MySQL in the
+    test env; the same contracts are EXECUTED against embedded Derby
+    in tests/test_jdbc_integration.py, including timestamp-predicate
+    pushdown and quoted identifiers):
+
+    * ``url``: ``jdbc:mysql://host:3306/db`` with the Connector/J
+      driver ``com.mysql.cj.jdbc.Driver`` on the executor classpath
+      (≙ utils/mysql_connect.py:5-17's host/user/password/database).
+    * Identifier quoting: Spark's built-in MySQLDialect emits
+      BACKTICKS (``\`order\```) where Derby/ANSI use double quotes —
+      reserved-word and case-sensitive columns need no caller action,
+      exactly as the quoted-identifier Derby test demonstrates.
+    * Table discovery: the reference's ``SHOW TABLES``
+      (service.py:48-50) maps to reading
+      ``information_schema.tables`` through this same reader
+      (``dbtable='(SELECT table_name FROM information_schema.tables
+      WHERE table_schema = DATABASE()) t'``) — a plain JDBC scan, so
+      the catalog walk partakes of pushdown/partitioning like any
+      other table.
+    * TIMESTAMP watermarks: MySQL TIMESTAMP columns arrive as
+      session-timezone-relative; pin ``connectionTimeZone=UTC`` (and
+      keep the Spark session UTC) so the ``updated_at > watermark``
+      pushdown compares in one zone — the Derby timestamp-pushdown
+      test exercises the same θ-predicate shape.
     """
     return {
         "url": url,

@@ -97,3 +97,71 @@ def test_jdbc_watermark_roundtrip(spark, derby_url):
     assert wm["batch_rows"] == 80
     # replaying from the new watermark yields an empty delta
     assert cdc.incremental_scan(df, "EVENT_ID", wm["last_updated"]).count() == 0
+
+
+@pytest.fixture(scope="module")
+def derby_ts_url(spark, tmp_path_factory):
+    """Second Derby db: a change-timestamp CDC shape (updated_at) plus
+    reserved-word / mixed-case identifiers that force quoting."""
+    db_dir = tmp_path_factory.mktemp("derby_ts") / "tsdb"
+    url = f"jdbc:derby:{db_dir};create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    # "ORDER" is an SQL reserved word; "tsValue" is case-sensitive once
+    # quoted — both are unreadable through an unquoted dialect
+    st.execute(
+        'CREATE TABLE change_log (row_id INT PRIMARY KEY, '
+        'updated_at TIMESTAMP, "ORDER" INT, "tsValue" DOUBLE)'
+    )
+    for i in range(1, 101):
+        st.execute(
+            f"INSERT INTO change_log VALUES ({i}, "
+            f"TIMESTAMP('2024-01-01 00:00:00.0'), {i * 10}, {i / 4.0})"
+            if i <= 60 else
+            f"INSERT INTO change_log VALUES ({i}, "
+            f"TIMESTAMP('2024-06-01 00:00:00.0'), {i * 10}, {i / 4.0})"
+        )
+    st.close()
+    conn.close()
+    return url
+
+
+def test_jdbc_timestamp_predicate_pushdown(spark, derby_ts_url):
+    """S4 over a TIMESTAMP watermark (VERDICT r6 task 7): the
+    reference's incremental predicate is `updated_at > %s`
+    (service.py:53) on a MySQL TIMESTAMP; here the same θ-predicate
+    must reach the remote engine as a pushed filter, not a post-scan
+    Spark filter over a full fetch."""
+    df = (
+        spark.read.format("jdbc")
+        .options(url=derby_ts_url, dbtable="change_log", driver=DERBY_DRIVER)
+        .load()
+    )
+    delta = cdc.incremental_scan(
+        df, "UPDATED_AT", "2024-03-01 00:00:00"
+    )
+    assert delta.count() == 40
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "UPDATED_AT" in plan, plan
+    # and the pushed scan returns the same rows a full-fetch filter would
+    assert delta.agg(F.min("ROW_ID")).collect()[0][0] == 61
+
+
+def test_jdbc_quoted_identifiers_roundtrip(spark, derby_ts_url):
+    """Reserved-word and case-sensitive column names survive the
+    dialect's identifier quoting in both directions: schema discovery,
+    projection, and a pushed filter on the quoted column. This is the
+    Derby stand-in for MySQL's backtick quoting (documented beside
+    jdbc_reader_options)."""
+    df = (
+        spark.read.format("jdbc")
+        .options(url=derby_ts_url, dbtable="change_log", driver=DERBY_DRIVER)
+        .load()
+    )
+    assert "ORDER" in df.columns and "tsValue" in df.columns
+    out = df.filter(F.col("`ORDER`") > 900).select("ROW_ID", "tsValue")
+    assert out.count() == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "ORDER" in plan, plan
+    assert abs(out.agg(F.max("tsValue")).collect()[0][0] - 25.0) < 1e-9
