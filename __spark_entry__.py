@@ -2882,19 +2882,39 @@ def pipeline_training_data(spark, sf_dir):
     d = ensure_parallelism(
         _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
     )
-    # regexp_count forms: token count = whitespace-run count + 1 and
-    # punct count = direct class count — value-identical to the
-    # oracle's split-array / replace-and-diff forms (A/B verified) but
-    # without materializing a token array or a rebuilt string per row
-    toks = F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + 1
-    n_chars = F.length("text")
-    n_punct = F.regexp_count(F.col("text"), F.lit(r"[\.,;:!\?]"))
-    quality = d.select(
-        "doc_id", "lang", "text", toks.alias("n_tokens"), n_chars.alias("n_chars")
-    ).filter((toks >= 20) & (n_punct / n_chars <= 0.2))
+    # ONE regex pass end-to-end (r7, VERDICT r6 task 3: sf1 profiling
+    # put ~all the residual vs DuckDB in JVM-regex time, three passes
+    # over the corpus). The fingerprint's whitespace-collapse
+    # normalization is the only pass that must be a regex; both
+    # quality features then DERIVE from the normalized string with
+    # non-regex ops, value-identical to the original forms:
+    #   n_tokens = spaces-in-norm + 1   (runs collapsed to ' ')
+    #   n_punct  = length diff under translate (punct chars are
+    #              neither whitespace nor case-sensitive, so the
+    #              count over norm equals the count over text)
+    # The explode(array(norm)) is a Generate BARRIER: without it
+    # CollapseProject inlines the normalization into every consumer
+    # and re-evaluates the regex per reference (measured 1.5x WORSE —
+    # the same k-fold-recompute trap minhash_signatures documents).
+    # Measured -36% at sf1, values hash-identical (interleaved A/B).
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    ex = d.select(
+        "doc_id", "lang", F.length("text").alias("n_chars"),
+        F.explode(F.array(norm)).alias("_norm"),
+    )
+    nlen = F.length("_norm")
+    base = ex.select(
+        "doc_id", "lang", "n_chars",
+        (nlen - F.length(F.replace(F.col("_norm"), F.lit(" "), F.lit(""))) + 1).alias("n_tokens"),
+        (nlen - F.length(F.translate(F.col("_norm"), ".,;:!?", ""))).alias("n_punct"),
+        # ≙ text_ops.fingerprint(text): md5 of the same normalization
+        F.md5("_norm").alias("_fp"),
+    )
+    fp = base.filter(
+        (F.col("n_tokens") >= 20) & (F.col("n_punct") / F.col("n_chars") <= 0.2)
+    )
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     npart = max(1, min(conf_parts, -(-_table_rows(sf_dir, "documents") // 100_000)))
-    fp = quality.withColumn("_fp", text_ops.fingerprint(F.col("text")))
     agg = F.min_by(F.struct("lang", "n_tokens", "n_chars"), "doc_id").alias("s")
     if npart <= 8:
         # small path: explicit narrow repartition + coalesce(1) — the
