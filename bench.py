@@ -200,6 +200,44 @@ def main() -> None:
             out["cdc_sweep_includes_init"] = True
     if errors:
         out["errors"] = errors
+
+    # Cross-scale series (VERDICT r6 task 4): when the deterministic
+    # sf1 fixtures exist (tools/gen_sf.py), re-run the headline set
+    # there and embed an "sf1" block, so ratio-growers are caught
+    # mechanically each round instead of by hand. The same session is
+    # re-conf'd to the large-input policy (AQE on, shuffle 64 — all
+    # runtime-settable SQL confs); queries whose sf1/sf0.1 wall ratio
+    # exceeds 10x/decade are flagged (data grew 10x, so >10x wall
+    # growth means the operator scaled worse than linearly).
+    sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1")
+    if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        warm_up(spark, sf1_dir)
+        t1: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = queries[name]
+            best = float("inf")
+            try:
+                for _ in range(2):
+                    start = time.perf_counter()
+                    fn(spark, sf1_dir).count()
+                    best = min(best, time.perf_counter() - start)
+                t1[name] = round(best, 3)
+            except Exception as exc:
+                errors[f"sf1:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+        flags = {
+            n: round(t1[n] / timings[n], 1)
+            for n in t1
+            if n in timings and timings[n] > 0 and t1[n] / timings[n] > 10.0
+        }
+        out["sf1"] = {
+            "value": round(sum(t1.values()), 3),
+            "queries": t1,
+            "ratio_vs_sf0.1_flags": flags,
+        }
+        if errors:
+            out["errors"] = errors
     print(json.dumps(out))
 
 
