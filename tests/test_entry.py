@@ -10,23 +10,22 @@ def test_registry_priority_order():
     names = list(m.queries())
     assert names[: len(m._PRIORITY)] == m._PRIORITY
     assert len(names) == len(set(names)) == len(m._REG)
-    # spot-pin the r6 gate window (VERDICT r5 task 1 rotation): the
-    # queries without a current-runtime driver row lead — the two r5
-    # post-window registrations, the never-sampled rows-only HLL
-    # rollup, the new r6 maximal funnel, then the r2-era and stalest
-    # r3-era rows
+    # spot-pin the r7 gate window (VERDICT r6 task 1 rotation): the
+    # two r7 registrations lead, then ALL 26 r3-era rows, then the
+    # stalest r4-era cohort
     front = set(names[:50])
-    for probe in ("text_mad_outliers", "window_time_range_moving_sum",
-                  "incremental_distinct_rollup", "funnel_three_step_maximal",
-                  "q15_top_supplier", "vec_ann_topk", "vec_banded_neardup",
-                  "ml_stratified_sample", "profile_documents",
-                  "mm_binary_features", "stream_sessionize",
-                  "cdc_time_travel", "sql_frontend_having",
-                  "q2_min_cost_supplier", "agg_grouping_sets",
-                  "set_ops_all_variants", "cdc_late_data_rescan",
-                  "scalar_regexp_advanced", "scalar_try_cast_safe",
-                  "text_bm25_rank", "incremental_topk_rollup",
-                  "search_rrf_fusion", "incremental_theta_overlap"):
+    for probe in ("dedup_lsh_candidates_capped", "incremental_ivf_cells",
+                  "array_ops_documents", "map_ops_events",
+                  "text_normalize_stopwords", "text_fingerprint",
+                  "vec_l2_normalize", "embed_documents", "search_end_to_end",
+                  "q1_pricing_summary", "q3_shipping_priority",
+                  "q5_region_revenue", "join_outer_customer_orders",
+                  "join_full_outer_keys", "join_theta_acctbal_band",
+                  "agg_distinct_by_status", "agg_rollup_region_nation",
+                  "window_rank_orders_per_customer", "window_running_revenue",
+                  "window_share_of_total", "cdc_chunk_documents",
+                  "cdc_serialize_rows", "asof_join_purchase_click",
+                  "window_ranking_suite"):
         assert probe in front, probe
 
 

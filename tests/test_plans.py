@@ -324,3 +324,55 @@ def test_lsh_candidates_single_exchange_at_fixture_scale(spark, sf_dir):
     assert len(exchanges) == 2, plan
     assert not re.search(r"Exchange hashpartitioning\((?:band|bucket|id_a)", plan), plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q5_dim_chain_local_relation_at_fixture_scale(spark, sf_dir):
+    """r7 (VERDICT r6 task 2b): below the footer gate the
+    supplier⋈nation⋈region chain enters q5's plan as a LocalRelation
+    (driver-held, broadcast without scan jobs); both _supplier_chain
+    paths must produce the identical relation."""
+    df = entrymod.queries()["q5_region_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    # and no supplier/nation/region parquet scan feeds the plan now
+    assert "supplier.parquet" not in plan, plan
+
+    local = entrymod._supplier_chain(spark, sf_dir, region="ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    spark_side = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, spark_side.collect()))
+
+
+def test_narrow_shuffle_gates_on_row_count(spark, sf_dir):
+    """r7: the generalized footer-stat narrowing must size the
+    exchange from the row count under the gate and be a strict NO-OP
+    at scale-sized counts (the conf-sized plan untouched)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.plans.partitioning import (
+        narrow_shuffle,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    narrowed = narrow_shuffle(o, 150_000, "o_custkey")
+    assert narrowed.rdd.getNumPartitions() == 3  # ceil(150k/50k)
+    big = narrow_shuffle(o, 10_000_000_000, "o_custkey")
+    assert big is o  # scale path: identical plan object, no exchange
+    # and the headline window rides it: its exchange is data-sized
+    # (execute first — under AQE the unexecuted plan prints only the
+    # AdaptiveSparkPlan header)
+    w = entrymod.queries()["window_rank_orders_per_customer"](spark, sf_dir)
+    w.count()
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    # a 1-wide repartition renders as SinglePartition, wider as
+    # hashpartitioning(o_custkey, k) — either way k must be data-sized
+    m = re.search(
+        r"Exchange (SinglePartition|hashpartitioning\(o_custkey#\d+L?, (\d+)\))", plan
+    )
+    assert m, plan
+    if m.group(2) is not None:
+        assert int(m.group(2)) <= 3, plan
