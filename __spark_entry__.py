@@ -4083,10 +4083,11 @@ def q7_volume_shipping(spark, sf_dir):
     -derived and scale with SF; AQE picks broadcast at runtime when
     the pruned chain is actually small."""
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    # supplier side rides the shared chain helper (r7, lossless region
+    # passenger); customer⋈nation stays Spark-side — customer is a
+    # fact table (SF*150k), never driver-composable
+    s = _supplier_chain(spark, sf_dir).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
     )
     c = (
         _t(spark, sf_dir, "customer")
@@ -4150,10 +4151,9 @@ def q8_market_share(spark, sf_dir):
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(n.select("n_nationkey", "n_name"), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("nation"))
+    # supplier⋈nation via the shared chain helper (r7)
+    s = _supplier_chain(spark, sf_dir).select(
+        "s_suppkey", F.col("n_name").alias("nation")
     )
     c_asia = (
         _t(spark, sf_dir, "customer")
@@ -4484,12 +4484,12 @@ def q9_product_type_profit(spark, sf_dir):
         .filter(F.col("p_name").like("%gear%"))
         .select("p_partkey")
     )
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "n_name")
-    )
+    # r7: the supplier⋈nation frame comes from the shared chain helper
+    # (LocalRelation below the footer gate — zero broadcast-build scan
+    # jobs; conf-sized join above). region rides along losslessly
+    # (n_regionkey is a dense FK), so the (s_suppkey, n_name) relation
+    # is identical to the direct supplier⋈nation join.
+    s = _supplier_chain(spark, sf_dir).select("s_suppkey", "n_name")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     amount_e6 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
         (1 - F.col("l_discount") - F.col("l_tax")) * 10000
