@@ -192,7 +192,9 @@ def test_no_fact_side_broadcast_hints_tpch_family(spark, sf_dir):
         "q2_min_cost_supplier": 4,
         "q7_volume_shipping": 0,  # r3: supplier-chain hint dropped
         "q8_market_share": 1,  # nation⋈region(ASIA) key list only
-        "q9_product_type_profit": 1,  # broadcast(nation) only
+        # r7: supplier⋈nation now rides _supplier_chain (LocalRelation
+        # below the gate — the planner broadcasts it by size, no hint)
+        "q9_product_type_profit": 0,
         "q10_returned_items": 1,  # customer ⋈ broadcast(nation) only
         # broadcast(nation) only; x2 because pv (which embeds it) is
         # evaluated twice — once per se, once for the scalar total
