@@ -135,21 +135,114 @@ class VectorStore:
             stamped = records.withColumn(
                 "_ver", F.lit(self._next_version(tpath))
             )
-            return upsert_parquet_partitioned(
+            touched = upsert_parquet_partitioned(
                 self.spark, tpath, stamped, ["id"], "_ver"
             )
+            # maintained IVF map (r7): quantize ONLY this batch against
+            # the stored centroids and merge per-id last-writer-wins —
+            # the CDC tick that keeps query(mode='ivf') fresh without
+            # re-bucketing (≙ sweep_ivf_assign; same lock, so the map
+            # commit serializes with the table commit it mirrors)
+            map_path = self._ivf_map_path(tpath)
+            if os.path.isdir(map_path):
+                from ..operators.incremental import (
+                    delta_ivf_assign,
+                    merge_ivf_assignments,
+                )
+
+                cents = self._ivf_centroids(tpath)
+                delta = delta_ivf_assign(
+                    stamped.select("id", "values", "_ver"),
+                    "id", "values", cents, "_ver",
+                )
+                merged = merge_ivf_assignments(
+                    self.spark.read.parquet(map_path), delta, "id", "_ver"
+                )
+                self._commit_ivf_map(map_path, merged, cents)
+            return touched
 
     def delete(self, ids: list, namespace: str = "") -> int:
         """Remove ids; only their bucket partitions are rewritten.
         Empty id list is a no-op. Takes the same writer lock as
-        upsert — a delete racing a merge is a lost-update hazard too."""
+        upsert — a delete racing a merge is a lost-update hazard too.
+        A maintained IVF map (build_ivf) drops the ids too, keeping
+        map and table in lockstep."""
         if not ids:
             return 0
         keys = self.spark.createDataFrame([(i,) for i in ids], ["id"])
         tpath = self._at(namespace)
         with table_lock(tpath):
             recover_table(tpath)  # same pre-merge recovery as upsert
-            return delete_keys(self.spark, tpath, keys, ["id"])
+            n = delete_keys(self.spark, tpath, keys, ["id"])
+            map_path = self._ivf_map_path(tpath)
+            if os.path.isdir(map_path):
+                kept = self.spark.read.parquet(map_path).join(
+                    F.broadcast(keys), "id", "left_anti"
+                )
+                self._commit_ivf_map(map_path, kept, self._ivf_centroids(tpath))
+            return n
+
+    # -- maintained IVF index (r7, ≙ the sweep family's cell map) -----
+
+    def _ivf_map_path(self, table_path: str) -> str:
+        # underscore prefix: invisible to the vector table's own Spark
+        # file listing, like the _ns-* namespace subdirs
+        return os.path.join(table_path, "_ivf-map")
+
+    def _ivf_centroids(self, table_path: str) -> list[tuple[int, list[float]]]:
+        """The trained quantizer, committed INSIDE the map directory
+        (underscore marker) so the one-rename swap moves map and
+        centroids together — a crash can never pair a new map with old
+        centroids."""
+        import json as _json
+
+        with open(os.path.join(self._ivf_map_path(table_path), "_centroids.json")) as fh:
+            raw = _json.load(fh)
+        return [(int(c), [float(x) for x in v]) for c, v in raw]
+
+    def _commit_ivf_map(
+        self, map_path: str, new_map: DataFrame, centroids
+    ) -> None:
+        """Write (id, cell, _ver) + the centroid marker to a tmp dir
+        and swap both in with ONE atomic rename (the sweep family's
+        exactly-once pivot). The map is a full rewrite per tick —
+        ~16 B of payload per vector, fine to corpus sizes far beyond
+        the store's own bucket layout; a lakehouse backend would MERGE
+        instead (same seam as the module docstring's swap note)."""
+        import json as _json
+        import uuid as _uuid
+
+        from ._commit import swap_in
+
+        tmp = f"{map_path}.tmp-{_uuid.uuid4().hex[:8]}"
+        new_map.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_centroids.json"), "w") as fh:
+            _json.dump([[c, v] for c, v in centroids], fh)
+        swap_in(map_path, tmp)
+
+    def build_ivf(self, k: int = 8, iters: int = 2, namespace: str = "") -> int:
+        """Train the IVF coarse quantizer on the CURRENT corpus and
+        materialize the full (id, cell) map — the offline REBUILD of
+        the maintained-index contract (retraining centroids is never a
+        tick; hosted ANN indexes work the same way). After this,
+        every upsert/delete keeps the map fresh incrementally
+        (operators.incremental.delta_ivf_assign /
+        merge_ivf_assignments) and ``query(mode='ivf')`` serves
+        current data without re-quantizing. Returns rows mapped."""
+        from ..operators.vectors import train_ivf_centroids
+
+        from ..operators.incremental import delta_ivf_assign
+
+        tpath = self._at(namespace)
+        with table_lock(tpath):
+            recover_table(tpath)
+            t = self._table(namespace).select("id", "values", "_ver")
+            cents = train_ivf_centroids(t, "id", "values", k=k, iters=iters)
+            if not cents:
+                raise ValueError("build_ivf on an empty store")
+            amap = delta_ivf_assign(t, "id", "values", cents, "_ver")
+            self._commit_ivf_map(self._ivf_map_path(tpath), amap, cents)
+            return self.spark.read.parquet(self._ivf_map_path(tpath)).count()
 
     def _schema_path(self, table_path: str) -> str:
         return os.path.join(table_path, "_schema.ddl")
@@ -216,11 +309,17 @@ class VectorStore:
         rrf_k: int = 60,
         namespace: str = "",
         where: str | None = None,
+        n_probe: int = 2,
     ) -> DataFrame:
         """Top-k most-cosine-similar records. ``mode='exact'`` scans
         everything through a TakeOrderedAndProject; ``mode='ann'``
         probes the query's LSH bucket(s) — the scan-fraction dial for
-        an index that outgrew exact search; ``mode='hybrid'`` fuses
+        an index that outgrew exact search; ``mode='ivf'`` probes the
+        ``n_probe`` nearest cells of the MAINTAINED IVF map
+        (build_ivf once, then every upsert/delete keeps it fresh —
+        the scanned fraction is ~n_probe/k and recall grows with
+        n_probe, exact cosine within the probed cells);
+        ``mode='hybrid'`` fuses
         the exact vector ranking with a BM25 lexical ranking of
         ``query_terms`` over ``text_col`` by reciprocal-rank fusion
         (the hybrid-search verb of hosted vector stores): each
@@ -254,6 +353,34 @@ class VectorStore:
                 n_planes=None, multi_probe=multi_probe,
                 n_rows=row_count or 0,
             )
+        elif mode == "ivf":
+            map_path = self._ivf_map_path(self._at(namespace))
+            if not os.path.isdir(map_path):
+                raise ValueError("mode='ivf' needs build_ivf() first")
+            from ..functions.vector import cosine_sim as _cosine_sim
+            from ..functions.vector import lit_double_array
+
+            cents = self._ivf_centroids(self._at(namespace))
+            ranked = sorted(
+                ((sum(x * y for x, y in zip(vector, cv)), cid) for cid, cv in cents),
+                reverse=True,
+            )
+            probe = [cid for _s, cid in ranked[:n_probe]]
+            amap = (
+                self.spark.read.parquet(map_path)
+                .filter(F.col("cell").isin(probe))
+                .select("id")
+            )
+            q = lit_double_array(vector)
+            hits = (
+                t.join(amap, "id")
+                .select(
+                    "id",
+                    F.round(_cosine_sim(F.col("values"), q), 6).alias("score"),
+                )
+                .orderBy(F.col("score").desc(), F.col("id"))
+                .limit(top_k)
+            )
         elif mode == "hybrid":
             if not query_terms:
                 raise ValueError("mode='hybrid' needs query_terms")
@@ -276,7 +403,7 @@ class VectorStore:
                 .select("id", F.col("rrf_score").alias("score"))
             )
         else:
-            raise ValueError(f"mode must be exact|ann|hybrid, got {mode!r}")
+            raise ValueError(f"mode must be exact|ann|ivf|hybrid, got {mode!r}")
         meta = [c for c in t.columns if c not in ("values", "kbucket", "_ver")]
         # the metadata join does not preserve the top-k order — restore
         # it (k rows; the sort is driver-trivial)

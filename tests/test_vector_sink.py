@@ -372,3 +372,76 @@ def test_vector_store_query_metadata_filter(spark, tmp_path):
     assert hits[0]["id"] == "w0"
     ann = store.query(q, top_k=2, mode="ann", where="src = 'web'").collect()
     assert ann and all(r["src"] == "web" for r in ann)
+
+
+def test_vector_store_maintained_ivf(spark, tmp_path):
+    """r7 (VERDICT r6 task 6 motivation): build_ivf trains once; after
+    that every upsert/delete maintains the (id, cell) map in the same
+    locked commit, so query(mode='ivf') serves CURRENT data without a
+    rebuild. The map must always equal a one-shot re-assignment of the
+    live corpus against the stored centroids (tick == recompute)."""
+    import numpy as np
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        ivf_assign,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    dim = 6
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, dim)
+    store = VectorStore(spark, str(tmp_path / "ivf_idx"), dim=dim)
+    store.upsert([
+        {"id": f"v{i}", "values": [float(x) for x in vecs[i]], "metadata": f"m{i}"}
+        for i in range(40)
+    ])
+    assert store.build_ivf(k=4, iters=2) == 40
+
+    def map_equals_recompute():
+        tpath = store._at("")
+        cents = store._ivf_centroids(tpath)
+        live = store._table("").select("id", "values")
+        oneshot = {r["id"]: r["cell"]
+                   for r in ivf_assign(live, "id", "values", cents).collect()}
+        stored = {r["id"]: r["cell"]
+                  for r in spark.read.parquet(store._ivf_map_path(tpath)).collect()}
+        assert stored == oneshot
+
+    map_equals_recompute()
+
+    # with every cell probed, ivf == exact (recall 1)
+    q = [float(x) for x in vecs[13]]
+    exact = [r["id"] for r in store.query(q, top_k=5).collect()]
+    ivf_all = [r["id"] for r in store.query(q, top_k=5, mode="ivf", n_probe=4).collect()]
+    assert ivf_all == exact
+    # 1-probe finds the self-match (its cell is the query's best cell)
+    assert store.query(q, top_k=1, mode="ivf", n_probe=1).collect()[0]["id"] == "v13"
+
+    # fresh upsert is served WITHOUT rebuild: a near-duplicate of the
+    # query vector must rank first in ivf mode
+    near = [x + 1e-3 for x in q]
+    store.upsert([{"id": "fresh", "values": near, "metadata": "new"}])
+    map_equals_recompute()
+    hits = [r["id"] for r in store.query(q, top_k=2, mode="ivf", n_probe=1).collect()]
+    assert "fresh" in hits
+
+    # moved vector flips its cell via last-writer-wins
+    store.upsert([{"id": "v13", "values": [-x for x in q], "metadata": "moved"}])
+    map_equals_recompute()
+
+    # delete drops the id from the map in the same commit
+    store.delete(["fresh"])
+    tpath = store._at("")
+    ids = {r["id"] for r in spark.read.parquet(store._ivf_map_path(tpath)).collect()}
+    assert "fresh" not in ids and len(ids) == 40
+    assert all(r["id"] != "fresh"
+               for r in store.query(q, top_k=5, mode="ivf", n_probe=4).collect())
+
+    # ivf on a store without build_ivf raises
+    other = VectorStore(spark, str(tmp_path / "no_ivf"), dim=dim)
+    other.upsert([{"id": "a", "values": [1.0] * dim}])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="build_ivf"):
+        other.query([1.0] * dim, mode="ivf")
