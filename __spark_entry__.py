@@ -146,15 +146,19 @@ def _supplier_chain(spark, sf_dir: str, region: str | None = None):
     it falls back to the ordinary Spark-side join — the conf-sized
     scale path a 100 TB supplier table needs. Both paths produce the
     identical (s_suppkey, s_nationkey, n_name) relation (inner joins
-    on the same keys), so consumers and oracles are path-agnostic."""
-    key = (spark.sparkContext.applicationId, sf_dir, region)
+    on the same keys), so consumers and oracles are path-agnostic.
+
+    Region joins into the chain ONLY when a region filter is
+    requested (review catch r7): the no-filter chain is exactly
+    supplier⋈nation — a dangling/NULL n_regionkey must not silently
+    drop suppliers from consumers that never asked about regions.
+
+    Cache key includes the SESSION identity, not just applicationId:
+    ``spark.newSession()`` shares the app id but not session state,
+    and a DataFrame must never cross sessions."""
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, region)
     if key in _DIM_CHAIN_CACHE:
         return _DIM_CHAIN_CACHE[key]
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    if region is not None:
-        r = r.filter(F.col("r_name") == region)
     if _table_rows(sf_dir, "supplier") <= _LOCAL_CHAIN_MAX_SUPPLIERS:
         import os
 
@@ -165,22 +169,26 @@ def _supplier_chain(spark, sf_dir: str, region: str | None = None):
             columns=["s_suppkey", "s_nationkey"],
         ).to_pandas()
         np_ = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
-        rp = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+        chain = sp.merge(np_, left_on="s_nationkey", right_on="n_nationkey")
         if region is not None:
-            rp = rp[rp["r_name"] == region]
-        chain = (
-            sp.merge(np_, left_on="s_nationkey", right_on="n_nationkey")
-            .merge(rp, left_on="n_regionkey", right_on="r_regionkey")
-            [["s_suppkey", "s_nationkey", "n_name"]]
-            .sort_values("s_suppkey", kind="stable")
+            rp = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+            chain = chain.merge(
+                rp[rp["r_name"] == region],
+                left_on="n_regionkey",
+                right_on="r_regionkey",
+            )
+        chain = chain[["s_suppkey", "s_nationkey", "n_name"]].sort_values(
+            "s_suppkey", kind="stable"
         )
         out = spark.createDataFrame(chain)
     else:
-        out = (
-            s.join(n, s.s_nationkey == n.n_nationkey)
-            .join(r, n.n_regionkey == F.col("r_regionkey"))
-            .select("s_suppkey", "s_nationkey", "n_name")
-        )
+        s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        n = _t(spark, sf_dir, "nation")
+        out = s.join(n, s.s_nationkey == n.n_nationkey)
+        if region is not None:
+            r = _t(spark, sf_dir, "region").filter(F.col("r_name") == region)
+            out = out.join(r, n.n_regionkey == F.col("r_regionkey"))
+        out = out.select("s_suppkey", "s_nationkey", "n_name")
     _DIM_CHAIN_CACHE[key] = out
     return out
 
@@ -4083,9 +4091,10 @@ def q7_volume_shipping(spark, sf_dir):
     -derived and scale with SF; AQE picks broadcast at runtime when
     the pruned chain is actually small."""
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    # supplier side rides the shared chain helper (r7, lossless region
-    # passenger); customer⋈nation stays Spark-side — customer is a
-    # fact table (SF*150k), never driver-composable
+    # supplier side rides the shared chain helper (r7 — pure
+    # supplier⋈nation, no region touch); customer⋈nation stays
+    # Spark-side — customer is a fact table (SF*150k), never
+    # driver-composable
     s = _supplier_chain(spark, sf_dir).select(
         "s_suppkey", F.col("n_name").alias("supp_nation")
     )
@@ -4486,9 +4495,8 @@ def q9_product_type_profit(spark, sf_dir):
     )
     # r7: the supplier⋈nation frame comes from the shared chain helper
     # (LocalRelation below the footer gate — zero broadcast-build scan
-    # jobs; conf-sized join above). region rides along losslessly
-    # (n_regionkey is a dense FK), so the (s_suppkey, n_name) relation
-    # is identical to the direct supplier⋈nation join.
+    # jobs; conf-sized join above); with no region filter the chain is
+    # exactly supplier⋈nation, region untouched.
     s = _supplier_chain(spark, sf_dir).select("s_suppkey", "n_name")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     amount_e6 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(

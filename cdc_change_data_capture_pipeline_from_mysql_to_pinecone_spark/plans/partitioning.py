@@ -18,6 +18,7 @@ def narrow_shuffle(
     n_rows: int,
     *key_cols: str,
     rows_per_partition: int = 50_000,
+    max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Footer-stat shuffle sizing, generalized (VERDICT r6 task 2a —
     the policy dedup_lsh_candidates/pipeline_training_data introduced,
@@ -36,10 +37,17 @@ def narrow_shuffle(
 
     Caveat (r6 plan lesson): placing this below a groupBy replaces the
     partial+final aggregate with a complete aggregate over raw rows —
-    acceptable under the gate where rows are bounded, never on the
-    scale path (which this helper cannot produce, by construction)."""
+    acceptable only while rows are bounded, which is why the gate is
+    ABSOLUTE (``max_rows``), not relative to cluster width: a
+    parallelism-only gate would admit a 40M-row input on a 1024-core
+    cluster and ship raw rows (hash-concentrated on possibly-skewed
+    keys) across the narrow exchange (review catch r7). Above either
+    bound this is a strict no-op and the conf-sized plan stands."""
     target = max(1, -(-n_rows // rows_per_partition))
-    if target >= df.sparkSession.sparkContext.defaultParallelism:
+    if (
+        n_rows > max_rows
+        or target >= df.sparkSession.sparkContext.defaultParallelism
+    ):
         return df
     if key_cols:
         return df.repartition(target, *key_cols)

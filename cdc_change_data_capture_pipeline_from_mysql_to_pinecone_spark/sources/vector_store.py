@@ -132,17 +132,22 @@ class VectorStore:
             # delete the aside)
             recover_table(tpath)
             self._persist_schema(records, tpath)
-            stamped = records.withColumn(
-                "_ver", F.lit(self._next_version(tpath))
-            )
+            ver = self._next_version(tpath)
+            stamped = records.withColumn("_ver", F.lit(ver))
             touched = upsert_parquet_partitioned(
                 self.spark, tpath, stamped, ["id"], "_ver"
             )
-            # maintained IVF map (r7): quantize ONLY this batch against
-            # the stored centroids and merge per-id last-writer-wins —
-            # the CDC tick that keeps query(mode='ivf') fresh without
-            # re-bucketing (≙ sweep_ivf_assign; same lock, so the map
-            # commit serializes with the table commit it mirrors)
+            # maintained IVF map (r7): quantize the tick against the
+            # stored centroids and merge per-id last-writer-wins (≙
+            # sweep_ivf_assign). Table swap and map swap are TWO
+            # commits; the map's _map_ver watermark makes a crash
+            # between them recoverable, not silent (review catch r7):
+            # when the watermark is exactly one version behind, the
+            # delta is THIS batch (no table re-read); otherwise a
+            # prior tick was lost mid-crash, and the catch-up path
+            # re-assigns every row stamped past the watermark and
+            # semi-joins the map to live ids (healing a lost delete
+            # tick too).
             map_path = self._ivf_map_path(tpath)
             if os.path.isdir(map_path):
                 from ..operators.incremental import (
@@ -151,14 +156,26 @@ class VectorStore:
                 )
 
                 cents = self._ivf_centroids(tpath)
-                delta = delta_ivf_assign(
-                    stamped.select("id", "values", "_ver"),
-                    "id", "values", cents, "_ver",
-                )
-                merged = merge_ivf_assignments(
-                    self.spark.read.parquet(map_path), delta, "id", "_ver"
-                )
-                self._commit_ivf_map(map_path, merged, cents)
+                map_ver = self._ivf_map_ver(map_path)
+                stored = self.spark.read.parquet(map_path)
+                if map_ver == ver - 1:
+                    delta_rows = stamped.select("id", "values", "_ver")
+                    merged = merge_ivf_assignments(
+                        stored,
+                        delta_ivf_assign(delta_rows, "id", "values", cents, "_ver"),
+                        "id", "_ver",
+                    )
+                else:
+                    live = self._table(namespace)
+                    delta_rows = live.select("id", "values", "_ver").filter(
+                        F.col("_ver") > map_ver
+                    )
+                    merged = merge_ivf_assignments(
+                        stored,
+                        delta_ivf_assign(delta_rows, "id", "values", cents, "_ver"),
+                        "id", "_ver",
+                    ).join(live.select("id"), "id", "left_semi")
+                self._commit_ivf_map(map_path, merged, cents, upto_ver=ver)
             return touched
 
     def delete(self, ids: list, namespace: str = "") -> int:
@@ -176,10 +193,17 @@ class VectorStore:
             n = delete_keys(self.spark, tpath, keys, ["id"])
             map_path = self._ivf_map_path(tpath)
             if os.path.isdir(map_path):
+                # bump the verseq so a crash between THIS table commit
+                # and the map commit leaves the map watermark behind —
+                # the next upsert's catch-up semi-join then prunes the
+                # deleted ids (review catch r7)
+                ver = self._next_version(tpath)
                 kept = self.spark.read.parquet(map_path).join(
                     F.broadcast(keys), "id", "left_anti"
                 )
-                self._commit_ivf_map(map_path, kept, self._ivf_centroids(tpath))
+                self._commit_ivf_map(
+                    map_path, kept, self._ivf_centroids(tpath), upto_ver=ver
+                )
             return n
 
     # -- maintained IVF index (r7, ≙ the sweep family's cell map) -----
@@ -200,15 +224,36 @@ class VectorStore:
             raw = _json.load(fh)
         return [(int(c), [float(x) for x in v]) for c, v in raw]
 
+    def _ivf_map_ver(self, map_path: str) -> int:
+        """The table ``_verseq`` value the committed map REFLECTS —
+        the map's watermark. Rows stamped after it are exactly what a
+        catch-up tick must re-assign."""
+        with open(os.path.join(map_path, "_map_ver")) as fh:
+            return int(fh.read().strip())
+
+    def _current_version(self, table_path: str) -> int:
+        seq_path = os.path.join(table_path, _VERSEQ)
+        if os.path.exists(seq_path):
+            with open(seq_path) as fh:
+                return int(fh.read().strip() or 0)
+        return 0
+
     def _commit_ivf_map(
-        self, map_path: str, new_map: DataFrame, centroids
+        self, map_path: str, new_map: DataFrame, centroids, upto_ver: int
     ) -> None:
-        """Write (id, cell, _ver) + the centroid marker to a tmp dir
-        and swap both in with ONE atomic rename (the sweep family's
-        exactly-once pivot). The map is a full rewrite per tick —
-        ~16 B of payload per vector, fine to corpus sizes far beyond
-        the store's own bucket layout; a lakehouse backend would MERGE
-        instead (same seam as the module docstring's swap note)."""
+        """Write (id, cell, _ver) + the centroid marker + the
+        ``_map_ver`` watermark to a tmp dir and swap all three in with
+        ONE atomic rename (the sweep family's exactly-once pivot).
+        The watermark is what makes the TWO-commit sequence
+        (table swap, then map swap) crash-safe WITHOUT being atomic: a
+        crash between them leaves the map's watermark behind the
+        table's ``_verseq``, and the next mutation's catch-up path
+        re-assigns every row stamped past the watermark (review catch
+        r7 — without it a missed tick went stale silently, forever).
+        The map is a full rewrite per tick — ~16 B of payload per
+        vector, fine to corpus sizes far beyond the store's own bucket
+        layout; a lakehouse backend would MERGE instead (same seam as
+        the module docstring's swap note)."""
         import json as _json
         import uuid as _uuid
 
@@ -218,6 +263,8 @@ class VectorStore:
         new_map.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_centroids.json"), "w") as fh:
             _json.dump([[c, v] for c, v in centroids], fh)
+        with open(os.path.join(tmp, "_map_ver"), "w") as fh:
+            fh.write(str(upto_ver))
         swap_in(map_path, tmp)
 
     def build_ivf(self, k: int = 8, iters: int = 2, namespace: str = "") -> int:
@@ -229,19 +276,24 @@ class VectorStore:
         (operators.incremental.delta_ivf_assign /
         merge_ivf_assignments) and ``query(mode='ivf')`` serves
         current data without re-quantizing. Returns rows mapped."""
-        from ..operators.vectors import train_ivf_centroids
-
         from ..operators.incremental import delta_ivf_assign
+        from ..operators.vectors import train_ivf_centroids
 
         tpath = self._at(namespace)
         with table_lock(tpath):
             recover_table(tpath)
             t = self._table(namespace).select("id", "values", "_ver")
-            cents = train_ivf_centroids(t, "id", "values", k=k, iters=iters)
-            if not cents:
+            # emptiness checked BEFORE training (review catch r7:
+            # k-means over zero seeds dies inside ivf_assign with a
+            # cryptic empty-array AnalysisException, not this error)
+            if t.limit(1).count() == 0:
                 raise ValueError("build_ivf on an empty store")
+            cents = train_ivf_centroids(t, "id", "values", k=k, iters=iters)
             amap = delta_ivf_assign(t, "id", "values", cents, "_ver")
-            self._commit_ivf_map(self._ivf_map_path(tpath), amap, cents)
+            self._commit_ivf_map(
+                self._ivf_map_path(tpath), amap, cents,
+                upto_ver=self._current_version(tpath),
+            )
             return self.spark.read.parquet(self._ivf_map_path(tpath)).count()
 
     def _schema_path(self, table_path: str) -> str:

@@ -445,3 +445,67 @@ def test_vector_store_maintained_ivf(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="build_ivf"):
         other.query([1.0] * dim, mode="ivf")
+
+
+def test_vector_store_ivf_map_crash_catchup(spark, tmp_path):
+    """r7 review catch: table swap and map swap are two commits; a
+    crash between them must leave a RECOVERABLE map, not a silently
+    stale one. The map's _map_ver watermark lags the table's _verseq
+    after such a crash, and the next mutation's catch-up path
+    re-assigns every row stamped past it (and semi-joins away ids a
+    lost delete tick removed)."""
+    import numpy as np
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        ivf_assign,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    dim = 4
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(20, dim)
+    store = VectorStore(spark, str(tmp_path / "crash_idx"), dim=dim)
+    store.upsert([
+        {"id": f"v{i}", "values": [float(x) for x in vecs[i]]} for i in range(20)
+    ])
+    store.build_ivf(k=3, iters=1)
+    tpath = store._at("")
+
+    def stored_map():
+        return {r["id"]: r["cell"]
+                for r in spark.read.parquet(store._ivf_map_path(tpath)).collect()}
+
+    def recompute():
+        cents = store._ivf_centroids(tpath)
+        live = store._table("").select("id", "values")
+        return {r["id"]: r["cell"]
+                for r in ivf_assign(live, "id", "values", cents).collect()}
+
+    # crash AFTER the table commit, BEFORE the map commit
+    real_commit = store._commit_ivf_map
+    store._commit_ivf_map = lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        store.upsert([{"id": "missed", "values": [9.0, 0.0, 0.0, 0.0]}])
+    store._commit_ivf_map = real_commit
+    assert "missed" in {r["id"] for r in store.fetch(["missed"]).collect()}
+    assert "missed" not in stored_map()          # the stale window
+
+    # the next ordinary tick heals the miss via the watermark catch-up
+    store.upsert([{"id": "later", "values": [0.0, 9.0, 0.0, 0.0]}])
+    m = stored_map()
+    assert "missed" in m and "later" in m
+    assert m == recompute()
+
+    # lost DELETE tick: crash between delete_keys and the map commit
+    store._commit_ivf_map = lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
+    with _pytest.raises(OSError):
+        store.delete(["v3"])
+    store._commit_ivf_map = real_commit
+    assert store.fetch(["v3"]).count() == 0      # table committed
+    assert "v3" in stored_map()                  # map stale
+    store.upsert([{"id": "heal", "values": [0.0, 0.0, 9.0, 0.0]}])
+    m = stored_map()
+    assert "v3" not in m and m == recompute()
