@@ -349,6 +349,14 @@ def test_q5_dim_chain_local_relation_at_fixture_scale(spark, sf_dir):
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     assert sorted(map(tuple, local.collect())) == sorted(map(tuple, spark_side.collect()))
+    # no-region path (q7/q8/q9's frame): pure supplier⋈nation — region
+    # must NOT participate (review catch r7)
+    local_nr = entrymod._supplier_chain(spark, sf_dir)
+    sn = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    assert sorted(map(tuple, local_nr.collect())) == sorted(map(tuple, sn.collect()))
 
 
 def test_narrow_shuffle_gates_on_row_count(spark, sf_dir):
