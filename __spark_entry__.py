@@ -2255,6 +2255,40 @@ def funnel_signup_to_purchase(spark, sf_dir):
 
 
 @_q(
+    "cohort_retention_orders",
+    """
+    WITH firsts AS (
+      SELECT o_custkey AS e, min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey),
+    activity AS (
+      SELECT DISTINCT o_custkey AS e,
+             date_trunc('month', o_orderdate) AS p
+      FROM orders)
+    SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+           CAST(datediff('month', cohort, p) AS INTEGER) AS period_offset,
+           count(*) AS n_active
+    FROM activity JOIN firsts USING (e)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_orders(spark, sf_dir):
+    """Cohort retention triangle over orders: customers cohorted by
+    first-order month, counted active per month offset — the classic
+    retention matrix the funnel family doesn't cover. ONE
+    customer-keyed shuffle (min + collect_set of the truncated month
+    share a groupBy; the oracle's firsts⋈activity join form costs
+    two); the exploded period set is calendar-bounded, so per-entity
+    state stays KB-sized at 100 TB (relational.cohort_retention)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    out = relational.cohort_retention(o, "o_custkey", "o_orderdate", period="month")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+        "period_offset",
+        "n_active",
+    )
+
+
+@_q(
     "text_normalize_stopwords",
     """
     WITH norm AS (
@@ -6325,16 +6359,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Registry surfacing order (round 7 rotation). The driver's correctness
 # gate samples the dict from the front (50 entries per round). This
 # window completes the freshness rotation (VERDICT r6 task 1): slots
-# 1-2 are NEW in r7 (the production-capped LSH variant and the
-# maintained IVF cell map, never driver-sampled); slots 3-28 are ALL
-# 26 remaining r3-era rows (the named tail from the r6 verdict — q1/
-# q3/q5, the outer/semi/anti/theta join family, four window siblings,
-# the array/map family, four text queries, two vec norms, embed +
-# search), in r3 window order; slots 29-50 are the 22 stalest r4-era
-# rows in registration order. After r7 every registered query's
-# latest driver row is r4+, and the r4 cohort continues rotating in
-# subsequent rounds.
+# 1-3 are NEW in r7 (the cohort-retention triangle, the
+# production-capped LSH variant and the maintained IVF cell map,
+# never driver-sampled); slots 4-29 are ALL 26 remaining r3-era rows
+# (the named tail from the r6 verdict — q1/q3/q5, the outer/semi/
+# anti/theta join family, four window siblings, the array/map family,
+# four text queries, two vec norms, embed + search), in r3 window
+# order; slots 30-50 are the 21 stalest r4-era rows in registration
+# order (window_ranking_suite rotated to lead the r8 window when
+# cohort_retention_orders took slot 1). After r7 every registered
+# query's latest driver row is r4+ except that one r4-era carry, and
+# the r4 cohort continues rotating in subsequent rounds.
 _PRIORITY = [
+    "cohort_retention_orders",
     "dedup_lsh_candidates_capped",
     "incremental_ivf_cells",
     "array_ops_documents",
@@ -6384,7 +6421,6 @@ _PRIORITY = [
     "cdc_snapshot_latest",
     "asof_join_purchase_click",
     "cdc_catalog_watermark_join",
-    "window_ranking_suite",
 ]
 
 

@@ -599,3 +599,51 @@ def sequence_funnel_maximal(
         .applyInPandas(dp, schema=out_schema)
         .filter(F.col("t1").isNotNull())
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    period: str = "month",
+) -> DataFrame:
+    """Cohort retention matrix: each entity's cohort is the period
+    (``month`` or ``day``) of its FIRST event; for every
+    (cohort, period_offset) cell, count the distinct entities from
+    that cohort active ``period_offset`` periods later — the classic
+    product-analytics retention triangle the funnel family
+    (``sequence_funnel*``) doesn't cover.
+
+    Output: (cohort timestamp, period_offset int, n_active long).
+    Offset 0 rows are each cohort's size, so retention RATE is a
+    cheap self-join/window on this (cohort-count)-sized result.
+
+    Scale shape: ONE entity-keyed shuffle. The naive form — a
+    per-entity firsts aggregate joined back onto a distinct
+    (entity, period) activity set — costs two shuffles plus an
+    entity-keyed join whose probe side is the whole fact table.
+    Instead ``min`` and ``collect_set`` of the truncated period ride
+    the SAME groupBy (both combine map-side), and the retention cells
+    come from exploding the per-entity period set — bounded by the
+    CALENDAR (an entity active every month for 80 years is <1k
+    entries), not by event count, so per-entity state stays KB-sized
+    at 100 TB. The final groupBy is on (cohort, offset) — at most
+    |periods|² cells, a constant-sized frame."""
+    if period not in ("month", "day"):
+        raise ValueError(f"period must be 'month' or 'day', got {period!r}")
+    p = F.date_trunc(period, F.col(ts_col))
+    per_entity = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(entity_col).alias("_e"), p.alias("_p"))
+        .groupBy("_e")
+        .agg(F.min("_p").alias("cohort"), F.collect_set("_p").alias("_ps"))
+    )
+    exploded = per_entity.select("cohort", F.explode("_ps").alias("_p"))
+    if period == "month":
+        off = F.months_between(F.col("_p"), F.col("cohort")).cast("int")
+    else:
+        off = F.datediff(F.col("_p"), F.col("cohort")).cast("int")
+    return (
+        exploded.groupBy("cohort", off.alias("period_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -123,7 +123,7 @@ def jdbc_reader_options(
     num_partitions: int = 64,
     fetch_size: int = 10_000,
 ) -> dict[str, str]:
-    """JDBC scan options for the MySQL source path.
+    r"""JDBC scan options for the MySQL source path.
 
     The reference reads each table on one connection and materializes
     the whole delta in memory (``cursor.fetchall``, service.py:59).

@@ -11,10 +11,12 @@ def test_registry_priority_order():
     assert names[: len(m._PRIORITY)] == m._PRIORITY
     assert len(names) == len(set(names)) == len(m._REG)
     # spot-pin the r7 gate window (VERDICT r6 task 1 rotation): the
-    # two r7 registrations lead, then ALL 26 r3-era rows, then the
-    # stalest r4-era cohort
+    # three r7 registrations lead, then ALL 26 r3-era rows, then the
+    # stalest r4-era cohort (window_ranking_suite rotated to r8 when
+    # cohort_retention_orders took slot 1)
     front = set(names[:50])
-    for probe in ("dedup_lsh_candidates_capped", "incremental_ivf_cells",
+    for probe in ("cohort_retention_orders",
+                  "dedup_lsh_candidates_capped", "incremental_ivf_cells",
                   "array_ops_documents", "map_ops_events",
                   "text_normalize_stopwords", "text_fingerprint",
                   "vec_l2_normalize", "embed_documents", "search_end_to_end",
@@ -25,7 +27,7 @@ def test_registry_priority_order():
                   "window_rank_orders_per_customer", "window_running_revenue",
                   "window_share_of_total", "cdc_chunk_documents",
                   "cdc_serialize_rows", "asof_join_purchase_click",
-                  "window_ranking_suite"):
+                  "cdc_catalog_watermark_join"):
         assert probe in front, probe
 
 

@@ -159,3 +159,41 @@ def test_sequence_funnel_maximal_null_ts_never_chains(spark):
     assert out[2]["t2"] == base + dt.timedelta(seconds=3)
     assert out[2]["t3"] == base + dt.timedelta(seconds=6)
     assert df.filter(F.col("ts").isNull()).count() == 2  # fixture sanity
+
+
+def test_cohort_retention_matrix_and_null_ts(spark):
+    """Hand-computed retention triangle: cohort = first-event month,
+    offset-0 row per cohort equals cohort size, entities active in a
+    later month count once regardless of event multiplicity, and NULL
+    timestamps contribute nothing (a NULL month is neither a cohort
+    nor activity)."""
+    import datetime
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    def ts(m, d):
+        return datetime.datetime(2024, m, d)
+
+    rows = [
+        # u1: joins Jan, active Jan (twice) + Mar
+        (1, ts(1, 5)), (1, ts(1, 20)), (1, ts(3, 1)),
+        # u2: joins Jan only
+        (2, ts(1, 9)),
+        # u3: joins Feb, active Feb + Mar; one NULL event ignored
+        (3, ts(2, 14)), (3, ts(3, 30)), (3, None),
+        # u4: NULL-only entity vanishes entirely
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"].strftime("%Y-%m"), r["period_offset"]): r["n_active"]
+        for r in cohort_retention(df, "user_id", "ts", period="month").collect()
+    }
+    assert got == {
+        ("2024-01", 0): 2,
+        ("2024-01", 2): 1,
+        ("2024-02", 0): 1,
+        ("2024-02", 1): 1,
+    }
