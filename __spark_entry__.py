@@ -38,6 +38,9 @@ from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators imp
 from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (
     text as text_ops,
 )
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.plans.partitioning import (
+    ensure_parallelism,
+)
 from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
 from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
     cdc_tick,
@@ -125,7 +128,13 @@ def _query_vector(sf_dir: str, vec_id: int = 1) -> list[float]:
     return [float(x) for x in row["embedding"][0].as_py()]
 
 
-_DIM_CHAIN_CACHE: dict[tuple, object] = {}
+# Per-session dim-chain cache: a WeakKeyDictionary keyed on the
+# SparkSession object itself — entries die with their session, so a
+# recycled CPython id() can never hand a dead session's DataFrame to a
+# new session, and the cache is bounded by live sessions (ADVICE r7).
+import weakref as _weakref
+
+_DIM_CHAIN_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 # supplier is unbounded at scale (SF*10k rows) — above this footer
 # stat the chain must stay a Spark-side join; below it the whole
 # chain is a driver-held constant like any dimension cache
@@ -153,12 +162,14 @@ def _supplier_chain(spark, sf_dir: str, region: str | None = None):
     supplier⋈nation — a dangling/NULL n_regionkey must not silently
     drop suppliers from consumers that never asked about regions.
 
-    Cache key includes the SESSION identity, not just applicationId:
+    Cached per SESSION (WeakKeyDictionary on the session object —
     ``spark.newSession()`` shares the app id but not session state,
-    and a DataFrame must never cross sessions."""
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir, region)
-    if key in _DIM_CHAIN_CACHE:
-        return _DIM_CHAIN_CACHE[key]
+    and a DataFrame must never cross sessions; weak keying means a
+    collected session's entries vanish with it, ADVICE r7)."""
+    per_session = _DIM_CHAIN_CACHE.setdefault(spark, {})
+    key = (sf_dir, region)
+    if key in per_session:
+        return per_session[key]
     if _table_rows(sf_dir, "supplier") <= _LOCAL_CHAIN_MAX_SUPPLIERS:
         import os
 
@@ -189,7 +200,7 @@ def _supplier_chain(spark, sf_dir: str, region: str | None = None):
             r = _t(spark, sf_dir, "region").filter(F.col("r_name") == region)
             out = out.join(r, n.n_regionkey == F.col("r_regionkey"))
         out = out.select("s_suppkey", "s_nationkey", "n_name")
-    _DIM_CHAIN_CACHE[key] = out
+    per_session[key] = out
     return out
 
 
@@ -322,16 +333,26 @@ def q5_region_revenue(spark, sf_dir):
     """,
 )
 def join_outer_customer_orders(spark, sf_dir):
-    """Left-outer join preserving order-less customers (J4)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
-        )
+    """Left-outer join preserving order-less customers (J4).
+
+    The aggregate is pushed BELOW the join (r8): orders collapses to
+    one row per o_custkey first (partial+final hash agg), then the
+    left join runs customer-rows x customer-rows instead of
+    customer-rows x order-rows and needs no post-join aggregate. At
+    scale this shrinks the join's probe side by the orders-per-customer
+    factor and removes a whole shuffle of full order rows; the
+    aggregated side arrives at the join already hash-partitioned on
+    the join key, so only the customer side exchanges."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n"),
+        F.sum("o_totalprice").alias("_spent"),
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_orders"),
+        F.round(F.coalesce(F.col("_spent"), F.lit(0.0)), 2).alias("total_spent"),
     )
 
 
@@ -2054,8 +2075,10 @@ def text_stats(spark, sf_dir):
 )
 def text_quality(spark, sf_dir):
     """Quality scoring features + composite score (C4/RefinedWeb-style
-    cleaning heuristics)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaning heuristics). Scattered before the CPU-bound feature
+    expressions for the same single-row-group reason as text_lang_id
+    (ensure_parallelism no-ops on an already-wide scan)."""
+    d = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     feats = text_ops.quality_features(d, "text")
     return feats.select(
         "doc_id",
@@ -2095,9 +2118,16 @@ def text_quality(spark, sf_dir):
 )
 def text_lang_id(spark, sf_dir):
     """Heuristic stopword-based language ID (ties -> lexicographically
-    greatest code, matching the argmax-over-struct semantics)."""
+    greatest code, matching the argmax-over-struct semantics).
+
+    The classification expressions are CPU-bound (a pile of LIKE scans
+    per doc) and the fixture is a single row group, so the scan stage
+    is one task — scatter first (ensure_parallelism: a no-op whenever
+    the scan is already as wide as the session, i.e. at scale)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", text_ops.lang_id(F.col("text")).alias("lang_pred"))
+    return ensure_parallelism(d.select("doc_id", "text")).select(
+        "doc_id", text_ops.lang_id(F.col("text")).alias("lang_pred")
+    )
 
 
 @_q(

@@ -5,8 +5,22 @@ one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed once after a warm-up action on the inputs, and
-timed over a full materialization (count of the result) so scan ->
-shuffle -> agg all execute.
+timed over a full materialization (``.toArrow()`` of the result) so
+scan -> shuffle -> agg -> result transfer all execute. The r7 verdict
+flagged the old ``.count()`` protocol as asymmetric: Catalyst prunes
+unreferenced aggregate expressions and output columns under count()
+(verified: q1's executed plan computed zero of its six aggregates;
+text_lang_id skipped its classification expressions entirely,
+0.047 s vs 0.214 s fully materialized) while the DuckDB side of
+tools/ab.py runs the full query. The symmetric pairing chosen is
+Arrow-to-Arrow: Spark ``.toArrow()`` vs DuckDB ``.arrow()`` — both
+engines execute every expression and materialize the complete result
+into Arrow in the client process. ``.collect()``-vs-``fetchall()`` was
+measured and rejected as a DIFFERENT asymmetry: on a 53k-row result
+collect() spends +0.15 s building pickled Row objects where DuckDB's
+fetchall builds C-level tuples — a client-binding artifact, not engine
+throughput (cdc_incremental_scan: count 0.091 / toArrow 0.092 /
+collect 0.244; the full work is in the toArrow number).
 """
 
 from __future__ import annotations
@@ -69,10 +83,16 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # local[8] vs local[32] was A/B'd twice in r6 and is host-noise:
     # one interleaved window favored 8 by ~15%, the next favored 32 —
-    # the default stays at the machine's cores ($SPARK_GRAFT_CPUS)
+    # the default stays at the machine's cores ($SPARK_GRAFT_CPUS).
+    # Small-regime shuffle width re-measured r8 under the symmetric
+    # Arrow protocol, interleaved {32,16,8,4} over the heavier half of
+    # the headline set: 8 won (2.505 s vs 2.711 at 32, -7.6%; 4 was
+    # 2.534) — tens-of-MB shuffles are task-scheduling-bound, not
+    # parallelism-bound. The r5 "4 lost 8-18% vs cores" measurement was
+    # under the old count() protocol and is superseded for this regime.
     return get_spark(
         app_name,
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus if small else "64")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8" if small else "64")),
         adaptive=not small,
     )
 
@@ -120,7 +140,7 @@ def main() -> None:
         try:
             for _ in range(3):
                 start = time.perf_counter()
-                fn(spark, sf_dir).count()
+                fn(spark, sf_dir).toArrow()
                 best = min(best, time.perf_counter() - start)
             timings[name] = round(best, 3)
         except Exception as exc:  # one broken query must not kill the artifact
@@ -226,7 +246,7 @@ def main() -> None:
                 try:
                     for _ in range(2):
                         start = time.perf_counter()
-                        fn(spark, sf1_dir).count()
+                        fn(spark, sf1_dir).toArrow()
                         best = min(best, time.perf_counter() - start)
                     t1[name] = round(best, 3)
                 except Exception as exc:

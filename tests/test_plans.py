@@ -369,7 +369,13 @@ def test_narrow_shuffle_gates_on_row_count(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
     narrowed = narrow_shuffle(o, 150_000, "o_custkey")
-    assert narrowed.rdd.getNumPartitions() == 3  # ceil(150k/50k)
+    if spark.sparkContext.defaultParallelism > 3:
+        assert narrowed.rdd.getNumPartitions() == 3  # ceil(150k/50k)
+    else:
+        # on a <=3-core runner the helper correctly no-ops (target >=
+        # parallelism) — the gate, not the width, is what's under test
+        # (ADVICE r7: the exact-width assert was environment-dependent)
+        assert narrowed is o
     big = narrow_shuffle(o, 10_000_000_000, "o_custkey")
     assert big is o  # scale path: identical plan object, no exchange
     # and the headline window rides it: its exchange is data-sized
