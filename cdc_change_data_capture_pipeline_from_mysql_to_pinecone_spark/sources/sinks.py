@@ -248,10 +248,22 @@ def upsert_parquet_partitioned(
     num_buckets: int | None = None,
     bucket_col: str = "kbucket",
     target_bucket_rows: int = DEFAULT_BUCKET_ROWS,
+    cluster_cols: list[str] | None = None,
 ) -> int:
     """MERGE ``updates`` into a hash-bucketed keyed parquet table,
     rewriting ONLY the bucket partitions the updates touch. Returns the
     number of partitions rewritten.
+
+    ``cluster_cols``: secondary sort within each rewritten bucket
+    (``sortWithinPartitions(bucket, *cluster_cols)`` before the write).
+    Rows land cell-/key-clustered inside each bucket's files, so
+    parquet row-group min/max stats on those columns are TIGHT and a
+    pushed predicate (e.g. the IVF probe's ``_cell IN (...)``) skips
+    row groups instead of decoding the whole bucket — the standard
+    two-level layout (hash-partition by merge key, cluster by read
+    key) a 100 TB table needs for both O(batch) writes and pruned
+    reads. Costs one per-task sort of batch-sized data on the write
+    path; no effect on results.
 
     The plain ``upsert_parquet`` is O(table) per merge — fine for the
     one-row watermark table, wrong for a growing vectors table (the
@@ -344,9 +356,10 @@ def upsert_parquet_partitioned(
     # then per-partition renames swap them in — not a job per bucket.
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, f"_tmp-{uuid.uuid4().hex[:8]}")
-    deduped.repartition(*[F.col(c) for c in key_cols]).write.mode("overwrite").partitionBy(
-        bucket_col
-    ).parquet(tmp)
+    to_write = deduped.repartition(*[F.col(c) for c in key_cols])
+    if cluster_cols:
+        to_write = to_write.sortWithinPartitions(bucket_col, *cluster_cols)
+    to_write.write.mode("overwrite").partitionBy(bucket_col).parquet(tmp)
     # Incremental row accounting: footer-read ONLY the touched buckets
     # before and after the swap — O(batch), never O(table) on the
     # steady path (VERDICT r4 defect 1). The one-time full walk below
@@ -518,6 +531,7 @@ def delete_keys(
     key_cols: list[str],
     bucket_col: str = "kbucket",
     num_buckets: int | None = None,
+    cluster_cols: list[str] | None = None,
 ) -> int:
     """DELETE keys from a hash-bucketed keyed table — the missing verb
     of upsert-by-id stores (the reference's index never deletes;
@@ -579,9 +593,12 @@ def delete_keys(
         F.broadcast(keyed.select(*key_cols)), key_cols, "left_anti"
     )
     tmp = os.path.join(path, f"_tmp-{uuid.uuid4().hex[:8]}")
-    remaining.repartition(*[F.col(c) for c in key_cols]).write.mode("overwrite").partitionBy(
-        bucket_col
-    ).parquet(tmp)
+    to_write = remaining.repartition(*[F.col(c) for c in key_cols])
+    if cluster_cols:
+        # keep the rewritten buckets cell-clustered (same contract as
+        # upsert's cluster_cols — a delete must not degrade the layout)
+        to_write = to_write.sortWithinPartitions(bucket_col, *cluster_cols)
+    to_write.write.mode("overwrite").partitionBy(bucket_col).parquet(tmp)
     bucket_dirs = [os.path.join(path, f"{bucket_col}={b}") for b in touched]
     removed = (
         sum(_footer_rows(d) for d in bucket_dirs if os.path.exists(d))

