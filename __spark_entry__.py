@@ -5021,6 +5021,84 @@ def search_rrf_fusion(spark, sf_dir):
 
 
 @_q(
+    "search_hybrid_rrf",
+    """
+    WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    d2 AS (SELECT doc_id, len(t) AS dl, t FROM docs),
+    consts AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d2),
+    hits AS (SELECT doc_id, dl, unnest(t) AS tok FROM d2),
+    tf AS (SELECT doc_id, tok, count(*) AS tf, first(dl) AS dl
+           FROM hits WHERE tok IN ('hash', 'join', 'filter')
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY tok),
+    bm AS (SELECT t.doc_id,
+                  round(sum(ln(1 + (c.n - d.dfc + 0.5) / (d.dfc + 0.5))
+                            * (t.tf * 2.2)
+                            / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / c.avgdl))),
+                        6) AS score
+           FROM tf t JOIN dfreq d USING (tok) CROSS JOIN consts c
+           GROUP BY t.doc_id),
+    a AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+          FROM bm QUALIFY rn <= 30),
+    vecs AS (SELECT vec_id AS doc_id,
+                    round(list_cosine_similarity(embedding::DOUBLE[],
+                          (SELECT embedding::DOUBLE[] FROM embeddings
+                           WHERE vec_id = 1)), 4) AS score
+             FROM embeddings),
+    b AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+          FROM vecs QUALIFY rn <= 30)
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + a.rn), 0) + coalesce(1.0 / (60 + b.rn), 0),
+                 6) AS rrf_score
+    FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval end-to-end (VERDICT r7 task 7): the exact
+    dataflow of ``VectorStore.query(mode='hybrid')`` — a vector
+    cosine top-30 over the embeddings corpus fused with the BM25
+    lexical top-30 over the documents corpus by reciprocal-rank
+    fusion, final top-10 by fused score (the implied read path of the
+    reference's embed_query, utils/embeddings_utils.py:10-14, plus
+    the lexical leg hosted stores bolt on). doc_id and vec_id share
+    the fixture's id space, standing in for the store's single id
+    column. Scores are rounded to 6 BEFORE ranking on both engines so
+    tied candidates take the id tiebreak identically; each retriever
+    bounds its own candidate list (TakeOrderedAndProject / QUALIFY),
+    so the fusion windows sort 30 rows, never a corpus."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
+        lit_double_array,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = (
+        text_ops.bm25_scores(d, "doc_id", "text", ["hash", "join", "filter"])
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(30)
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    q = lit_double_array(_query_vector(sf_dir))
+    vec = (
+        e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_sim(F.col("embedding"), q), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(30)
+    )
+    fused = vec_ops.rrf_fuse([bm, vec], "doc_id", k=60)
+    return (
+        fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@_q(
     "cdc_scd2_history",
     """
     SELECT user_id, event_id,
@@ -6387,70 +6465,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registry surfacing order (round 7 rotation). The driver's correctness
-# gate samples the dict from the front (50 entries per round). This
-# window completes the freshness rotation (VERDICT r6 task 1): slots
-# 1-3 are NEW in r7 (the cohort-retention triangle, the
-# production-capped LSH variant and the maintained IVF cell map,
-# never driver-sampled); slots 4-29 are ALL 26 remaining r3-era rows
-# (the named tail from the r6 verdict — q1/q3/q5, the outer/semi/
-# anti/theta join family, four window siblings, the array/map family,
-# four text queries, two vec norms, embed + search), in r3 window
-# order; slots 30-50 are the 21 stalest r4-era rows in registration
-# order (window_ranking_suite rotated to lead the r8 window when
-# cohort_retention_orders took slot 1). After r7 every registered
-# query's latest driver row is r4+ except that one r4-era carry, and
-# the r4 cohort continues rotating in subsequent rounds.
+# gate samples the dict from the front (50 entries per round). The r8
+# window continues the freshness rotation (VERDICT r7 task 3): slot 1
+# is the round's NEW query (search_hybrid_rrf, the fused hybrid read
+# path, never driver-sampled); slots 2-30 are ALL 29 remaining r4-era
+# rows (after this window no query's latest driver row is older than
+# r5); slots 31-50 are the 20 stalest r5-era rows in registration
+# order — the remaining 30 r5-era rows lead the r9 window next.
 _PRIORITY = [
-    "cohort_retention_orders",
-    "dedup_lsh_candidates_capped",
-    "incremental_ivf_cells",
-    "array_ops_documents",
-    "array_hof_documents",
-    "array_posexplode_tokens",
-    "map_ops_events",
-    "text_normalize_stopwords",
-    "text_top_bigram_per_lang",
-    "text_fingerprint",
-    "text_bpe_regex_tokens",
-    "vec_l2_normalize",
-    "vec_label_norms",
-    "embed_documents",
-    "search_end_to_end",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "join_outer_customer_orders",
-    "join_semi_customers_with_open_orders",
-    "join_anti_customers_without_orders",
-    "join_full_outer_keys",
-    "join_theta_acctbal_band",
-    "agg_distinct_by_status",
-    "agg_rollup_region_nation",
-    "window_rank_orders_per_customer",
-    "window_running_revenue",
-    "window_first_last_value",
-    "window_share_of_total",
-    "window_lag_event_gaps",
-    "sort_topk_lineitem",
-    "sort_nulls_ordering",
-    "set_ops_customer_years",
-    "scalar_string_part",
-    "scalar_string_extended",
-    "scalar_datetime_orders",
-    "scalar_encoding_misc",
-    "scalar_json_events",
-    "case_pred_orders",
-    "agg_price_histogram",
-    "scalar_conditional_lineitem",
-    "pivot_priority_status",
-    "cdc_incremental_scan",
-    "cdc_watermark_next",
-    "cdc_watermark_upsert",
-    "cdc_serialize_rows",
-    "cdc_chunk_documents",
-    "cdc_snapshot_latest",
-    "asof_join_purchase_click",
-    "cdc_catalog_watermark_join",
+    "search_hybrid_rrf",
+    "window_ranking_suite",
+    "string_similarity_parts",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "ml_split_leakage_safe",
+    "dedup_cluster_survivors",
+    "dedup_jaccard_consecutive",
+    "dedup_minhash_est_jaccard",
+    "text_scrub_pii",
+    "text_repetition_ratio",
+    "text_contamination",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_top_terms",
+    "funnel_signup_to_purchase",
+    "timeseries_gap_fill",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window_native",
+    "timeseries_multigrain_rollup",
+    "agg_minby_maxby_events",
+    "cdc_scd2_history",
+    "join_salted_outer",
+    "join_range_binned_outer",
+    "layout_zorder_key",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_candidates",
+    "dedup_setsim_exact",
+    "dedup_cluster_best_survivors",
+    "funnel_three_step_gated",
+    "vec_knn_bruteforce",
+    "vec_lsh_bucket_histogram",
+    "incremental_minhash_rollup",
+    "vec_pca_projection",
+    "vec_ivf_trained_cells",
+    "dedup_embedding_neardup",
+    "pipeline_training_data",
+    "q18_large_orders_having",
+    "q19_disjunctive_predicates",
+    "agg_stats_lineitem",
+    "agg_percentile_prices",
+    "agg_cube_status_priority",
+    "subquery_above_avg_customers",
+    "q4_order_priority",
+    "q7_volume_shipping",
 ]
 
 
