@@ -229,6 +229,12 @@ def main() -> None:
     # runtime-settable SQL confs); queries whose sf1/sf0.1 wall ratio
     # exceeds 10x/decade are flagged (data grew 10x, so >10x wall
     # growth means the operator scaled worse than linearly).
+    # r8 (VERDICT r7 task 5): the block also records the DuckDB
+    # denominator per query (same symmetric Arrow protocol as
+    # tools/ab.py) plus per-query Spark/DuckDB ratios, with >2.5x
+    # flagged — so sf1 ratio GROWTH is caught mechanically, not only
+    # in PERFORMANCE.md prose. Interleaved per query (spark, duck) x2
+    # within the same window, min recorded, same as ab.py.
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1")
     if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
         # the whole sf1 block is best-effort: a broken/partial fixture
@@ -239,16 +245,32 @@ def main() -> None:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.shuffle.partitions", "64")
             warm_up(spark, sf1_dir)
+            try:
+                sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+                from oracle_harness import duck_con  # noqa: E402
+
+                con = duck_con(sf1_dir)
+                oracles = entrymod.oracle_sql()
+            except Exception:
+                con, oracles = None, {}
             t1: dict[str, float] = {}
+            d1: dict[str, float] = {}
             for name in HEADLINE:
                 fn = queries[name]
-                best = float("inf")
+                sql = oracles.get(name)
+                best = d_best = float("inf")
                 try:
                     for _ in range(2):
                         start = time.perf_counter()
                         fn(spark, sf1_dir).toArrow()
                         best = min(best, time.perf_counter() - start)
+                        if con is not None and sql is not None:
+                            start = time.perf_counter()
+                            con.sql(sql).arrow()
+                            d_best = min(d_best, time.perf_counter() - start)
                     t1[name] = round(best, 3)
+                    if d_best < float("inf"):
+                        d1[name] = round(d_best, 3)
                 except Exception as exc:
                     errors[f"sf1:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
             flags = {
@@ -256,9 +278,21 @@ def main() -> None:
                 for n in t1
                 if n in timings and timings[n] > 0 and t1[n] / timings[n] > 10.0
             }
+            ratios = {
+                n: round(t1[n] / d1[n], 2) for n in t1 if d1.get(n)
+            }
             out["sf1"] = {
                 "value": round(sum(t1.values()), 3),
                 "queries": t1,
+                "duck_queries": d1,
+                "duck_value": round(sum(d1.values()), 3),
+                "ratio_vs_duckdb": (
+                    round(sum(t1[n] for n in d1) / sum(d1.values()), 3)
+                    if d1 else None
+                ),
+                "per_query_ratio_flags_gt2.5": {
+                    n: r for n, r in ratios.items() if r > 2.5
+                },
                 "ratio_vs_sf0.1_flags": flags,
             }
         except Exception as exc:
