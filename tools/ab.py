@@ -52,6 +52,15 @@ def main() -> None:
     for name in names:
         fn = queries[name]
         sql = oracles.get(name)
+        # one untimed warm execution per engine: whole-stage-codegen
+        # compilation and JIT for THIS query's plan settle outside the
+        # timed region (the shared warm_up only exercises generic
+        # machinery). Symmetric — DuckDB's first run warms its caches
+        # the same way; what the window then measures is steady-state
+        # per-query cost, the quantity that extrapolates.
+        fn(spark, sf_dir).toArrow()
+        if sql is not None:
+            con.sql(sql).arrow()
         s_best = d_best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
