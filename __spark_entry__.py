@@ -53,7 +53,7 @@ WM = "2024-01-15 00:00:00"
 _REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
-#: Analyzed-plan memo per (application, sf_dir, query). The fixture
+#: Analyzed-plan memo per (session, sf_dir, query). The fixture
 #: inputs are immutable parquet (load_table already memoizes the
 #: analyzed relations the same way), so rebuilding the identical
 #: DataFrame on every call only re-pays driver-side py4j/analysis
@@ -64,7 +64,13 @@ _REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 #: plan on first use: handing back the same object would freeze the
 #: session conf (broadcast thresholds, shuffle partitions) as of the
 #: first call, which the plan regression tests rightly reject.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: Keyed on the SESSION OBJECT via WeakKeyDictionary (r8, same fix as
+#: _DIM_CHAIN_CACHE per ADVICE r7): ``spark.newSession()`` shares the
+#: applicationId but not session state, and a DataFrame must never
+#: cross sessions; weak keying also bounds the cache to live sessions.
+import weakref as _wk
+
+_PLAN_CACHE: "_wk.WeakKeyDictionary" = _wk.WeakKeyDictionary()
 
 
 def _q(name: str, sql: str | None):
@@ -73,10 +79,11 @@ def _q(name: str, sql: str | None):
 
         @functools.wraps(fn)
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            key = (spark.sparkContext.applicationId, sf_dir, name)
-            df = _PLAN_CACHE.get(key)
+            per_session = _PLAN_CACHE.setdefault(spark, {})
+            key = (sf_dir, name)
+            df = per_session.get(key)
             if df is None:
-                df = _PLAN_CACHE[key] = fn(spark, sf_dir)
+                df = per_session[key] = fn(spark, sf_dir)
             return df.select("*")
 
         _REG[name] = (cached, sql)

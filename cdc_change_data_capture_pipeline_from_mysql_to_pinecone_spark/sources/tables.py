@@ -40,7 +40,14 @@ TABLES = (
 
 
 _NS_COLS_CACHE: dict[str, list[str]] = {}
-_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Per-SESSION analyzed-relation memo (WeakKeyDictionary on the session
+# object, r8 — same fix as the entry module's caches per ADVICE r7):
+# ``spark.newSession()`` shares the applicationId but not session
+# state, so an appId-keyed cache could hand one session's DataFrame to
+# another; weak keying also lets entries die with their session.
+import weakref as _weakref
+
+_DF_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def _nanos_ts_columns(path: str) -> list[str]:
@@ -74,11 +81,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # fixtures are read-only: reuse the analyzed relation per (app, path)
-    # so repeated queries skip file listing + schema resolution
-    key = (spark.sparkContext.applicationId, path)
-    if key in _DF_CACHE:
-        return _DF_CACHE[key]
+    # fixtures are read-only: reuse the analyzed relation per (session,
+    # path) so repeated queries skip file listing + schema resolution
+    per_session = _DF_CACHE.setdefault(spark, {})
+    if path in per_session:
+        return per_session[path]
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -100,7 +107,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f in df.schema.fields:
         if isinstance(f.dataType, TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
-    _DF_CACHE[key] = df
+    per_session[path] = df
     return df
 
 
