@@ -90,11 +90,25 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
     # 2.534) — tens-of-MB shuffles are task-scheduling-bound, not
     # parallelism-bound. The r5 "4 lost 8-18% vs cores" measurement was
     # under the old count() protocol and is superseded for this regime.
-    return get_spark(
+    spark = get_spark(
         app_name,
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8" if small else "64")),
         adaptive=not small,
     )
+    if not small:
+        # Split-size policy for the large regime (r8): the sf1 fixture
+        # files hold ~10 row groups each but fit inside one default
+        # 128 MiB partition, so every scan ran 1 task. Target ~6 splits
+        # per core of the TOTAL input — interleaved at sf1 this halved
+        # the embedding-heavy family (dedup_embedding_neardup
+        # 6.06 -> 2.54 s, vec_ann 0.49 -> 0.26, lsh_hist 0.53 -> 0.32)
+        # with only q1 paying task overhead (+0.03). The formula
+        # degrades to the 128 MiB default as input grows (at ~12 GiB
+        # input it exceeds the default and the default wins), so it is
+        # a small-data compensation, not a scale policy.
+        mpb = min(128 * 1024 * 1024, max(1 << 20, input_bytes // (6 * int(cpus))))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    return spark
 
 
 def warm_up(spark, sf_dir: str) -> None:
@@ -244,6 +258,18 @@ def main() -> None:
         try:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.shuffle.partitions", "64")
+            # same large-regime split-size policy sized_session applies
+            # (the session was built for sf0.1; re-size to sf1's input)
+            sf1_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(sf1_dir)
+                for f in fs
+            )
+            cpus1 = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes",
+                str(min(128 * 1024 * 1024, max(1 << 20, sf1_bytes // (6 * cpus1)))),
+            )
             warm_up(spark, sf1_dir)
             try:
                 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
