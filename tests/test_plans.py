@@ -392,3 +392,20 @@ def test_narrow_shuffle_gates_on_row_count(spark, sf_dir):
     assert m, plan
     if m.group(2) is not None:
         assert int(m.group(2)) <= 3, plan
+
+
+def test_join_outer_aggregates_below_join(spark, sf_dir):
+    """r8: join_outer_customer_orders pushes the aggregate BELOW the
+    left join — orders collapses per custkey first (partial+final on
+    o_custkey), the join probes aggregated rows, and NO aggregate runs
+    above the join. A regression to the agg-above-join shape re-ships
+    every order row through the join and re-aggregates post-join."""
+    df = entrymod.queries()["join_outer_customer_orders"](spark, sf_dir)
+    plan = explain_str(df)
+    aggs = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert aggs, plan
+    # every aggregate keys on the orders side, none on c_custkey
+    assert all("o_custkey" in ln for ln in aggs if "keys=" in ln), plan
+    assert not any("keys=[c_custkey" in ln for ln in aggs), plan
+    # partial+final combine on the pre-aggregation
+    assert "partial_count" in plan or "partial" in plan.lower(), plan

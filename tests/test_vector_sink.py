@@ -720,3 +720,48 @@ def test_vector_store_delete_crash_heal(spark, tmp_path):
     store.upsert([{"id": "heal2", "values": [0.0, 9.0, 0.0, 0.0]}])
     m = stored_map()
     assert "v5" not in m and m == recompute()
+
+
+def test_vector_store_where_composes_with_ivf_fast_path(spark, tmp_path):
+    """r8: the metadata `where` filter must compose with the `_cell`
+    fast-path probe (both predicates in ONE scan, filter-before-rank
+    semantics preserved) and with mode='hybrid' — a filtered probe
+    still returns a FULL top-k drawn from matching rows only."""
+    import numpy as np
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    dim = 4
+    rng = np.random.RandomState(3)
+    store = VectorStore(spark, str(tmp_path / "wc_idx"), dim=dim)
+    rows = []
+    for i in range(60):
+        v = rng.randn(dim)
+        rows.append({
+            "id": f"r{i}",
+            "values": [float(x) for x in v],
+            "src": "web" if i % 2 == 0 else "books",
+            "metadata": f"doc {i} filter hash join terms",
+        })
+    store.upsert(rows)
+    store.build_ivf(k=3, iters=1)
+    q = [float(x) for x in rng.randn(dim)]
+
+    hits = store.query(q, top_k=4, mode="ivf", n_probe=3, where="src = 'web'")
+    got = hits.collect()
+    assert len(got) == 4 and all(r["src"] == "web" for r in got)
+    # probing ALL cells with the filter == exact search over the
+    # filtered population (recall-1 check through the fast path)
+    exact = store.query(q, top_k=4, mode="exact", where="src = 'web'").collect()
+    assert [r["id"] for r in got] == [r["id"] for r in exact]
+    # and the fast path really ran: no map join in the executed plan
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "_ivf-map" not in plan, plan
+
+    hy = store.query(
+        q, top_k=3, mode="hybrid", query_terms=["filter", "hash"],
+        where="src = 'books'",
+    ).collect()
+    assert len(hy) == 3 and all(r["src"] == "books" for r in hy)
