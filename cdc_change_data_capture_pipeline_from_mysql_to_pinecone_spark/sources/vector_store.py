@@ -265,6 +265,21 @@ class VectorStore:
         # file listing, like the _ns-* namespace subdirs
         return os.path.join(table_path, "_ivf-map")
 
+    def _rebuild_pending_path(self, table_path: str) -> str:
+        """Marker that a build_ivf's table re-stamp may have committed
+        while its map swap did not (r8). The watermark-lag gate alone
+        cannot catch the full failure: a build crash between the two
+        commits leaves NEW-quantizer cells in the rows while the
+        committed centroids are OLD, and a LATER ordinary tick's
+        catch-up makes the watermark current again — the `_cell` fast
+        path would then probe old-centroid cells against new-centroid
+        row values, silently missing neighbors. The marker is written
+        before the rewrite and removed only after the map swap, so the
+        fast path stays OFF (quantizer-consistent map-join fallback)
+        across the whole window and after any crash inside it, until a
+        build completes cleanly."""
+        return os.path.join(table_path, "_ivf-rebuild-pending")
+
     def _ivf_centroids(self, table_path: str) -> list[tuple[int, list[float]]]:
         """The trained quantizer, committed INSIDE the map directory
         (underscore marker) so the one-rename swap moves map and
@@ -354,6 +369,12 @@ class VectorStore:
             # nondeterministic), and the map committed at upto_ver=ver
             # then exactly reflects them
             ver = self._next_version(tpath)
+            # table re-stamp and map swap are two commits under
+            # DIFFERENT quantizers — flag the window (see
+            # _rebuild_pending_path): any crash inside it leaves the
+            # marker, disabling the `_cell` fast path until a build
+            # completes cleanly
+            atomic_write_file(self._rebuild_pending_path(tpath), str(ver))
             restamped = (
                 ivf_assign(
                     t.drop("kbucket", "_ver", "_cell"), "id", "values", cents
@@ -369,6 +390,7 @@ class VectorStore:
                 "id", F.col("_cell").alias("cell"), "_ver"
             )
             self._commit_ivf_map(self._ivf_map_path(tpath), amap, cents, upto_ver=ver)
+            os.remove(self._rebuild_pending_path(tpath))
             return self.spark.read.parquet(self._ivf_map_path(tpath)).count()
 
     def _schema_path(self, table_path: str) -> str:
@@ -502,16 +524,22 @@ class VectorStore:
             # it fresh and cell-clustered within each bucket's files,
             # so the pushed `IN` predicate prunes row groups and the
             # probe's I/O is ~n_probe/k of the vector bytes, matching
-            # the docstring's claim (VERDICT r7 item 2). Gated on the
-            # map watermark being CURRENT: a crash between a rebuild's
-            # table rewrite and its map commit leaves row cells from
-            # the new quantizer while the committed centroids are the
-            # old ones — with any watermark lag, fall back to the
-            # map-join path (compute-pruned, quantizer-consistent,
-            # healed by the next mutation's catch-up).
-            if "_cell" in t.columns and self._ivf_map_ver(
-                map_path
-            ) >= self._current_version(tpath):
+            # the docstring's claim (VERDICT r7 item 2). Two gates:
+            # the map watermark must be CURRENT (an ordinary tick's
+            # crash window — rows past the watermark may have no map
+            # entry yet), and no rebuild may be PENDING (a build crash
+            # between its table re-stamp and its map swap leaves
+            # new-quantizer cells under old committed centroids, a
+            # state a later tick's watermark heal CANNOT detect — see
+            # _rebuild_pending_path). Either gate failing falls back
+            # to the map-join path (compute-pruned,
+            # quantizer-consistent, healed by the next mutation's
+            # catch-up / the next clean build).
+            if (
+                "_cell" in t.columns
+                and not os.path.exists(self._rebuild_pending_path(tpath))
+                and self._ivf_map_ver(map_path) >= self._current_version(tpath)
+            ):
                 hits = (
                     t.filter(F.col("_cell").isin(probe))
                     .select(

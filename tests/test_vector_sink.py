@@ -511,6 +511,21 @@ def test_vector_store_ivf_map_crash_catchup(spark, tmp_path):
     assert "v3" not in m and m == recompute()
 
 
+def _ivf_probe_kind(df):
+    """'table' when the probe pushes the TABLE's `_cell` column (fast
+    path), 'map' when it pushes the map's `cell` (fallback) — path
+    strings are elided in plan text, so the pushed-filter column name
+    is the reliable discriminator. Handles both In(...) and the
+    single-probe EqualTo(...) forms."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = " ".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    if "(_cell" in pushed:
+        return "table"
+    if "(cell," in pushed or "(cell)" in pushed:
+        return "map"
+    return "none"
+
+
 def test_vector_store_ivf_cell_clustered_probe(spark, tmp_path):
     """r8 (VERDICT r7 item 2): the IVF probe's I/O must match its
     ~n_probe/k claim, not just its compute. build_ivf stamps `_cell`
@@ -569,9 +584,9 @@ def test_vector_store_ivf_cell_clustered_probe(spark, tmp_path):
     plan = hits._jdf.queryExecution().executedPlan().toString()
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "_cell" in "".join(pushed), plan
-    # and NO join against the map in the fast path — the probe is a
-    # straight filtered scan of the table
-    assert "_ivf-map" not in plan, plan
+    # and NO join against the map in the fast path — the probe pushes
+    # the TABLE's `_cell`, never the map's `cell`
+    assert _ivf_probe_kind(hits) == "table", plan
 
     # incremental upserts keep cells + clustering fresh
     more = rng.randn(50, dim)
@@ -756,12 +771,78 @@ def test_vector_store_where_composes_with_ivf_fast_path(spark, tmp_path):
     # filtered population (recall-1 check through the fast path)
     exact = store.query(q, top_k=4, mode="exact", where="src = 'web'").collect()
     assert [r["id"] for r in got] == [r["id"] for r in exact]
-    # and the fast path really ran: no map join in the executed plan
-    plan = hits._jdf.queryExecution().executedPlan().toString()
-    assert "_ivf-map" not in plan, plan
+    # and the fast path really ran: the probe pushes the table's
+    # `_cell`, not the map's `cell`
+    assert _ivf_probe_kind(hits) == "table"
 
     hy = store.query(
         q, top_k=3, mode="hybrid", query_terms=["filter", "hash"],
         where="src = 'books'",
     ).collect()
     assert len(hy) == 3 and all(r["src"] == "books" for r in hy)
+
+
+def test_vector_store_rebuild_crash_disables_cell_fast_path(spark, tmp_path):
+    """r8 self-review catch: a build_ivf crash BETWEEN its table
+    re-stamp and its map swap leaves NEW-quantizer cells in the rows
+    while the committed centroids are OLD — and a later ordinary
+    tick's catch-up makes the watermark current again, so the
+    watermark gate alone would let the `_cell` fast path probe
+    old-centroid cells against new-centroid row values (silent
+    recall loss). The rebuild-pending marker must keep the fast path
+    OFF (quantizer-consistent map-join fallback) across that whole
+    window, and a clean rebuild must clear it."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    dim = 4
+    rng = np.random.RandomState(17)
+    store = VectorStore(spark, str(tmp_path / "rb_idx"), dim=dim)
+    store.upsert([
+        {"id": f"v{i}", "values": [float(x) for x in rng.randn(dim)]}
+        for i in range(30)
+    ])
+    store.build_ivf(k=3, iters=1)
+    tpath = store._at("")
+    q = [float(x) for x in rng.randn(dim)]
+
+    # sanity: clean build serves through the fast path (no map join)
+    assert _ivf_probe_kind(store.query(q, top_k=5, mode="ivf", n_probe=3)) == "table"
+
+    # grow the corpus, then CRASH a rebuild after its table re-stamp
+    store.upsert([
+        {"id": f"w{i}", "values": [float(x) for x in rng.randn(dim)]}
+        for i in range(10)
+    ])
+    real_commit = store._commit_ivf_map
+    store._commit_ivf_map = lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
+    with _pytest.raises(OSError):
+        store.build_ivf(k=3, iters=1)
+    store._commit_ivf_map = real_commit
+    import os as _os
+    assert _os.path.exists(store._rebuild_pending_path(tpath))
+
+    # an ordinary tick heals the WATERMARK (its catch-up path) — the
+    # dangerous state the marker exists for
+    store.upsert([{"id": "later", "values": [0.0, 9.0, 0.0, 0.0]}])
+    assert store._ivf_map_ver(store._ivf_map_path(tpath)) == store._current_version(tpath)
+
+    # fast path must STILL be off: the executed plan joins the map
+    hits = store.query(q, top_k=5, mode="ivf", n_probe=3)
+    # the fallback probes the MAP's `cell` column, never the table's
+    assert _ivf_probe_kind(hits) == "map"
+    # and with every cell probed, results equal exact search — the
+    # fallback is quantizer-consistent even mid-window
+    exact = [r["id"] for r in store.query(q, top_k=5, mode="exact").collect()]
+    assert [r["id"] for r in hits.collect()] == exact
+
+    # a clean rebuild clears the marker and restores the fast path
+    store.build_ivf(k=3, iters=1)
+    assert not _os.path.exists(store._rebuild_pending_path(tpath))
+    hits2 = store.query(q, top_k=5, mode="ivf", n_probe=3)
+    assert _ivf_probe_kind(hits2) == "table"
+    assert [r["id"] for r in hits2.collect()] == exact
