@@ -616,14 +616,32 @@ class VectorStore:
             t = t.filter(F.col("kbucket").isin(sorted(buckets)))
         return t.filter(F.col("id").isin(ids)).drop("kbucket", "_ver", "_cell")
 
-    def stats(self, namespace: str = "") -> dict:
+    def stats(self, namespace: str = "", include_cells: bool = False) -> dict:
         """Index statistics from the table markers (no scan). With the
         default namespace, includes the per-namespace breakdown — the
-        describe_index_stats shape of the hosted API."""
+        describe_index_stats shape of the hosted API.
+
+        ``include_cells=True`` adds the maintained IVF index's
+        occupancy (``cells``: cell -> vector count, from the committed
+        map — one small scan of (id, cell), never the vector column).
+        The map is the right source, not the table's ``_cell`` column:
+        the map is committed with its centroids and healed by the
+        watermark protocol, so its counts are quantizer-consistent
+        even inside a crashed-rebuild window."""
         from .sinks import _read_marker
 
         n, rows = _read_marker(self._at(namespace))
         out = {"count": rows or 0, "num_buckets": n or 0, "dim": self.dim}
+        if include_cells:
+            map_path = self._ivf_map_path(self._at(namespace))
+            if os.path.isdir(map_path):
+                out["cells"] = {
+                    r["cell"]: r["n"]
+                    for r in self.spark.read.parquet(map_path)
+                    .groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
         if not namespace:
             nss = {}
             for ns in self.namespaces():

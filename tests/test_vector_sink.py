@@ -846,3 +846,31 @@ def test_vector_store_rebuild_crash_disables_cell_fast_path(spark, tmp_path):
     hits2 = store.query(q, top_k=5, mode="ivf", n_probe=3)
     assert _ivf_probe_kind(hits2) == "table"
     assert [r["id"] for r in hits2.collect()] == exact
+
+
+def test_vector_store_stats_include_cells(spark, tmp_path):
+    """r8: stats(include_cells=True) reports the maintained IVF
+    occupancy from the committed map — totals match the corpus, stay
+    fresh across upsert/delete, and the flag is a no-op without a
+    built index."""
+    import numpy as np
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    rng = np.random.RandomState(23)
+    store = VectorStore(spark, str(tmp_path / "st_idx"), dim=4)
+    store.upsert([
+        {"id": f"v{i}", "values": [float(x) for x in rng.randn(4)]}
+        for i in range(40)
+    ])
+    assert "cells" not in store.stats(include_cells=True)  # no index yet
+    store.build_ivf(k=3, iters=1)
+    st = store.stats(include_cells=True)
+    assert sum(st["cells"].values()) == 40 and len(st["cells"]) <= 3
+    store.delete(["v0", "v1"])
+    store.upsert([{"id": "w0", "values": [1.0, 0.0, 0.0, 0.0]}])
+    st2 = store.stats(include_cells=True)
+    assert sum(st2["cells"].values()) == 39
+    assert "cells" not in store.stats()  # default shape unchanged
