@@ -698,6 +698,8 @@ def rrf_fuse(
     bound it with the retriever's own top-k first."""
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     fused = None
     for i, r in enumerate(rankings):
         w = Window.orderBy(F.col("score").desc(), F.col(id_col))

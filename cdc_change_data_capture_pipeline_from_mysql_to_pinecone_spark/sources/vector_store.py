@@ -596,25 +596,42 @@ class VectorStore:
             .orderBy(F.desc("score"), "id")
         )
 
+    #: Above this many ids, fetch() switches from an IN-list filter to
+    #: a broadcast semi-join: a literal IN grows the expression tree
+    #: (and generated code) linearly with the list — the same
+    #: plan-blowup failure mode the r8 unroll experiment measured —
+    #: while a semi-join ships the keys as data.
+    FETCH_IN_LIST_MAX = 1000
+
     def fetch(self, ids: list, namespace: str = "") -> DataFrame:
         """Point lookups with bucket pruning: only the partitions the
-        ids hash into are read. Empty id list -> empty frame."""
+        ids hash into are read. Empty id list -> empty frame. Large id
+        batches (> ``FETCH_IN_LIST_MAX``) filter via broadcast
+        semi-join instead of a literal IN list (plan size stays O(1);
+        bucket pruning still applies — the distinct bucket set is at
+        most the table's bucket count regardless of batch size)."""
         from .sinks import _read_marker
 
         n, _rows = _read_marker(self._at(namespace))
         t = self._table(namespace)
         if not ids:
             return t.limit(0).drop("kbucket", "_ver", "_cell")
+        keys = self.spark.createDataFrame([(i,) for i in ids], ["id"])
         if n:
             buckets = {
                 r[0]
-                for r in self.spark.createDataFrame([(i,) for i in ids], ["id"])
-                .select(F.pmod(F.hash("id"), F.lit(n)).cast("int").alias("b"))
+                for r in keys.select(
+                    F.pmod(F.hash("id"), F.lit(n)).cast("int").alias("b")
+                )
                 .distinct()
                 .collect()
             }
             t = t.filter(F.col("kbucket").isin(sorted(buckets)))
-        return t.filter(F.col("id").isin(ids)).drop("kbucket", "_ver", "_cell")
+        if len(ids) <= self.FETCH_IN_LIST_MAX:
+            t = t.filter(F.col("id").isin(ids))
+        else:
+            t = t.join(F.broadcast(keys), "id", "left_semi")
+        return t.drop("kbucket", "_ver", "_cell")
 
     def stats(self, namespace: str = "", include_cells: bool = False) -> dict:
         """Index statistics from the table markers (no scan). With the

@@ -874,3 +874,29 @@ def test_vector_store_stats_include_cells(spark, tmp_path):
     st2 = store.stats(include_cells=True)
     assert sum(st2["cells"].values()) == 39
     assert "cells" not in store.stats()  # default shape unchanged
+
+
+def test_vector_store_fetch_large_batch_semijoin(spark, tmp_path):
+    """r8: fetch() with a batch larger than FETCH_IN_LIST_MAX filters
+    via broadcast semi-join (O(1) plan size) instead of a literal IN
+    list — same rows either way, bucket pruning still applied."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    store = VectorStore(spark, str(tmp_path / "fb_idx"), dim=2)
+    store.upsert([
+        {"id": f"v{i}", "values": [float(i), 0.0]} for i in range(50)
+    ])
+    big = [f"v{i}" for i in range(40)] + [f"missing{i}" for i in range(5)]
+    old = VectorStore.FETCH_IN_LIST_MAX
+    try:
+        VectorStore.FETCH_IN_LIST_MAX = 10  # force the semi-join path
+        got = store.fetch(big)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan, plan
+        rows = {r["id"] for r in got.collect()}
+    finally:
+        VectorStore.FETCH_IN_LIST_MAX = old
+    small = {r["id"] for r in store.fetch(big).collect()}  # IN-list path
+    assert rows == small == {f"v{i}" for i in range(40)}
