@@ -230,27 +230,43 @@ def sweep(
             F.lit(table).alias("source"),
             F.unix_micros(F.lit(wm_row["last_updated"])).alias("version"),
         )
-        with store_lock:
-            # vectors grow with the corpus: hash-bucketed layout so each
-            # micro-batch rewrites only the buckets it touches (O(batch),
-            # not O(table); the plain upsert stays for the tiny watermark)
-            upsert_parquet_partitioned(
-                spark,
-                vec_path,
-                vec_updates,
-                ["id"],
-                "version",
-                **(
-                    {"target_bucket_rows": target_bucket_rows}
-                    if target_bucket_rows is not None
-                    else {}
-                ),
-            )
-            wm_update = spark.createDataFrame(
-                [(table, wm_row["last_updated"], wm_row["batch_rows"])],
-                "table_name string, last_updated timestamp, batch_rows long",
-            ).withColumn("version", F.unix_micros("last_updated"))
-            upsert_parquet(spark, wm_path, wm_update, ["table_name"], "version")
+        # Persist the micro-batch across the MERGE (r8): the keyed
+        # upsert executes its input TWICE — once to discover the
+        # touched buckets, once for the partitioned write — and
+        # without a persist each execution re-runs the whole
+        # scan -> serialize -> chunk window DAG (measured: the sweep
+        # spent ~2x the tick DAG's cost re-deriving it). A micro-batch
+        # is bounded by the tick, so MEMORY_AND_DISK is safe at any
+        # scale (spills, never OOMs), and the cache dies with the
+        # commit either way.
+        from pyspark import StorageLevel
+
+        vec_updates = vec_updates.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            with store_lock:
+                # vectors grow with the corpus: hash-bucketed layout so
+                # each micro-batch rewrites only the buckets it touches
+                # (O(batch), not O(table); the plain upsert stays for
+                # the tiny watermark)
+                upsert_parquet_partitioned(
+                    spark,
+                    vec_path,
+                    vec_updates,
+                    ["id"],
+                    "version",
+                    **(
+                        {"target_bucket_rows": target_bucket_rows}
+                        if target_bucket_rows is not None
+                        else {}
+                    ),
+                )
+                wm_update = spark.createDataFrame(
+                    [(table, wm_row["last_updated"], wm_row["batch_rows"])],
+                    "table_name string, last_updated timestamp, batch_rows long",
+                ).withColumn("version", F.unix_micros("last_updated"))
+                upsert_parquet(spark, wm_path, wm_update, ["table_name"], "version")
+        finally:
+            vec_updates.unpersist()
         return table, wm_row["batch_rows"]
 
     if max_parallel_tables > 1:
