@@ -254,6 +254,14 @@ def upsert_parquet_partitioned(
     rewriting ONLY the bucket partitions the updates touch. Returns the
     number of partitions rewritten.
 
+    NOTE for callers: ``updates`` is executed TWICE — once to discover
+    the touched buckets, once for the partitioned write. A caller
+    whose updates frame is an expensive DAG (e.g. the CDC sweep's
+    scan -> serialize -> chunk pipeline) should persist it across the
+    call (streaming.pipeline.sweep does; measured 2x there). Not done
+    here unconditionally because for table-sized inputs (build_ivf's
+    re-stamp) spilling a full copy can cost more than the recompute.
+
     ``cluster_cols``: secondary sort within each rewritten bucket
     (``sortWithinPartitions(bucket, *cluster_cols)`` before the write).
     Rows land cell-/key-clustered inside each bucket's files, so
