@@ -356,13 +356,23 @@ def run_multi_table_streaming(
                 F.lit(table).alias("source"),
                 F.unix_micros(F.lit(lu)).alias("version"),
             )
-            with lock:
-                upsert_parquet_partitioned(spark, vec_path, vec_updates, ["id"], "version")
-                wm_update = spark.createDataFrame(
-                    [(table, lu, wm_row["batch_rows"])],
-                    "table_name string, last_updated timestamp, batch_rows long",
-                ).withColumn("version", F.unix_micros("last_updated"))
-                upsert_parquet(spark, wm_path, wm_update, ["table_name"], "version")
+            # persist the bounded micro-batch across the MERGE's two
+            # executions (same fix + rationale as sweep, r8)
+            from pyspark import StorageLevel
+
+            vec_updates = vec_updates.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                with lock:
+                    upsert_parquet_partitioned(
+                        spark, vec_path, vec_updates, ["id"], "version"
+                    )
+                    wm_update = spark.createDataFrame(
+                        [(table, lu, wm_row["batch_rows"])],
+                        "table_name string, last_updated timestamp, batch_rows long",
+                    ).withColumn("version", F.unix_micros("last_updated"))
+                    upsert_parquet(spark, wm_path, wm_update, ["table_name"], "version")
+            finally:
+                vec_updates.unpersist()
 
         return process
 
