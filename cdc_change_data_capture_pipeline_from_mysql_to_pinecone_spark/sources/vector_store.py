@@ -155,48 +155,59 @@ class VectorStore:
                 stamped = ivf_assign(
                     stamped.drop("_cell"), "id", "values", cents
                 ).withColumnRenamed("cell", "_cell")
-            touched = upsert_parquet_partitioned(
-                self.spark, tpath, stamped, ["id"], "_ver",
-                cluster_cols=["_cell"] if has_map else None,
-            )
-            # maintained IVF map (r7): quantize the tick against the
-            # stored centroids and merge per-id last-writer-wins (≙
-            # sweep_ivf_assign). Table swap and map swap are TWO
-            # commits; the map's _map_ver watermark makes a crash
-            # between them recoverable, not silent (review catch r7):
-            # when the watermark is exactly one version behind, the
-            # delta is THIS batch (no table re-read); otherwise a
-            # prior tick was lost mid-crash, and the catch-up path
-            # re-assigns every row stamped past the watermark and
-            # semi-joins the map to live ids (healing a lost delete
-            # tick too).
-            if has_map:
-                from ..operators.incremental import (
-                    delta_ivf_assign,
-                    merge_ivf_assignments,
-                )
+            # the batch executes up to three times below (merge bucket
+            # discovery, merge write, map delta) — persist the bounded
+            # micro-batch across the mutation so a caller-supplied
+            # expensive DataFrame (or the cell assignment above) is
+            # computed once (same discipline as the sweep, r8)
+            from pyspark import StorageLevel
 
-                map_ver = self._ivf_map_ver(map_path)
-                stored = self.spark.read.parquet(map_path)
-                if map_ver == ver - 1:
-                    # the batch's cells were already assigned above —
-                    # the delta is exactly (id, _cell, _ver)
-                    delta = stamped.select(
-                        "id", F.col("_cell").alias("cell"), "_ver"
+            stamped = stamped.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                touched = upsert_parquet_partitioned(
+                    self.spark, tpath, stamped, ["id"], "_ver",
+                    cluster_cols=["_cell"] if has_map else None,
+                )
+                # maintained IVF map (r7): quantize the tick against
+                # the stored centroids and merge per-id
+                # last-writer-wins (≙ sweep_ivf_assign). Table swap and
+                # map swap are TWO commits; the map's _map_ver
+                # watermark makes a crash between them recoverable, not
+                # silent (review catch r7): when the watermark is
+                # exactly one version behind, the delta is THIS batch
+                # (no table re-read); otherwise a prior tick was lost
+                # mid-crash, and the catch-up path re-assigns every row
+                # stamped past the watermark and semi-joins the map to
+                # live ids (healing a lost delete tick too).
+                if has_map:
+                    from ..operators.incremental import (
+                        delta_ivf_assign,
+                        merge_ivf_assignments,
                     )
-                    merged = merge_ivf_assignments(stored, delta, "id", "_ver")
-                else:
-                    live = self._table(namespace)
-                    delta_rows = live.select("id", "values", "_ver").filter(
-                        F.col("_ver") > map_ver
-                    )
-                    merged = merge_ivf_assignments(
-                        stored,
-                        delta_ivf_assign(delta_rows, "id", "values", cents, "_ver"),
-                        "id", "_ver",
-                    ).join(live.select("id"), "id", "left_semi")
-                self._commit_ivf_map(map_path, merged, cents, upto_ver=ver)
-            return touched
+
+                    map_ver = self._ivf_map_ver(map_path)
+                    stored = self.spark.read.parquet(map_path)
+                    if map_ver == ver - 1:
+                        # the batch's cells were already assigned above
+                        # — the delta is exactly (id, _cell, _ver)
+                        delta = stamped.select(
+                            "id", F.col("_cell").alias("cell"), "_ver"
+                        )
+                        merged = merge_ivf_assignments(stored, delta, "id", "_ver")
+                    else:
+                        live = self._table(namespace)
+                        delta_rows = live.select("id", "values", "_ver").filter(
+                            F.col("_ver") > map_ver
+                        )
+                        merged = merge_ivf_assignments(
+                            stored,
+                            delta_ivf_assign(delta_rows, "id", "values", cents, "_ver"),
+                            "id", "_ver",
+                        ).join(live.select("id"), "id", "left_semi")
+                    self._commit_ivf_map(map_path, merged, cents, upto_ver=ver)
+                return touched
+            finally:
+                stamped.unpersist()
 
     def delete(self, ids: list, namespace: str = "") -> int:
         """Remove ids; only their bucket partitions are rewritten.
