@@ -900,3 +900,52 @@ def test_vector_store_fetch_large_batch_semijoin(spark, tmp_path):
         VectorStore.FETCH_IN_LIST_MAX = old
     small = {r["id"] for r in store.fetch(big).collect()}  # IN-list path
     assert rows == small == {f"v{i}" for i in range(40)}
+
+
+def test_vector_store_rebuild_crash_before_rewrite(spark, tmp_path):
+    """Completing the rebuild-crash matrix: a crash AFTER the pending
+    marker but BEFORE the table re-stamp commits leaves table, cells,
+    and map all on the old quantizer — the conservative gate still
+    disables the fast path (marker present), the fallback serves
+    correct old-quantizer results, and a clean rebuild restores the
+    fast path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        vector_store as vs_mod,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.vector_store import (
+        VectorStore,
+    )
+
+    rng = np.random.RandomState(19)
+    store = VectorStore(spark, str(tmp_path / "rb2_idx"), dim=4)
+    store.upsert([
+        {"id": f"v{i}", "values": [float(x) for x in rng.randn(4)]}
+        for i in range(25)
+    ])
+    store.build_ivf(k=3, iters=1)
+    tpath = store._at("")
+    q = [float(x) for x in rng.randn(4)]
+
+    real_upsert = vs_mod.upsert_parquet_partitioned
+
+    def crash(*a, **k):
+        raise OSError("crash before table rewrite")
+
+    vs_mod.upsert_parquet_partitioned = crash
+    with _pytest.raises(OSError):
+        store.build_ivf(k=3, iters=1)
+    vs_mod.upsert_parquet_partitioned = real_upsert
+    import os as _os
+    assert _os.path.exists(store._rebuild_pending_path(tpath))
+
+    hits = store.query(q, top_k=5, mode="ivf", n_probe=3)
+    assert _ivf_probe_kind(hits) == "map"
+    exact = [r["id"] for r in store.query(q, top_k=5, mode="exact").collect()]
+    assert [r["id"] for r in hits.collect()] == exact
+
+    store.build_ivf(k=3, iters=1)
+    assert not _os.path.exists(store._rebuild_pending_path(tpath))
+    assert _ivf_probe_kind(store.query(q, top_k=5, mode="ivf", n_probe=3)) == "table"
