@@ -90,9 +90,18 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
     # 2.534) — tens-of-MB shuffles are task-scheduling-bound, not
     # parallelism-bound. The r5 "4 lost 8-18% vs cores" measurement was
     # under the old count() protocol and is superseded for this regime.
+    # Large-regime shuffle width is data-derived (r8): interleaved at
+    # sf1 {64,32,16} the plateau is 16-32 (3.107/3.180 vs 3.595 s over
+    # the join/shuffle-heavy half — lsh -30%, stream_tumbling -37%,
+    # join_outer -26%; AQE's coalescing does not recover the initial
+    # width's scheduling overhead). ~8 MiB of input per partition,
+    # clamped to [16, 256]; a real cluster deploy sizes this to cores.
+    large_shuffle = max(16, min(256, input_bytes // (8 * 1024 * 1024)))
     spark = get_spark(
         app_name,
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8" if small else "64")),
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "8" if small else str(large_shuffle))
+        ),
         adaptive=not small,
     )
     if not small:
@@ -257,13 +266,16 @@ def main() -> None:
         # policy as the per-query try/excepts)
         try:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
-            spark.conf.set("spark.sql.shuffle.partitions", "64")
-            # same large-regime split-size policy sized_session applies
-            # (the session was built for sf0.1; re-size to sf1's input)
+            # same large-regime policies sized_session applies (the
+            # session was built for sf0.1; re-size to sf1's input)
             sf1_bytes = sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _d, fs in os.walk(sf1_dir)
                 for f in fs
+            )
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(16, min(256, sf1_bytes // (8 * 1024 * 1024)))),
             )
             cpus1 = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
             spark.conf.set(
