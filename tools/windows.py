@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Run N consecutive tools/ab.py windows (subprocesses) and summarize.
+
+Each window is a fresh process — fresh JVM, fresh DuckDB — exactly the
+protocol the per-round bar is judged on, so this is the one-command
+re-verification of the "N consecutive windows <= BAR" claim.
+
+Usage: python tools/windows.py [N] [--bar 2.0] [--sleep 60] [query ...]
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    n = int(args.pop(0)) if args and args[0].isdigit() else 3
+    bar = 2.0
+    pause = 60
+    if "--bar" in args:
+        i = args.index("--bar")
+        bar = float(args[i + 1])
+        del args[i:i + 2]
+    if "--sleep" in args:
+        i = args.index("--sleep")
+        pause = int(args[i + 1])
+        del args[i:i + 2]
+    here = os.path.dirname(os.path.abspath(__file__))
+    results = []
+    for w in range(n):
+        if w:
+            time.sleep(pause)
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "ab.py"), *args],
+            capture_output=True, text=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            print(f"window {w + 1}: FAILED\n{out.stderr[-500:]}", flush=True)
+            results.append(None)
+            continue
+        rec = json.loads(line[-1])
+        results.append(rec)
+        print(
+            f"window {w + 1}: ratio {rec['ratio']:.3f}x "
+            f"(spark {rec['spark_total']:.3f} / duck {rec['duck_total']:.3f}, "
+            f"load {rec.get('load_avg_1m')})",
+            flush=True,
+        )
+    ok = [r for r in results if r is not None]
+    met = all(r["ratio"] <= bar for r in ok) and len(ok) == n
+    print(json.dumps({
+        "windows": n,
+        "ratios": [r["ratio"] if r else None for r in results],
+        "bar": bar,
+        "all_windows_at_or_under_bar": met,
+    }))
+    sys.exit(0 if met else 1)
+
+
+if __name__ == "__main__":
+    main()
