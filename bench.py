@@ -80,6 +80,16 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
         for f in fs
     )
     small = input_bytes < 64 * 1024 * 1024
+    # AQE boundary re-measured late r8: with the shuffle width now
+    # data-derived (~8 MiB/partition) instead of a fixed 64, AQE OFF
+    # wins at sf1 as well (3.228 vs 3.651 s interleaved over the
+    # shuffle-heavy half; join_outer -50%) — the r6 "AQE pays at sf1"
+    # result was AQE's coalescing recovering a mis-sized static width,
+    # which the policy now sets directly. Its stage-materialization
+    # barriers are pure overhead below ~1 GiB; a real deploy keeps AQE
+    # on (skew splits / runtime re-plans are the 100 TB safety net —
+    # get_spark's default).
+    aqe = input_bytes >= 1024 * 1024 * 1024
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # local[8] vs local[32] was A/B'd twice in r6 and is host-noise:
     # one interleaved window favored 8 by ~15%, the next favored 32 —
@@ -102,7 +112,7 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
         shuffle_partitions=int(
             os.environ.get("SPARK_GRAFT_SHUFFLE", "8" if small else str(large_shuffle))
         ),
-        adaptive=not small,
+        adaptive=aqe,
     )
     if not small:
         # Split-size policy for the large regime (r8): the sf1 fixture
@@ -265,13 +275,17 @@ def main() -> None:
         # artifact already measured above (review catch r7 — same
         # policy as the per-query try/excepts)
         try:
-            spark.conf.set("spark.sql.adaptive.enabled", "true")
             # same large-regime policies sized_session applies (the
-            # session was built for sf0.1; re-size to sf1's input)
+            # session was built for sf0.1; re-size to sf1's input —
+            # AQE stays off below 1 GiB, see sized_session)
             sf1_bytes = sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _d, fs in os.walk(sf1_dir)
                 for f in fs
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.enabled",
+                "true" if sf1_bytes >= 1024 * 1024 * 1024 else "false",
             )
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
