@@ -64,13 +64,16 @@ _REG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 #: plan on first use: handing back the same object would freeze the
 #: session conf (broadcast thresholds, shuffle partitions) as of the
 #: first call, which the plan regression tests rightly reject.
-#: Keyed on the SESSION OBJECT via WeakKeyDictionary (r8, same fix as
-#: _DIM_CHAIN_CACHE per ADVICE r7): ``spark.newSession()`` shares the
-#: applicationId but not session state, and a DataFrame must never
-#: cross sessions; weak keying also bounds the cache to live sessions.
-import weakref as _wk
-
-_PLAN_CACHE: "_wk.WeakKeyDictionary" = _wk.WeakKeyDictionary()
+#: Held ON the session object via session_cache (r9 — ADVICE r8: the
+#: r8 WeakKeyDictionary never freed entries because cached DataFrames
+#: strongly reference their session, pinning the weak key; a dict in
+#: the session wrapper's __dict__ dies exactly when the session does).
+#: ``spark.newSession()`` shares the applicationId but not session
+#: state, and a DataFrame must never cross sessions — hence keying on
+#: the session itself, never the app id.
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark import (
+    session_cache as _session_cache,
+)
 
 
 def _q(name: str, sql: str | None):
@@ -79,7 +82,7 @@ def _q(name: str, sql: str | None):
 
         @functools.wraps(fn)
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            per_session = _PLAN_CACHE.setdefault(spark, {})
+            per_session = _session_cache(spark, "entry_plans")
             key = (sf_dir, name)
             df = per_session.get(key)
             if df is None:
@@ -135,13 +138,10 @@ def _query_vector(sf_dir: str, vec_id: int = 1) -> list[float]:
     return [float(x) for x in row["embedding"][0].as_py()]
 
 
-# Per-session dim-chain cache: a WeakKeyDictionary keyed on the
-# SparkSession object itself — entries die with their session, so a
+# Per-session dim-chain cache: held on the session object via
+# session_cache (see _PLAN_CACHE note above — ADVICE r8), so a
 # recycled CPython id() can never hand a dead session's DataFrame to a
-# new session, and the cache is bounded by live sessions (ADVICE r7).
-import weakref as _weakref
-
-_DIM_CHAIN_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+# new session, and the cache dies exactly when its session does.
 # supplier is unbounded at scale (SF*10k rows) — above this footer
 # stat the chain must stay a Spark-side join; below it the whole
 # chain is a driver-held constant like any dimension cache
@@ -169,11 +169,11 @@ def _supplier_chain(spark, sf_dir: str, region: str | None = None):
     supplier⋈nation — a dangling/NULL n_regionkey must not silently
     drop suppliers from consumers that never asked about regions.
 
-    Cached per SESSION (WeakKeyDictionary on the session object —
-    ``spark.newSession()`` shares the app id but not session state,
-    and a DataFrame must never cross sessions; weak keying means a
-    collected session's entries vanish with it, ADVICE r7)."""
-    per_session = _DIM_CHAIN_CACHE.setdefault(spark, {})
+    Cached per SESSION (session_cache — a dict held on the session
+    object itself: ``spark.newSession()`` shares the app id but not
+    session state, and a DataFrame must never cross sessions; the
+    cache dies exactly when its session does, ADVICE r7/r8)."""
+    per_session = _session_cache(spark, "dim_chain")
     key = (sf_dir, region)
     if key in per_session:
         return per_session[key]
@@ -6471,65 +6471,64 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Registry surfacing order (round 7 rotation). The driver's correctness
-# gate samples the dict from the front (50 entries per round). The r8
-# window continues the freshness rotation (VERDICT r7 task 3): slot 1
-# is the round's NEW query (search_hybrid_rrf, the fused hybrid read
-# path, never driver-sampled); slots 2-30 are ALL 29 remaining r4-era
-# rows (after this window no query's latest driver row is older than
-# r5); slots 31-50 are the 20 stalest r5-era rows in registration
-# order — the remaining 30 r5-era rows lead the r9 window next.
+# Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
+# continued each round). The driver's correctness gate samples the
+# dict from the front (50 entries per round). The r9 window: slots
+# 1-30 are ALL 30 remaining r5-era rows (their latest driver row is
+# CORRECTNESS_r05; after this window no query's latest row is older
+# than r6), slots 31-50 are the 20 stalest r6-era rows in registration
+# order — the remaining 30 r6-era rows lead the r10 window next.
 _PRIORITY = [
-    "search_hybrid_rrf",
-    "window_ranking_suite",
-    "string_similarity_parts",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
-    "ml_split_leakage_safe",
-    "dedup_cluster_survivors",
-    "dedup_jaccard_consecutive",
-    "dedup_minhash_est_jaccard",
-    "text_scrub_pii",
-    "text_repetition_ratio",
-    "text_contamination",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_top_terms",
-    "funnel_signup_to_purchase",
-    "timeseries_gap_fill",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window_native",
-    "timeseries_multigrain_rollup",
-    "agg_minby_maxby_events",
-    "cdc_scd2_history",
-    "join_salted_outer",
-    "join_range_binned_outer",
-    "layout_zorder_key",
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_candidates",
-    "dedup_setsim_exact",
-    "dedup_cluster_best_survivors",
-    "funnel_three_step_gated",
-    "vec_knn_bruteforce",
-    "vec_lsh_bucket_histogram",
-    "incremental_minhash_rollup",
-    "vec_pca_projection",
-    "vec_ivf_trained_cells",
-    "dedup_embedding_neardup",
-    "pipeline_training_data",
-    "q18_large_orders_having",
-    "q19_disjunctive_predicates",
-    "agg_stats_lineitem",
-    "agg_percentile_prices",
-    "agg_cube_status_priority",
-    "subquery_above_avg_customers",
-    "q4_order_priority",
-    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "ml_hash_split",
+    "ml_weighted_sample",
+    "text_tfidf_topk",
+    "text_chunk_token_budget",
+    "join_range_binned",
+    "join_interval_overlap",
+    "ids_dense_assign",
+    "join_bloom_prefilter",
+    "join_salted_skew",
+    "agg_corr_covar",
+    "incremental_join_delta",
+    "sql_frontend_window_gsets",
+    "sql_frontend_lateral",
+    "sql_frontend_setops",
+    "incremental_changelog_rollup",
+    "vec_ivfpq_topk",
+    "vec_pq_codes",
+    "vec_pq_topk_adc",
+    "cdc_apply_changelog",
+    "cdc_store_diff",
+    "text_source_cap",
+    "text_length_outliers",
+    "text_bigram_surprisal",
+    "text_bpe_pair_merge",
+    "text_unigram_surprisal",
+    "cdc_time_travel",
+    "cdc_snapshot_diff",
+    "sql_frontend_having",
+    "sql_frontend_cte_exists",
+    "funnel_three_step_maximal",
+    "vec_ann_topk",
+    "vec_ivf_cells",
+    "vec_ivf_topk",
+    "vec_banded_neardup",
+    "stream_sessionize",
+    "mm_binary_features",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipmode",
+    "q14_promo_share",
+    "agg_grouping_sets",
+    "cdc_late_data_rescan",
+    "set_ops_all_variants",
+    "agg_approx_sketches",
+    "join_cross_region_nation",
 ]
 
 

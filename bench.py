@@ -154,35 +154,46 @@ def warm_up(spark, sf_dir: str) -> None:
         .count()
     )
 
-
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = sized_session(sf_dir)
-    queries = entrymod.queries()
-    warm_up(spark, sf_dir)
-
-    # Three runs per query, min recorded: first-run whole-stage-codegen
-    # compilation dominates cold timings (5-10x) and is a fixed cost
-    # irrelevant to steady-state throughput at scale.
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in HEADLINE:
+def _measure_pair(spark, sf_dir, con, oracles, queries, names, iters, errors, tag=""):
+    """One interleaved Spark-vs-DuckDB window over ``names`` — the
+    tools/ab.py protocol (one untimed warm execution per query per
+    engine, then ``iters`` timed (spark, duck) alternations, min of
+    each engine recorded). Shared by the sf0.1 and sf1 blocks so the
+    two scales measure under one protocol (ADVICE r8 #3 flagged the
+    old sf1 block for skipping the warm pass)."""
+    t: dict[str, float] = {}
+    d: dict[str, float] = {}
+    for name in names:
         fn = queries[name]
-        best = float("inf")
+        sql = oracles.get(name) if con is not None else None
+        best = d_best = float("inf")
         try:
-            for _ in range(3):
+            fn(spark, sf_dir).toArrow()  # untimed: codegen/JIT settle
+            if sql is not None:
+                con.sql(sql).arrow()
+            for _ in range(iters):
                 start = time.perf_counter()
                 fn(spark, sf_dir).toArrow()
                 best = min(best, time.perf_counter() - start)
-            timings[name] = round(best, 3)
+                if sql is not None:
+                    start = time.perf_counter()
+                    con.sql(sql).arrow()
+                    d_best = min(d_best, time.perf_counter() - start)
+            t[name] = round(best, 3)
+            if d_best < float("inf"):
+                d[name] = round(d_best, 3)
         except Exception as exc:  # one broken query must not kill the artifact
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            errors[f"{tag}{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+    return t, d
 
-    # End-to-end CDC sweep (the reference's entire tick: watermark ->
-    # delta -> serialize -> chunk -> keyed upsert -> commit). The
-    # reference processes this single-threaded with per-10-doc model
-    # calls; this is the direct throughput comparison point.
+
+def _timed_sweep(spark, sf_dir, errors, tag=""):
+    """The end-to-end CDC sweep (the reference's entire tick:
+    watermark -> delta -> serialize -> chunk -> keyed upsert ->
+    commit), timed against a throwaway store. The reference processes
+    this single-threaded with per-10-doc model calls; this is the
+    direct throughput comparison point. Returns (seconds, rows) or
+    (None, 0)."""
     import shutil
     import tempfile
 
@@ -190,14 +201,65 @@ def main() -> None:
         sweep,
     )
 
+    store = tempfile.mkdtemp(prefix="bench_sweep_")
+    try:
+        start = time.perf_counter()
+        processed = sweep(spark, sf_dir, store, {"events": ("ts", "event_id")})
+        return round(time.perf_counter() - start, 3), processed["events"]
+    except Exception as exc:
+        errors[f"{tag}cdc_sweep_end_to_end"] = f"{type(exc).__name__}: {exc}"[:200]
+        return None, 0
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _duck(sf_dir):
+    """DuckDB connection + oracle map for denominator timings;
+    best-effort (None, {}) if the harness can't load."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from oracle_harness import duck_con  # noqa: E402
+
+        return duck_con(sf_dir), entrymod.oracle_sql()
+    except Exception:
+        return None, {}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = sized_session(sf_dir)
+    queries = entrymod.queries()
+    warm_up(spark, sf_dir)
+    errors: dict[str, str] = {}
+
+    # Headline window at the driver scale factor: interleaved
+    # Spark-vs-DuckDB per query (r8 verdict task 5 — the sf0.1 block
+    # now records per-query DuckDB denominators, so per-query ratio
+    # drift is visible between judge windows, not only via ab.py).
+    # Min-of-iters: first-run whole-stage-codegen compilation dominates
+    # cold timings (5-10x) and is a fixed cost irrelevant to
+    # steady-state throughput at scale.
+    con, oracles = _duck(sf_dir)
+    timings, duck0 = _measure_pair(
+        spark, sf_dir, con, oracles, queries, HEADLINE, iters=3, errors=errors
+    )
+
     # Warm the sweep-only machinery (python UDF workers, Arrow serde,
     # foreach-writer codegen) with a tiny pass — the query-loop
     # warm-up never exercises this path, and its one-time init (~6 s)
-    # is the same fixed cost the min-of-3 policy excludes above.
+    # is the same fixed cost the min-of-iters policy excludes above.
     # The warm-up dir derives from sf_dir's root (smallest sf sibling)
     # so it exists in any environment (ADVICE r4); if the warm-up is
     # skipped, say so in the artifact — the sweep timing then includes
     # the one-time init and is not comparable across hosts.
+    import shutil
+    import tempfile
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        sweep,
+    )
+
     root = os.path.dirname(sf_dir.rstrip("/"))
     sibs = sorted(
         d for d in (os.listdir(root) if os.path.isdir(root) else [])
@@ -215,30 +277,39 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_store, ignore_errors=True)
 
-    store = tempfile.mkdtemp(prefix="bench_sweep_")
-    sweep_rows = 0
-    sweep_sec = None
-    try:
-        start = time.perf_counter()
-        processed = sweep(spark, sf_dir, store, {"events": ("ts", "event_id")})
-        sweep_sec = round(time.perf_counter() - start, 3)
-        sweep_rows = processed["events"]
-    except Exception as exc:
-        errors["cdc_sweep_end_to_end"] = f"{type(exc).__name__}: {exc}"[:200]
-    finally:
-        shutil.rmtree(store, ignore_errors=True)
+    sweep_sec, sweep_rows = _timed_sweep(spark, sf_dir, errors)
 
     # value = the oracle-comparable headline query set; the CDC sweep
     # (no SQL oracle exists for a full pipeline run) is reported
     # separately as throughput.
     total = round(sum(timings.values()), 3)
+    ratios0 = {n: round(timings[n] / duck0[n], 2) for n in timings if duck0.get(n)}
     out = {
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "duck_value": round(sum(duck0.values()), 3) if duck0 else None,
+        "ratio_vs_duckdb": (
+            round(sum(timings[n] for n in duck0) / sum(duck0.values()), 3)
+            if duck0 else None
+        ),
+        # per-query ratio FLAG COUNT inline (size-stable); the flagged
+        # dicts themselves are in the sidecar/DETAIL line — 15+ flagged
+        # names would outgrow the driver's 2000-char stdout tail
+        "n_query_ratios_gt2.5": sum(1 for r in ratios0.values() if r > 2.5),
+        "detail": "BENCH_DETAIL.json",
     }
+    # Full per-query detail (both engines, both scales) goes to a
+    # sidecar file, NOT the final stdout line: the driver captures only
+    # the last 2000 chars of stdout and parses the final JSON line from
+    # that tail, and BENCH_r08's single print outgrew it when the sf1
+    # denominators landed (parsed: null — VERDICT r8 #1). The final
+    # line stays a compact summary; detail lives in BENCH_DETAIL.json.
+    detail = {"sf": out["sf"], "queries": timings, "duck_queries": duck0,
+              "per_query_ratios": ratios0,
+              "per_query_ratio_flags_gt2.5": {n: r for n, r in ratios0.items() if r > 2.5}}
     # Context for cross-run comparison: this host's wall timings drift
     # 25-40% (occasionally far more) with hypervisor load the JSON
     # otherwise can't show. 1-minute load average at exit, best-effort.
@@ -251,29 +322,20 @@ def main() -> None:
         out["cdc_sweep_rows_per_sec"] = round(sweep_rows / sweep_sec, 1) if sweep_rows else 0
         if not sweep_warm:
             out["cdc_sweep_includes_init"] = True
-    if errors:
-        out["errors"] = errors
 
     # Cross-scale series (VERDICT r6 task 4): when the deterministic
     # sf1 fixtures exist (tools/gen_sf.py), re-run the headline set
-    # there and embed an "sf1" block, so ratio-growers are caught
-    # mechanically each round instead of by hand. The same session is
-    # re-conf'd to the large-input policy (AQE on, shuffle 64 — all
-    # runtime-settable SQL confs); queries whose sf1/sf0.1 wall ratio
-    # exceeds 10x/decade are flagged (data grew 10x, so >10x wall
-    # growth means the operator scaled worse than linearly).
-    # r8 (VERDICT r7 task 5): the block also records the DuckDB
-    # denominator per query (same symmetric Arrow protocol as
-    # tools/ab.py) plus per-query Spark/DuckDB ratios, with >2.5x
-    # flagged — so sf1 ratio GROWTH is caught mechanically, not only
-    # in PERFORMANCE.md prose. Interleaved per query (spark, duck) x2
-    # within the same window, min recorded, same as ab.py.
+    # there — same interleaved protocol, per-query DuckDB denominators
+    # (VERDICT r7 task 5), >2.5x ratios flagged, plus the sf1 CDC sweep
+    # (VERDICT r8 task 6: the micro-batch-persist win claims a scale
+    # rationale — record whether rows/s holds a decade up). Queries
+    # whose sf1/sf0.1 wall ratio exceeds 10x are flagged (data grew
+    # 10x, so >10x wall growth means worse-than-linear scaling).
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1")
     if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
         # the whole sf1 block is best-effort: a broken/partial fixture
         # dir (interrupted gen_sf.py) must not discard the sf0.1
-        # artifact already measured above (review catch r7 — same
-        # policy as the per-query try/excepts)
+        # artifact already measured above (review catch r7)
         try:
             # same large-regime policies sized_session applies (the
             # session was built for sf0.1; re-size to sf1's input —
@@ -297,60 +359,69 @@ def main() -> None:
                 str(min(128 * 1024 * 1024, max(1 << 20, sf1_bytes // (6 * cpus1)))),
             )
             warm_up(spark, sf1_dir)
-            try:
-                sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-                from oracle_harness import duck_con  # noqa: E402
-
-                con = duck_con(sf1_dir)
-                oracles = entrymod.oracle_sql()
-            except Exception:
-                con, oracles = None, {}
-            t1: dict[str, float] = {}
-            d1: dict[str, float] = {}
-            for name in HEADLINE:
-                fn = queries[name]
-                sql = oracles.get(name)
-                best = d_best = float("inf")
-                try:
-                    for _ in range(2):
-                        start = time.perf_counter()
-                        fn(spark, sf1_dir).toArrow()
-                        best = min(best, time.perf_counter() - start)
-                        if con is not None and sql is not None:
-                            start = time.perf_counter()
-                            con.sql(sql).arrow()
-                            d_best = min(d_best, time.perf_counter() - start)
-                    t1[name] = round(best, 3)
-                    if d_best < float("inf"):
-                        d1[name] = round(d_best, 3)
-                except Exception as exc:
-                    errors[f"sf1:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            con1, oracles1 = _duck(sf1_dir)
+            t1, d1 = _measure_pair(
+                spark, sf1_dir, con1, oracles1, queries, HEADLINE,
+                iters=2, errors=errors, tag="sf1:",
+            )
+            sweep1_sec, sweep1_rows = _timed_sweep(spark, sf1_dir, errors, tag="sf1:")
             flags = {
                 n: round(t1[n] / timings[n], 1)
                 for n in t1
                 if n in timings and timings[n] > 0 and t1[n] / timings[n] > 10.0
             }
-            ratios = {
-                n: round(t1[n] / d1[n], 2) for n in t1 if d1.get(n)
-            }
+            ratios1 = {n: round(t1[n] / d1[n], 2) for n in t1 if d1.get(n)}
             out["sf1"] = {
                 "value": round(sum(t1.values()), 3),
-                "queries": t1,
-                "duck_queries": d1,
                 "duck_value": round(sum(d1.values()), 3),
                 "ratio_vs_duckdb": (
                     round(sum(t1[n] for n in d1) / sum(d1.values()), 3)
                     if d1 else None
                 ),
-                "per_query_ratio_flags_gt2.5": {
-                    n: r for n, r in ratios.items() if r > 2.5
-                },
+                "n_query_ratios_gt2.5": sum(1 for r in ratios1.values() if r > 2.5),
                 "ratio_vs_sf0.1_flags": flags,
             }
+            if sweep1_sec is not None:
+                out["sf1"]["cdc_sweep_seconds"] = sweep1_sec
+                out["sf1"]["cdc_sweep_rows_per_sec"] = (
+                    round(sweep1_rows / sweep1_sec, 1) if sweep1_rows else 0
+                )
+            detail["sf1"] = {"queries": t1, "duck_queries": d1,
+                             "per_query_ratios": ratios1,
+                             "per_query_ratio_flags_gt2.5": {n: r for n, r in ratios1.items() if r > 2.5}}
         except Exception as exc:
             errors["sf1"] = f"{type(exc).__name__}: {exc}"[:200]
-        if errors:
-            out["errors"] = errors
+    if errors:
+        out["errors"] = errors
+        detail["errors"] = errors
+
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        # also on stdout (earlier line, outside the parsed tail) so a
+        # log capture without file access still has the full detail
+        print("DETAIL " + json.dumps(detail))
+    except OSError:
+        pass
+    # Last-resort size guard for the driver's 2000-char stdout tail:
+    # prune progressively (per-query detail always survives in the
+    # sidecar/DETAIL line) until the final line fits.
+    def _prune_sf1_flags(o):
+        if isinstance(o.get("sf1"), dict):
+            o["sf1"].pop("ratio_vs_sf0.1_flags", None)
+
+    def _prune_errors(o):
+        if "errors" in o:
+            o["errors"] = f"{len(o['errors'])} errors: see BENCH_DETAIL.json"
+
+    def _prune_queries(o):
+        o["queries"] = "see BENCH_DETAIL.json"
+
+    for prune in (_prune_sf1_flags, _prune_errors, _prune_queries):
+        if len(json.dumps(out)) <= 1900:
+            break
+        prune(out)
     print(json.dumps(out))
 
 

@@ -23,6 +23,6 @@ Everything here derives from the public PySpark API; reference file:line
 citations in docstrings point at the behavior being re-expressed.
 """
 
-from .session import get_spark
+from .session import get_spark, session_cache
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "session_cache"]

@@ -56,3 +56,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def session_cache(spark: SparkSession, name: str) -> dict:
+    """A named per-session memo dict held ON the session object.
+
+    Replaces the module-global ``WeakKeyDictionary`` caches (ADVICE
+    r8): a weak-keyed map whose VALUES are DataFrames never frees
+    anything, because every DataFrame strongly references its
+    SparkSession — the value pinned the key, so entries outlived
+    ``newSession()`` churn for process lifetime. Storing the dict in
+    the session wrapper's own ``__dict__`` ties the cache's lifetime
+    to the session with no global registry at all: the session dies,
+    the cache dies with it.
+
+    Identity semantics match the old weak keying — a second Python
+    wrapper around the same JVM session misses the cache (harmless
+    rebuild), and a DataFrame can never leak across sessions because
+    the cache lives on exactly the session that built it."""
+    caches = spark.__dict__.setdefault("_cdc_graft_session_caches", {})
+    return caches.setdefault(name, {})

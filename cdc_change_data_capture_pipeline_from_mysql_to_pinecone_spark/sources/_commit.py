@@ -140,3 +140,27 @@ def table_lock(path: str):
     finally:
         fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)
+
+
+@contextmanager
+def table_lock_shared(path: str):
+    """Shared (reader) counterpart of :func:`table_lock` (blocking).
+
+    Held for SHORT, driver-side-only spans — e.g. snapshotting a gate's
+    marker/version files together (ADVICE r8: a lock-free multi-file
+    gate read is a check-then-act window against a writer's
+    multi-commit sequence). While held, no writer can be mid-commit
+    (writers hold the exclusive lock for their whole read-merge-swap
+    span), so the files read under it are one committed state. It must
+    NOT be held across job execution: reads stay lock-free by contract
+    (module docstring of vector_store), and a job-length shared lock
+    would starve writers."""
+    lock_path = path.rstrip("/") + ".lockfile"
+    os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_SH)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)

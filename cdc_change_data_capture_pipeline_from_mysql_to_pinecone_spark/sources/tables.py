@@ -40,14 +40,13 @@ TABLES = (
 
 
 _NS_COLS_CACHE: dict[str, list[str]] = {}
-# Per-SESSION analyzed-relation memo (WeakKeyDictionary on the session
-# object, r8 — same fix as the entry module's caches per ADVICE r7):
-# ``spark.newSession()`` shares the applicationId but not session
-# state, so an appId-keyed cache could hand one session's DataFrame to
-# another; weak keying also lets entries die with their session.
-import weakref as _weakref
-
-_DF_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+# Per-SESSION analyzed-relation memo, held on the session object itself
+# (session_cache, r9 — ADVICE r8: the r8 WeakKeyDictionary never freed
+# anything because the cached DataFrames strongly reference their
+# session, pinning the weak key). ``spark.newSession()`` shares the
+# applicationId but not session state, so the cache must key on the
+# session, never the app id — a DataFrame must not cross sessions.
+from ..session import session_cache as _session_cache
 
 
 def _nanos_ts_columns(path: str) -> list[str]:
@@ -83,7 +82,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     # fixtures are read-only: reuse the analyzed relation per (session,
     # path) so repeated queries skip file listing + schema resolution
-    per_session = _DF_CACHE.setdefault(spark, {})
+    per_session = _session_cache(spark, "load_table")
     if path in per_session:
         return per_session[path]
     ns_cols = _nanos_ts_columns(path)

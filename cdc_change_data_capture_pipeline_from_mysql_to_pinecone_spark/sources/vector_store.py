@@ -32,6 +32,26 @@ on one host serialize — each gets a distinct version and the final
 state is the later call everywhere. The lock does not reach across
 machines or object storage; for that, back the store with a
 transactional table format (see the _commit module contract).
+
+Read consistency (the explicit contract, ADVICE r8): reads are
+LOCK-FREE and see "one committed recent state" — every writer commit
+is an atomic rename, so a query never observes a torn bucket, but a
+query that overlaps a writer may execute against the state from just
+before OR just after that writer's swap (per bucket, for multi-bucket
+commits: each bucket is some committed version ≥ the query's start).
+This is the same regular-reader semantics an object-store parquet
+table has. The one multi-file decision — query(mode='ivf')'s fast-path
+gate — snapshots its marker/version files under a short SHARED flock
+so the gate itself judges one committed state; either branch it picks
+is then correct against concurrent swaps (the fast path because
+mutations keep ``_cell`` stamped under the committed quantizer with
+the pending marker covering the only inconsistent window, the
+fallback because a lagging map is compute-pruned, quantizer-consistent
+recall — rows newer than the map's watermark become visible after the
+next mutation's catch-up). Readers needing stricter
+read-your-own-write isolation hold :func:`.._commit.table_lock`
+around query + materialization, or back the store with a
+transactional table format.
 """
 
 from __future__ import annotations
@@ -546,11 +566,26 @@ class VectorStore:
             # to the map-join path (compute-pruned,
             # quantizer-consistent, healed by the next mutation's
             # catch-up / the next clean build).
-            if (
-                "_cell" in t.columns
-                and not os.path.exists(self._rebuild_pending_path(tpath))
-                and self._ivf_map_ver(map_path) >= self._current_version(tpath)
-            ):
+            # Gate state is THREE files (pending marker, map watermark,
+            # table _verseq); snapshot them under a short SHARED lock so
+            # no writer is mid-commit between the individual reads
+            # (ADVICE r8 — lock-free multi-file reads were a
+            # check-then-act window). The lock is released before the
+            # job runs: reads stay lock-free by contract (module
+            # docstring, "Read consistency") — a swap landing DURING
+            # execution serves one committed recent state either way,
+            # because upsert/delete keep `_cell` stamped under the
+            # committed quantizer and build_ivf keeps the pending
+            # marker up across its whole table-restamp/map-swap span.
+            from ._commit import table_lock_shared
+
+            with table_lock_shared(tpath):
+                fast_ok = (
+                    "_cell" in t.columns
+                    and not os.path.exists(self._rebuild_pending_path(tpath))
+                    and self._ivf_map_ver(map_path) >= self._current_version(tpath)
+                )
+            if fast_ok:
                 hits = (
                     t.filter(F.col("_cell").isin(probe))
                     .select(

@@ -74,14 +74,14 @@ def test_timestamp_instant_typed_on_foreign_session(spark, sf_dir):
         assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
         from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import tables
 
-        tables._DF_CACHE.clear()
+        tables._session_cache(spark, "load_table").clear()
         e = load_table(spark, sf_dir, "events")
         assert isinstance(e.schema["ts"].dataType, TimestampType)
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import tables
 
-        tables._DF_CACHE.clear()
+        tables._session_cache(spark, "load_table").clear()
 
 
 def test_jdbc_options_contract():
