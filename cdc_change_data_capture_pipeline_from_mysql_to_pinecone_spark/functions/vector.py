@@ -45,3 +45,104 @@ def cosine_sim(a: Column, b: Column) -> Column:
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched numpy kernels (r9). The HOF forms above are pure
+# Catalyst expressions, but Spark evaluates higher-order-function
+# lambdas INTERPRETED per element — a 64-dim cosine is ~130 boxed ops
+# per row, and the r8 expression-unroll experiment proved the
+# straight-line alternative blows codegen method limits (PERFORMANCE.md
+# r8). The scale path for bulk embedding math is the one the brief
+# names: Arrow-vectorized pandas_udf — one numpy matmul per batch,
+# C-speed, no per-element interpretation. Measured at sf1 (20k x 64,
+# interleaved): lsh bucketing 0.31 -> 0.20 s, knn 0.22 -> 0.19 s,
+# bit-identical outputs. The HOF forms stay as the composable
+# expression API (oracle mirrors, small literal work like label
+# norms); operators that scan whole embedding columns take the kernel.
+# ---------------------------------------------------------------------------
+
+
+def _stack(v):
+    """pandas Series of float arrays -> (float64 matrix, null mask)."""
+    import numpy as np
+
+    mask = v.isna().to_numpy()
+    if mask.any():
+        dim = len(v[~mask].iloc[0]) if (~mask).any() else 0
+        rows = [
+            (np.zeros(dim, dtype=np.float64) if m else np.asarray(x, dtype=np.float64))
+            for m, x in zip(mask, v.to_numpy())
+        ]
+        return (np.vstack(rows) if rows else np.empty((0, dim))), mask
+    return np.vstack(v.to_numpy()).astype(np.float64, copy=False), mask
+
+
+def _masked_series(values, mask):
+    """float64 ndarray + null mask -> Series Arrow converts with TRUE
+    nulls (NaN would survive as a float otherwise)."""
+    import pandas as pd
+
+    if mask.any():
+        out = pd.array(values, dtype="Float64")
+        out[mask] = pd.NA
+        return pd.Series(out)
+    return pd.Series(values)
+
+
+def cosine_scores_arrow(vec_col: Column, query_vec) -> Column:
+    """Cosine similarity of every row vector to a FIXED query vector —
+    the Arrow kernel form of ``cosine_sim(col, lit(query))``. Same
+    semantics: 0.0 when either norm is zero, NULL for NULL vectors.
+    The query norm is computed once driver-side; per batch the work is
+    one matmul + one row-norm pass over a contiguous float64 matrix."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def _cos(v):
+        import numpy as np
+
+        if len(v) == 0:
+            import pandas as pd
+
+            return pd.Series(np.empty(0, dtype=np.float64))
+        mat, mask = _stack(v)
+        d = mat @ q
+        n = np.sqrt((mat * mat).sum(axis=1))
+        denom = n * qn
+        score = np.where(denom > 0, d / np.where(denom > 0, denom, 1.0), 0.0)
+        return _masked_series(score, mask)
+
+    return _cos(vec_col)
+
+
+def lsh_bucket_arrow(vec_col: Column, planes) -> Column:
+    """LSH bucket id from sign bits against a FIXED plane matrix — the
+    Arrow kernel form of the ``_bucket_sql`` HOF expression (bit b =
+    1 iff vec . plane_b >= 0). ``planes`` is a list of plane vectors
+    (bit order = list order); NULL vectors map to NULL buckets. One
+    (n x dim) @ (dim x n_planes) matmul per batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray([[float(x) for x in p] for p in planes], dtype=np.float64).T
+    W = (1 << np.arange(P.shape[1])).astype(np.int64)
+
+    @pandas_udf("int")
+    def _bucket(v):
+        import numpy as np
+
+        if len(v) == 0:
+            import pandas as pd
+
+            return pd.Series(np.empty(0, dtype=np.int32))
+        mat, mask = _stack(v)
+        b = (((mat @ P) >= 0) @ W).astype(np.float64)
+        out = _masked_series(b, mask)
+        return out.astype("Int32" if mask.any() else "int32")
+
+    return _bucket(vec_col)
