@@ -2447,19 +2447,23 @@ _DUCK_COS = (
 @_q(
     "vec_knn_bruteforce",
     f"""
-    SELECT vec_id, round({_DUCK_COS}, 4) AS score
+    SELECT vec_id, round({_DUCK_COS}, 6) AS score
     FROM embeddings
-    ORDER BY {_DUCK_COS} DESC, vec_id
+    ORDER BY round({_DUCK_COS}, 6) DESC, vec_id
     LIMIT 10
     """,
 )
 def vec_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-k to a query vector (A12): scan + per-partition
-    top-k merge (TakeOrderedAndProject), no global sort."""
+    top-k merge (TakeOrderedAndProject), no global sort.
+
+    Rounded ONCE (cosine_topk's round6), oracle mirroring projection
+    AND ordering — the r9 double-rounding lesson (see
+    vec_knn_arrow_kernel): round4-of-round6 flips on .5 boundaries the
+    single-rounded oracle does not."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = _query_vector(sf_dir)
-    out = vec_ops.cosine_topk(e, "vec_id", "embedding", qvec, k=10)
-    return out.select("vec_id", F.round("score", 4).alias("score"))
+    return vec_ops.cosine_topk(e, "vec_id", "embedding", qvec, k=10)
 
 
 @_q(
@@ -2532,26 +2536,82 @@ def vec_lsh_bucket_histogram(spark, sf_dir):
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
+_DUCK_COS7 = (
+    "list_cosine_similarity(embedding::DOUBLE[], "
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7))"
+)
+
+
+@_q(
+    "vec_knn_arrow_kernel",
+    f"""
+    SELECT vec_id, round({_DUCK_COS7}, 6) AS score
+    FROM embeddings
+    ORDER BY round({_DUCK_COS7}, 6) DESC, vec_id
+    LIMIT 15
+    """,
+)
+def vec_knn_arrow_kernel(spark, sf_dir):
+    """Exact cosine top-k FORCING the Arrow numpy kernel (r9). The
+    production default is kernel='auto' (plan-stats gate), which
+    resolves to the HOF expression at the driver's sf0.01 gate scale —
+    so without this entry the kernel itself would never earn a driver
+    oracle row. Distinct parameters (query vector = row 7, k=15) keep
+    the result set independent of vec_knn_bruteforce's.
+
+    Rounding contract (r9 lesson): the raw cosine doubles are
+    BIT-IDENTICAL across engines (sequential-fold order on both
+    sides), so the score is rounded ONCE — cosine_topk's round(x, 6) —
+    and the oracle mirrors that exact expression in both projection
+    and ORDER BY. Re-rounding an already-rounded value (round4 of
+    round6) hits .5 boundaries the single-rounded oracle does not:
+    observed 0.30625 -> 0.3063 vs raw 0.3062498 -> 0.3062 at
+    sf0.001."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vector(sf_dir, vec_id=7)
+    return vec_ops.cosine_topk(e, "vec_id", "embedding", qvec, k=15, kernel="arrow")
+
+
+@_q(
+    "vec_lsh_arrow_kernel",
+    f"""
+    WITH {_DUCK_PLANES}
+    SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket
+    """,
+)
+def vec_lsh_arrow_kernel(spark, sf_dir):
+    """LSH bucket histogram FORCING the Arrow matmul kernel (r9) — the
+    same oracle as vec_lsh_bucket_histogram on purpose: the kernel
+    must reproduce the HOF/SQL plane-sign bucketing bit-for-bit (a
+    disagreement would need a plane dot within float64 summation-order
+    noise of exactly zero), and this entry makes the driver check
+    exactly that equivalence each round."""
+    e = _t(spark, sf_dir, "embeddings")
+    n_rows = _table_rows(sf_dir, "embeddings")
+    planes = vec_ops.planes_for_corpus(n_rows)
+    b = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=planes, kernel="arrow")
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
 @_q(
     "vec_ann_topk",
     f"""
     WITH {_DUCK_PLANES}
-    SELECT e.vec_id, round({_DUCK_COS}, 4) AS score
+    SELECT e.vec_id, round({_DUCK_COS}, 6) AS score
     FROM embeddings e JOIN buckets bk ON e.vec_id = bk.vec_id
     WHERE bk.bucket = (SELECT bucket FROM buckets WHERE vec_id = 1)
-    ORDER BY {_DUCK_COS} DESC, e.vec_id
+    ORDER BY round({_DUCK_COS}, 6) DESC, e.vec_id
     LIMIT 10
     """,
 )
 def vec_ann_topk(spark, sf_dir):
     """Approximate top-k: probe only the query's LSH bucket — scanned
     fraction drops ~2^n_planes while recall stays high for cosine-close
-    vectors."""
+    vectors. Single-rounded score contract (see vec_knn_bruteforce)."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = _query_vector(sf_dir)
     planes = vec_ops.planes_for_corpus(_table_rows(sf_dir, "embeddings"))
-    out = vec_ops.ann_topk(e, "vec_id", "embedding", qvec, dim=64, k=10, n_planes=planes)
-    return out.select("vec_id", F.round("score", 4).alias("score"))
+    return vec_ops.ann_topk(e, "vec_id", "embedding", qvec, dim=64, k=10, n_planes=planes)
 
 
 _DUCK_IVF = """
@@ -2611,23 +2671,23 @@ def vec_ivf_cells(spark, sf_dir):
     f"""
     WITH {_DUCK_IVF},
     qc AS (SELECT cell FROM scored WHERE vec_id = 1 ORDER BY score DESC, cell DESC LIMIT 2)
-    SELECT e.vec_id, round({_DUCK_COS}, 4) AS score
+    SELECT e.vec_id, round({_DUCK_COS}, 6) AS score
     FROM embeddings e
     JOIN assigned a ON e.vec_id = a.vec_id
     WHERE a.cell IN (SELECT cell FROM qc)
-    ORDER BY {_DUCK_COS} DESC, e.vec_id
+    ORDER BY round({_DUCK_COS}, 6) DESC, e.vec_id
     LIMIT 10
     """,
 )
 def vec_ivf_topk(spark, sf_dir):
     """IVF-flat search: probe the 2 nearest centroid cells, exact
-    cosine within — scanned fraction ~ n_probe/n_centroids."""
+    cosine within — scanned fraction ~ n_probe/n_centroids.
+    Single-rounded score contract (see vec_knn_bruteforce)."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = _query_vector(sf_dir)
-    out = vec_ops.ivf_topk(
+    return vec_ops.ivf_topk(
         e, "vec_id", "embedding", qvec, _ivf_centroids(spark, sf_dir), k=10, n_probe=2
     )
-    return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
 def _duck_ivf_trained_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
@@ -6474,11 +6534,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
 # continued each round). The driver's correctness gate samples the
 # dict from the front (50 entries per round). The r9 window: slots
-# 1-30 are ALL 30 remaining r5-era rows (their latest driver row is
-# CORRECTNESS_r05; after this window no query's latest row is older
-# than r6), slots 31-50 are the 20 stalest r6-era rows in registration
-# order — the remaining 30 r6-era rows lead the r10 window next.
+# 1-2 are the round's NEW queries (the forced-Arrow-kernel pair,
+# never driver-sampled); slots 3-32 are ALL 30 remaining r5-era rows
+# (their latest driver row is CORRECTNESS_r05; after this window no
+# query's latest row is older than r6); slots 33-50 are the 18
+# stalest r6-era rows in registration order — the remaining 32
+# r6-era rows lead the r10 window next.
 _PRIORITY = [
+    "vec_knn_arrow_kernel",
+    "vec_lsh_arrow_kernel",
     "q8_market_share",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
@@ -6527,8 +6591,6 @@ _PRIORITY = [
     "agg_grouping_sets",
     "cdc_late_data_rescan",
     "set_ops_all_variants",
-    "agg_approx_sketches",
-    "join_cross_region_nation",
 ]
 
 

@@ -90,17 +90,49 @@ def _masked_series(values, mask):
     return pd.Series(values)
 
 
+def _fold_dot(mat, q):
+    """Row-wise dot as a SEQUENTIAL left fold over dimensions
+    (vectorized across rows): bit-identical to the HOF
+    ``aggregate(zip_with(...))`` evaluation order and to DuckDB's
+    list_* loops. numpy's matmul/reduce use pairwise/SIMD-blocked
+    summation, which differs in the last ulp — enough to flip a
+    round(x, 4) on an exact .5 boundary (observed: 0.30625 at
+    sf0.001) or, in principle, a plane sign. Cost is ~dim
+    cache-friendly passes over a transposed copy — microseconds at
+    batch scale, and the exactness IS the cross-engine contract."""
+    import numpy as np
+
+    matT = np.ascontiguousarray(mat.T)
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(matT.shape[0]):
+        acc += matT[j] * q[j]
+    return acc
+
+
+def _fold_sq_norm(mat):
+    """Row-wise sum of squares, same sequential fold order as
+    ``l2_norm``'s aggregate."""
+    import numpy as np
+
+    matT = np.ascontiguousarray(mat.T)
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(matT.shape[0]):
+        acc += matT[j] * matT[j]
+    return acc
+
+
 def cosine_scores_arrow(vec_col: Column, query_vec) -> Column:
     """Cosine similarity of every row vector to a FIXED query vector —
     the Arrow kernel form of ``cosine_sim(col, lit(query))``. Same
-    semantics: 0.0 when either norm is zero, NULL for NULL vectors.
-    The query norm is computed once driver-side; per batch the work is
-    one matmul + one row-norm pass over a contiguous float64 matrix."""
+    semantics: 0.0 when either norm is zero, NULL for NULL vectors;
+    summation in the SAME sequential order as the HOF fold (_fold_dot)
+    so scores are bit-identical, not merely close. The query norm is
+    computed once driver-side."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    qn = float(np.sqrt((q * q).sum()))
+    qn = float(np.sqrt(_fold_dot(q.reshape(1, -1), q)[0]))
 
     @pandas_udf("double")
     def _cos(v):
@@ -111,8 +143,8 @@ def cosine_scores_arrow(vec_col: Column, query_vec) -> Column:
 
             return pd.Series(np.empty(0, dtype=np.float64))
         mat, mask = _stack(v)
-        d = mat @ q
-        n = np.sqrt((mat * mat).sum(axis=1))
+        d = _fold_dot(mat, q)
+        n = np.sqrt(_fold_sq_norm(mat))
         denom = n * qn
         score = np.where(denom > 0, d / np.where(denom > 0, denom, 1.0), 0.0)
         return _masked_series(score, mask)
@@ -129,8 +161,8 @@ def lsh_bucket_arrow(vec_col: Column, planes) -> Column:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    P = np.asarray([[float(x) for x in p] for p in planes], dtype=np.float64).T
-    W = (1 << np.arange(P.shape[1])).astype(np.int64)
+    P = np.asarray([[float(x) for x in p] for p in planes], dtype=np.float64)
+    W = (1 << np.arange(P.shape[0])).astype(np.int64)
 
     @pandas_udf("int")
     def _bucket(v):
@@ -141,7 +173,10 @@ def lsh_bucket_arrow(vec_col: Column, planes) -> Column:
 
             return pd.Series(np.empty(0, dtype=np.int32))
         mat, mask = _stack(v)
-        b = (((mat @ P) >= 0) @ W).astype(np.float64)
+        # one sequential-fold dot per plane (see _fold_dot: sign
+        # decisions must match the HOF/oracle fold order exactly)
+        signs = np.stack([_fold_dot(mat, P[i]) >= 0 for i in range(P.shape[0])], axis=1)
+        b = (signs @ W).astype(np.float64)
         out = _masked_series(b, mask)
         return out.astype("Int32" if mask.any() else "int32")
 
