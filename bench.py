@@ -61,6 +61,31 @@ HEADLINE = [
 ]
 
 
+def scratch_dir(input_bytes: int) -> str | None:
+    """Shuffle/spill scratch policy (r9): put ``spark.local.dir`` on
+    tmpfs when one exists with ample headroom. /tmp on this host is a
+    journaled root disk; moving shuffle files to /dev/shm measured
+    -12% over the sf1 shuffle-heavy subset in two interleaved
+    knob_ab.py windows (-11.7/-12.1; window_rank -34%, cdc_snapshot
+    -23%, dedup_exact -15%), while shuffle-compression-off on top
+    added nothing (lz4 is cheaper than the bytes it saves). Gated on
+    free tmpfs >= 8x the input so shuffle+spill can never fill RAM:
+    at real scale the gate fails closed and a cluster deploy points
+    this at local NVMe instead — same knob, same rationale. Core
+    conf: only effective on the process's first getOrCreate."""
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        free = st.f_bavail * st.f_frsize
+        if free >= 8 * max(input_bytes, 1) and os.access(shm, os.W_OK):
+            d = os.path.join(shm, "cdc-graft-scratch")
+            os.makedirs(d, exist_ok=True)
+            return d
+    except OSError:
+        pass
+    return None
+
+
 def sized_session(sf_dir: str, app_name: str = "bench"):
     """The benchmark session policy, shared by bench.py and
     tools/ab.py so A/B ratios always measure under the configuration
@@ -113,6 +138,7 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
             os.environ.get("SPARK_GRAFT_SHUFFLE", "8" if small else str(large_shuffle))
         ),
         adaptive=aqe,
+        local_dir=scratch_dir(input_bytes),
     )
     if not small:
         # Split-size policy for the large regime (r8): the sf1 fixture
@@ -127,6 +153,23 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
         # a small-data compensation, not a scale policy.
         mpb = min(128 * 1024 * 1024, max(1 << 20, input_bytes // (6 * int(cpus))))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        # Broadcast-threshold policy for the large regime (r9): the
+        # static estimator prices a broadcast by its pruned-column
+        # bytes, but the real cost is the SERIAL driver-side
+        # HashedRelation build — q5's plan was statically
+        # broadcasting 1.5M pruned orders rows (~6 MB estimate,
+        # under the 10 MB default) and paying ~0.3 s of single-thread
+        # build per execution. The per-query threshold sweep at sf1
+        # ({1,2,4,10} MiB, min-of-3 interleaved): 4 MiB is the
+        # plateau — q5 0.506 vs 0.806 (-37%), q3 0.435 vs 0.691
+        # (-37%), with q19/window_rank/join_outer keeping their
+        # genuinely-cheap dim broadcasts (1 MiB collapses q19 0.945
+        # vs 0.211 by shuffling the part join). Scale-safe direction:
+        # a LOWER static threshold is the conservative choice on a
+        # cluster (broadcast cost multiplies by executor count), and
+        # in the >=1 GiB regime AQE re-promotes genuinely small
+        # runtime sides to broadcast from actual sizes.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 << 20))
     return spark
 
 
@@ -358,6 +401,8 @@ def main() -> None:
                 "spark.sql.files.maxPartitionBytes",
                 str(min(128 * 1024 * 1024, max(1 << 20, sf1_bytes // (6 * cpus1)))),
             )
+            # large-regime broadcast threshold (see sized_session r9)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 << 20))
             warm_up(spark, sf1_dir)
             con1, oracles1 = _duck(sf1_dir)
             t1, d1 = _measure_pair(

@@ -23,6 +23,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     adaptive: bool = True,
     cores: int | None = None,
+    local_dir: str | None = None,
 ) -> SparkSession:
     """``adaptive=False`` turns AQE off — right for sub-GB workloads
     where AQE's stage-by-stage materialization barriers cost more than
@@ -32,8 +33,15 @@ def get_spark(
     local-mode thread count ($SPARK_GRAFT_CPUS, default 32) for
     experiments — an auto-narrowing default was A/B'd in r6 and
     rejected as host-noise (one interleaved window favored local[8]
-    by ~15%, the next favored local[32]). NOTE: in one JVM the first
-    getOrCreate pins the master for the process."""
+    by ~15%, the next favored local[32]). ``local_dir`` sets
+    ``spark.local.dir`` (shuffle/spill scratch) — a core conf read at
+    SparkEnv creation, so it only takes effect on the FIRST
+    getOrCreate in the process; on a cluster this is the standard
+    "scratch on the fastest local storage" deploy knob (NVMe; here a
+    tmpfs when it has headroom — see bench.sized_session, measured
+    -12% on the sf1 shuffle-heavy subset vs journaled-/tmp).
+    NOTE: in one JVM the first getOrCreate pins the master for the
+    process."""
     cpus = cores if cores is not None else os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
@@ -53,6 +61,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
