@@ -125,6 +125,10 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
     # 2.534) — tens-of-MB shuffles are task-scheduling-bound, not
     # parallelism-bound. The r5 "4 lost 8-18% vs cores" measurement was
     # under the old count() protocol and is superseded for this regime.
+    # r9 re-sweep AFTER the tmpfs scratch change ({4,8,16,32} per
+    # query, min-of-3, load 1.2): 16 now wins (subset 1.484 vs 1.682
+    # at 8, -12%; q3 0.250 vs 0.301, q5 0.265 vs 0.335) — cheaper
+    # shuffle files moved the scheduling-vs-parallelism balance up.
     # Large-regime shuffle width is data-derived (r8): interleaved at
     # sf1 {64,32,16} the plateau is 16-32 (3.107/3.180 vs 3.595 s over
     # the join/shuffle-heavy half — lsh -30%, stream_tumbling -37%,
@@ -135,23 +139,27 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
     spark = get_spark(
         app_name,
         shuffle_partitions=int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE", "8" if small else str(large_shuffle))
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "16" if small else str(large_shuffle))
         ),
         adaptive=aqe,
         local_dir=scratch_dir(input_bytes),
     )
     if not small:
-        # Split-size policy for the large regime (r8): the sf1 fixture
-        # files hold ~10 row groups each but fit inside one default
-        # 128 MiB partition, so every scan ran 1 task. Target ~6 splits
-        # per core of the TOTAL input — interleaved at sf1 this halved
-        # the embedding-heavy family (dedup_embedding_neardup
-        # 6.06 -> 2.54 s, vec_ann 0.49 -> 0.26, lsh_hist 0.53 -> 0.32)
-        # with only q1 paying task overhead (+0.03). The formula
-        # degrades to the 128 MiB default as input grows (at ~12 GiB
-        # input it exceeds the default and the default wins), so it is
-        # a small-data compensation, not a scale policy.
-        mpb = min(128 * 1024 * 1024, max(1 << 20, input_bytes // (6 * int(cpus))))
+        # Split-size policy for the large regime (r8, retuned r9): the
+        # sf1 fixture files hold ~10 row groups each but fit inside
+        # one default 128 MiB partition, so every scan ran 1 task.
+        # r8 targeted ~6 splits/core of the TOTAL input (1 MiB at
+        # sf1), which halved the embedding-heavy family vs the
+        # single-task default; the r9 re-sweep ({1,2,4,16} MiB,
+        # min-of-3 per query) found 2 MiB at-or-near-best across the
+        # headline (q1 0.195 vs 0.220, cdc_snapshot 0.221 vs 0.324,
+        # minhash 0.341 vs 0.413, subset total -12%) at the cost of
+        # +13% on non-headline dedup_embedding_neardup (1.10 -> 1.25;
+        # its giant-array rows want the narrowest splits). Target is
+        # now ~3 splits/core. Degrades to the 128 MiB default as
+        # input grows (~24 GiB), so it is a small-data compensation,
+        # not a scale policy.
+        mpb = min(128 * 1024 * 1024, max(1 << 20, input_bytes // (3 * int(cpus))))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
         # Broadcast-threshold policy for the large regime (r9): the
         # static estimator prices a broadcast by its pruned-column
@@ -399,7 +407,7 @@ def main() -> None:
             cpus1 = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
             spark.conf.set(
                 "spark.sql.files.maxPartitionBytes",
-                str(min(128 * 1024 * 1024, max(1 << 20, sf1_bytes // (6 * cpus1)))),
+                str(min(128 * 1024 * 1024, max(1 << 20, sf1_bytes // (3 * cpus1)))),
             )
             # large-regime broadcast threshold (see sized_session r9)
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 << 20))

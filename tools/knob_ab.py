@@ -49,7 +49,7 @@ def build_session(sf_dir: str, extra: dict[str, str]):
         for f in fs
     )
     width = max(16, min(256, input_bytes // (8 * 1024 * 1024)))
-    mpb = min(128 * 1024 * 1024, max(1 << 20, input_bytes // (6 * 32)))
+    mpb = min(128 * 1024 * 1024, max(1 << 20, input_bytes // (3 * 32)))
     b = (
         SparkSession.builder.master("local[32]")
         .appName("knob_ab")

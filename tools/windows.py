@@ -5,8 +5,16 @@ Each window is a fresh process — fresh JVM, fresh DuckDB — exactly the
 protocol the per-round bar is judged on, so this is the one-command
 re-verification of the "N consecutive windows <= BAR" claim.
 
-Usage: python tools/windows.py [N] [--bar 2.0] [--sleep 60] [query ...]
+Usage: python tools/windows.py [N] [--bar 2.0] [--sleep 60]
+           [--wait-load L] [query ...]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+
+--wait-load L: before each window, poll until the 1-minute load
+average drains to <= L (capped at 10 min, then proceed anyway). The
+previous window's own 32-thread tail otherwise leaks into the next
+window's timings; each window still REPORTS the load it actually ran
+at, so the bar claim stays "at stated load" — this gates when a
+window starts, never what it measures.
 """
 
 from __future__ import annotations
@@ -31,11 +39,20 @@ def main() -> None:
         i = args.index("--sleep")
         pause = int(args[i + 1])
         del args[i:i + 2]
+    wait_load = None
+    if "--wait-load" in args:
+        i = args.index("--wait-load")
+        wait_load = float(args[i + 1])
+        del args[i:i + 2]
     here = os.path.dirname(os.path.abspath(__file__))
     results = []
     for w in range(n):
         if w:
             time.sleep(pause)
+        if wait_load is not None:
+            deadline = time.monotonic() + 600
+            while os.getloadavg()[0] > wait_load and time.monotonic() < deadline:
+                time.sleep(15)
         out = subprocess.run(
             [sys.executable, os.path.join(here, "ab.py"), *args],
             capture_output=True, text=True,
