@@ -143,7 +143,22 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
         ),
         adaptive=aqe,
         local_dir=scratch_dir(input_bytes),
+        # Throughput collector for the batch driver JVM (r9): G1 (the
+        # JDK default) optimizes pause latency, which a benchmark/ETL
+        # driver doesn't care about; ParallelGC measured -3/-7/-15%
+        # on the sf1 spark total across three interleaved
+        # fresh-process pairs (duck denominators flat), all three
+        # ParallelGC windows <=2.0x. Same reasoning holds for real
+        # executor JVMs in batch deploys. Takes effect only in a
+        # fresh process (core conf, read at JVM launch).
+        java_opts="-XX:+UseParallelGC",
     )
+    # Arrow fetch batching (r9): fewer, larger record batches on the
+    # .toArrow() return path. Interleaved same-session A/B over the
+    # fetch-heavy headline queries (15k-53k-row results): -5% on the
+    # subset (join_outer -12.6%, cdc_incremental -4.8%), neutral on
+    # small results. Runtime conf, safe on a live session.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
     if not small:
         # Split-size policy for the large regime (r8, retuned r9): the
         # sf1 fixture files hold ~10 row groups each but fit inside

@@ -24,6 +24,7 @@ def get_spark(
     adaptive: bool = True,
     cores: int | None = None,
     local_dir: str | None = None,
+    java_opts: str | None = None,
 ) -> SparkSession:
     """``adaptive=False`` turns AQE off — right for sub-GB workloads
     where AQE's stage-by-stage materialization barriers cost more than
@@ -63,6 +64,14 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # JVM flags (GC etc.): a core conf read at JVM launch, so it only
+    # takes effect when set before the process's first getOrCreate —
+    # fresh-process harnesses (tools/windows.py, the driver's bench
+    # run) get it; an already-running JVM ignores it. The env var
+    # overrides the argument so per-arm A/B subprocesses can steer it.
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", java_opts)
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
