@@ -193,6 +193,33 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
         # in the >=1 GiB regime AQE re-promotes genuinely small
         # runtime sides to broadcast from actual sizes.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 << 20))
+        # ADAPTIVE broadcast threshold (r9, the sf10 scale check): the
+        # 4 MiB static value — tuned at sf1 where AQE is OFF — also
+        # capped AQE's runtime re-promotion in the >=1 GiB regime, so
+        # at sf10 the genuinely-cheap customer/part dim broadcasts
+        # fell back to sort-merge joins that shuffled all 60M
+        # lineitem rows: q3 grew 18x and q19 22x for 10x the data.
+        # AQE prices with runtime-accurate sizes (the static
+        # mis-estimate that motivated 4 MiB cannot recur), so its
+        # threshold follows the standard cluster setting instead.
+        # sf10 sweep ({4,16,32,64} MiB, min-of-3 interleaved):
+        # 32 MiB is the plateau — q3 8.5 -> 2.95 s, q19 5.8 -> 2.54,
+        # q5/controls flat; 64 regresses q3 (a 40+ MB broadcast build
+        # starts costing again). Inert below 1 GiB (AQE off there).
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", str(32 << 20)
+        )
+        # Shuffled-hash over sort-merge in the >=1 GiB regime (r9,
+        # sf10): the lineitem⋈orders equi-joins pay two large sorts
+        # under SMJ; SHJ skips both. sf10 interleaved min-of-3:
+        # q3 3.52 -> 1.88 (-47%), q5 3.26 -> 2.15 (-34%), controls
+        # flat. At sf1 it is neutral-to-mixed (totals 3.25 vs 3.23,
+        # q5 worse), so it follows the AQE gate rather than 'not
+        # small'. Scale-safe: Spark still falls back to SMJ when the
+        # build side's stats exceed threshold x partitions, so a
+        # 100 TB build side can never be forced to hash-build.
+        if aqe:
+            spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     return spark
 
 
@@ -424,8 +451,17 @@ def main() -> None:
                 "spark.sql.files.maxPartitionBytes",
                 str(min(128 * 1024 * 1024, max(1 << 20, sf1_bytes // (3 * cpus1)))),
             )
-            # large-regime broadcast threshold (see sized_session r9)
+            # large-regime broadcast thresholds (see sized_session r9)
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 << 20))
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", str(32 << 20)
+            )
+            # SHJ preference follows the AQE gate (sized_session r9);
+            # reset in case the main block ran in a >=1 GiB regime
+            spark.conf.set(
+                "spark.sql.join.preferSortMergeJoin",
+                "false" if sf1_bytes >= 1024 * 1024 * 1024 else "true",
+            )
             warm_up(spark, sf1_dir)
             con1, oracles1 = _duck(sf1_dir)
             t1, d1 = _measure_pair(

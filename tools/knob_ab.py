@@ -62,6 +62,7 @@ def build_session(sf_dir: str, extra: dict[str, str]):
         .config("spark.driver.memory", "8g")
         .config("spark.sql.files.maxPartitionBytes", str(mpb))
         .config("spark.sql.autoBroadcastJoinThreshold", str(4 << 20))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(32 << 20))
     )
     scratch = scratch_dir(input_bytes)
     if scratch:
