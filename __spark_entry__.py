@@ -249,6 +249,43 @@ def q1_pricing_summary(spark, sf_dir):
 
 
 @_q(
+    "agg_decimal_exact_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))            AS sum_base_price_exact,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(13,2))))         AS sum_disc_price_exact,
+           COUNT(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_decimal_exact_pricing(spark, sf_dir):
+    """Exact-decimal pricing rollup (A4 on the money columns, ref
+    utils/config.py price fields): DECIMAL sums are associative —
+    order- and partition-independent — so the result is bit-identical
+    across engines and partitionings at ANY scale. Motivated by the
+    sf10 finding that DOUBLE sums over 5M+ rows diverge by summation
+    order (rel ~1e-14, enough to cross a rounding boundary at 2.8e11
+    magnitude; PERFORMANCE.md r9). At 100 TB this is the only correct
+    way to aggregate money: float totals are nondeterministic under
+    AQE re-planning and retries, decimals are reproducible."""
+    li = _t(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(13,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(ext).alias("sum_base_price_exact"),
+            F.sum(ext * (F.lit(1) - disc)).alias("sum_disc_price_exact"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
     "q3_shipping_priority",
     """
     SELECT o_orderkey,
@@ -6534,15 +6571,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
 # continued each round). The driver's correctness gate samples the
 # dict from the front (50 entries per round). The r9 window: slots
-# 1-2 are the round's NEW queries (the forced-Arrow-kernel pair,
-# never driver-sampled); slots 3-32 are ALL 30 remaining r5-era rows
-# (their latest driver row is CORRECTNESS_r05; after this window no
-# query's latest row is older than r6); slots 33-50 are the 18
-# stalest r6-era rows in registration order — the remaining 32
-# r6-era rows lead the r10 window next.
+# 1-3 are the round's NEW queries (the forced-Arrow-kernel pair and
+# the exact-decimal rollup, never driver-sampled); slots 4-33 are
+# ALL 30 remaining r5-era rows (their latest driver row is
+# CORRECTNESS_r05; after this window no query's latest row is older
+# than r6); slots 34-50 are the 17 stalest r6-era rows in
+# registration order — the remaining r6-era rows lead the r10
+# window next.
 _PRIORITY = [
     "vec_knn_arrow_kernel",
     "vec_lsh_arrow_kernel",
+    "agg_decimal_exact_pricing",
     "q8_market_share",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",

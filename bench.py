@@ -495,6 +495,49 @@ def main() -> None:
                              "per_query_ratio_flags_gt2.5": {n: r for n, r in ratios1.items() if r > 2.5}}
         except Exception as exc:
             errors["sf1"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # Optional third decade (r9): SPARK_GRAFT_BENCH_SF10=1 adds an
+    # "sf10" block over fixtures/sf10 (tools/gen_sf.py, K=100 —
+    # 1.7 GB, the AQE-on regime). Off by default: it adds ~3-4 min
+    # and the per-round artifact's job is sf0.1+sf1; the cross-scale
+    # series (sf0.1 ~2.2 / sf1 ~1.9 / sf10 ~1.64, PERFORMANCE.md r9)
+    # is reproducible with this one switch.
+    sf10_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf10")
+    if os.path.isdir(sf10_dir) and os.environ.get("SPARK_GRAFT_BENCH_SF10", "0") == "1":
+        try:
+            sf10_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(sf10_dir)
+                for f in fs
+            )
+            spark.conf.set("spark.sql.adaptive.enabled",
+                           "true" if sf10_bytes >= 1024 * 1024 * 1024 else "false")
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(max(16, min(256, sf10_bytes // (8 * 1024 * 1024)))))
+            cpus10 = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            spark.conf.set("spark.sql.files.maxPartitionBytes",
+                           str(min(128 * 1024 * 1024, max(1 << 20, sf10_bytes // (3 * cpus10)))))
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 << 20))
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", str(32 << 20))
+            spark.conf.set("spark.sql.join.preferSortMergeJoin",
+                           "false" if sf10_bytes >= 1024 * 1024 * 1024 else "true")
+            warm_up(spark, sf10_dir)
+            con10, oracles10 = _duck(sf10_dir)
+            t10, d10 = _measure_pair(
+                spark, sf10_dir, con10, oracles10, queries, HEADLINE,
+                iters=2, errors=errors, tag="sf10:",
+            )
+            out["sf10"] = {
+                "value": round(sum(t10.values()), 3),
+                "duck_value": round(sum(d10.values()), 3),
+                "ratio_vs_duckdb": (
+                    round(sum(t10[n] for n in d10) / sum(d10.values()), 3)
+                    if d10 else None
+                ),
+            }
+            detail["sf10"] = {"queries": t10, "duck_queries": d10}
+        except Exception as exc:
+            errors["sf10"] = f"{type(exc).__name__}: {exc}"[:200]
     if errors:
         out["errors"] = errors
         detail["errors"] = errors
