@@ -173,3 +173,56 @@ def jdbc_reader_options(
         "fetchsize": str(fetch_size),
         "pushDownPredicate": "true",
     }
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str] | tuple[str, ...],
+    n_buckets: int,
+    sort_cols: list[str] | tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-BUCKETED managed table (Spark
+    ``bucketBy`` + ``saveAsTable``): the write shuffles ONCE on the
+    bucket keys and records the layout in the catalog, after which
+    every equi-join or aggregation on those keys between co-bucketed
+    tables runs with NO Exchange on either side — the join degenerates
+    to a per-bucket zip. This is the storage-layout answer to the
+    reference's repeated snapshot-vs-snapshot key joins
+    (service_layer/service.py:52-57 re-reads and re-matches full
+    tables every cycle): at 100 TB you pay the partitioning shuffle
+    at ingest, not once per query.
+
+    Sizing: ``n_buckets`` should put one healthy task's worth of data
+    in each bucket per table (hundreds of MB compressed) and both
+    join sides MUST use the same ``n_buckets`` and key order —
+    mismatched counts fall back to a normal shuffled join (Spark
+    bucket coalescing can bridge integer multiples;
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
+    ``sort_cols`` additionally sorts within each bucket FILE, letting
+    sort-merge joins skip their sort when files-per-bucket is 1.
+
+    Plan-proof in tests/test_bucketing.py: bucketed join + bucket-key
+    aggregation is a zero-Exchange plan under forced SMJ; the same
+    query on plain parquet shows both hash-partitioning shuffles.
+    (The in-bucket SMJ Sort only drops when each bucket is a single
+    file — multi-partition writers emit one file per task per bucket,
+    so Spark keeps the sort; coalesce the writer to guarantee it.)
+    """
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    w = df.write.mode(mode).bucketBy(int(n_buckets), *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Catalog read of a table written by ``write_bucketed``. The
+    bucket spec rides in the catalog entry, so the scan reports
+    ``SelectedBucketsCount`` and downstream joins/aggregations on the
+    bucket keys satisfy their required distribution without an
+    Exchange. (A bare ``spark.read.parquet`` of the same files would
+    LOSE the layout — bucketing only exists through the catalog.)"""
+    return spark.table(table_name)

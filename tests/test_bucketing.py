@@ -1,0 +1,114 @@
+"""Bucketed-table co-located joins (the write-time shuffle-elimination
+path for repeated key joins — SURVEY §2 join scale notes; reference
+parity: service_layer/service.py:52-57 re-joins full snapshots every
+cycle, which at 100 TB must amortize its partitioning into the
+storage layout).
+
+The assertions here are PLAN proofs, not timings: bucketed⋈bucketed
+must show zero Exchange (and zero Sort when bucket files are sorted),
+while the identical join over plain parquet shows the two shuffles
+bucketing removes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.tables import (
+    load_table,
+    read_bucketed,
+    write_bucketed,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    """orders and lineitem co-bucketed by order key, 8 buckets each,
+    in a module-scoped throwaway database."""
+    db = "graft_bucketing_test"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        write_bucketed(orders, f"{db}.orders_b", ["o_orderkey"], 8,
+                       sort_cols=["o_orderkey"])
+        write_bucketed(lineitem, f"{db}.lineitem_b", ["l_orderkey"], 8,
+                       sort_cols=["l_orderkey"])
+        yield db
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def _force_smj(spark):
+    """Tiny fixtures would broadcast; force the shuffled strategies so
+    the plan proves what bucketing removes."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+
+
+def _restore(spark):
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed):
+    _force_smj(spark)
+    try:
+        o = read_bucketed(spark, f"{bucketed}.orders_b")
+        li = read_bucketed(spark, f"{bucketed}.lineitem_b")
+        # join AND aggregate on the bucket key: the bucket layout
+        # satisfies both required distributions, so the WHOLE plan is
+        # exchange-free (the same query on plain parquet pays two
+        # join shuffles + reuses one for the agg — see below)
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q")))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]  # AQE echoes both
+        assert "SortMergeJoin" in final
+        assert "Bucketed: true" in final
+        assert "Exchange" not in final, final[:800]
+    finally:
+        _restore(spark)
+
+
+def test_plain_parquet_join_pays_two_shuffles(spark):
+    _force_smj(spark)
+    try:
+        o = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q")))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") >= 2, final[:800]
+    finally:
+        _restore(spark)
+
+
+def test_bucketed_aggregation_skips_its_exchange(spark, bucketed):
+    o = read_bucketed(spark, f"{bucketed}.orders_b")
+    agg = o.groupBy("o_orderkey").agg(F.sum("o_totalprice").alias("t"))
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final[:800]
+
+
+def test_bucketed_roundtrip_values_match(spark, bucketed):
+    o = read_bucketed(spark, f"{bucketed}.orders_b")
+    plain = load_table(spark, SF_DIR, "orders")
+    assert o.count() == plain.count()
+    a = {r["o_orderkey"]: r["o_totalprice"] for r in o.collect()}
+    b = {r["o_orderkey"]: r["o_totalprice"] for r in plain.collect()}
+    assert a == b
