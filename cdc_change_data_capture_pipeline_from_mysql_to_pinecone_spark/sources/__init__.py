@@ -3,10 +3,16 @@ from .sinks import (
     recover_table,
     upsert_parquet,
     upsert_parquet_partitioned,
-    write_bucketed,
     write_partitioned,
 )
-from .tables import TABLES, jdbc_reader_options, load_table, register_views
+from .tables import (
+    TABLES,
+    jdbc_reader_options,
+    load_table,
+    read_bucketed,
+    register_views,
+    write_bucketed,
+)
 from .vector_sink import foreach_batch_vector_upsert, iter_batches, send_with_retry
 
 __all__ = [
@@ -16,6 +22,7 @@ __all__ = [
     "jdbc_reader_options",
     "upsert_parquet",
     "upsert_parquet_partitioned",
+    "read_bucketed",
     "write_bucketed",
     "write_partitioned",
     "compact_parquet",

@@ -440,24 +440,6 @@ def _maybe_grow_buckets(
     return n2
 
 
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    bucket_col: str,
-    num_buckets: int = 32,
-    sort_col: str | None = None,
-) -> None:
-    """Persist as a bucketed managed table so later equi-joins /
-    aggregations on ``bucket_col`` are co-located — no Exchange at
-    read time. The bucketing analogue of the reference's implicit
-    per-table processing locality, and the standard way a 100 TB fact
-    table avoids re-shuffling on every join with its natural key."""
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
-    if sort_col:
-        writer = writer.sortBy(sort_col)
-    writer.saveAsTable(table)
-
-
 def write_partitioned(
     df: DataFrame,
     path: str,

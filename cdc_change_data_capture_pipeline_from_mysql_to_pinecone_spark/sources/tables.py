@@ -178,9 +178,9 @@ def jdbc_reader_options(
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    bucket_cols: list[str] | tuple[str, ...],
+    bucket_cols: str | list[str] | tuple[str, ...],
     n_buckets: int,
-    sort_cols: list[str] | tuple[str, ...] | None = None,
+    sort_cols: str | list[str] | tuple[str, ...] | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Persist ``df`` as a hash-BUCKETED managed table (Spark
@@ -210,6 +210,10 @@ def write_bucketed(
     file — multi-partition writers emit one file per task per bucket,
     so Spark keeps the sort; coalesce the writer to guarantee it.)
     """
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    if isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
     if not bucket_cols:
         raise ValueError("bucket_cols must be non-empty")
     w = df.write.mode(mode).bucketBy(int(n_buckets), *bucket_cols)

@@ -15,7 +15,7 @@ from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.rel
 )
 from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.plans import explain_str  # noqa: E402
 from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table  # noqa: E402
-from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.sinks import (  # noqa: E402
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (  # noqa: E402
     write_bucketed,
 )
 
@@ -42,10 +42,10 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     try:
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-        write_bucketed(li, "li_bkt", "l_orderkey", 8, sort_col="l_orderkey")
+        write_bucketed(li, "li_bkt", "l_orderkey", 8, sort_cols="l_orderkey")
         write_bucketed(
             o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_bkt", "l_orderkey", 8,
-            sort_col="l_orderkey",
+            sort_cols="l_orderkey",
         )
         joined = spark.table("li_bkt").join(spark.table("o_bkt"), "l_orderkey")
         plan = explain_str(joined)
