@@ -3607,17 +3607,61 @@ def set_ops_all_variants(spark, sf_dir):
     return out
 
 
-@_q("agg_approx_sketches", None)  # sketch algorithms differ across engines
+@_q(
+    "agg_approx_sketches",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_nd,
+           TRUE AS nd_ok,
+           TRUE AS p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_sketches(spark, sf_dir):
     """Approximate aggregates (A5): HLL++ distinct + approximate
-    percentile — the sketch-based scale path (exact variants carry the
-    oracles; sketches are engine-specific by design)."""
+    percentile. Sketch ESTIMATES are engine-specific and can never
+    hash-match a DuckDB value, so the oracle-checkable contract is the
+    sketch's accuracy guarantee itself: the query emits the exact
+    value plus a boolean asserting the estimate lies inside the
+    sketch's error bound (HLL rsd=0.01 -> |est-exact|/exact <= 0.05 =
+    5 sigma; percentile_approx default accuracy 10000 -> rank error
+    n/10000 << the exact p49..p51 corridor). DuckDB's side states the
+    same exact values and literal TRUE — a sketch regression (wrong
+    rsd plumb-through, broken merge) flips the boolean and fails the
+    hash compare. Deterministic per dataset: approx_count_distinct and
+    percentile_approx are fixed-seed, so this is a stable gate, not a
+    flaky statistical test (VERDICT r9 task 3: was rows-only)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # Exact distinct via two-level aggregation, NOT countDistinct in
+    # the same agg as the sketches: mixing a distinct aggregate with
+    # other functions plans an Expand (every row duplicated per
+    # distinct group) and drags the percentile buffers through it —
+    # measured 45 s vs 0.8 s warm at sf0.1 for the one-agg form.
+    exact = (
+        li.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_nd"))
+    )
+    sk = li.groupBy("l_returnflag").agg(
         # rsd=0.01: the default 5% rsd wanders ~9% on these
         # cardinalities; 1% costs a few KB more sketch per group
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_nd"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+        F.percentile("l_extendedprice", 0.49).alias("p49"),
+        F.percentile("l_extendedprice", 0.51).alias("p51"),
+    )
+    return sk.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "exact_nd",
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            <= 0.05 * F.col("exact_nd")
+        ).alias("nd_ok"),
+        (
+            (F.col("approx_p50") >= F.col("p49"))
+            & (F.col("approx_p50") <= F.col("p51"))
+        ).alias("p50_ok"),
     )
 
 
@@ -5752,16 +5796,31 @@ def sql_frontend_setops(spark, sf_dir):
     return spark.sql(_SQL_FRONTEND_SETOPS)
 
 
-@_q("incremental_distinct_rollup", None)  # sketch estimates: no cross-engine oracle
+@_q(
+    "incremental_distinct_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS rollup_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd,
+           TRUE AS nd_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def incremental_distinct_rollup(spark, sf_dir):
     """Incrementally-maintained DISTINCT counts (the holistic gap in
     algebraic rollup maintenance): three event ticks sketched with
     Datasketches HLL and chain-merged; per-register max makes the
     merge order-free, so the chained state's estimate EXACTLY equals a
-    single-shot sketch over all data (invariant-tested, with an error
-    bound vs exact countDistinct — tests/test_incremental.py). No SQL
-    oracle: DuckDB's HLL is a different implementation, estimates
-    cannot hash-match; rows-only by declaration."""
+    single-shot sketch over all data (invariant-tested —
+    tests/test_incremental.py). DuckDB's HLL is a different
+    implementation, so the ESTIMATE cannot hash-match; the
+    oracle-checkable contract (VERDICT r9 task 3: was rows-only) is
+    (a) the maintained row count — pure algebra, exact — and (b) the
+    sketch's error bound as a boolean: lg_k=12 -> rsd ~1.6%, and
+    |est-exact| <= 5% = ~3 sigma. Spark joins its own exact
+    countDistinct to evaluate the bound; DuckDB states the exact
+    values and literal TRUE. Deterministic per dataset (fixed sketch
+    seeds), so the gate is stable, not statistical."""
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
         delta_distinct_rollup,
         estimate_distinct,
@@ -5776,8 +5835,21 @@ def incremental_distinct_rollup(spark, sf_dir):
             state, delta_distinct_rollup(t, ["event_type"], ["user_id"]),
             ["event_type"], ["user_id"],
         )
-    return estimate_distinct(state, ["user_id"]).select(
-        "event_type", "rollup_rows", F.col("nd_user_id").cast("long").alias("nd_users")
+    est = estimate_distinct(state, ["user_id"]).select(
+        "event_type", "rollup_rows", F.col("nd_user_id").alias("nd_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_nd")
+    )
+    # exact side is a tiny per-type aggregate — broadcast it
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "rollup_rows",
+        "exact_nd",
+        (
+            F.abs(F.col("nd_est") - F.col("exact_nd"))
+            <= 0.05 * F.col("exact_nd")
+        ).alias("nd_ok"),
     )
 
 
@@ -6570,66 +6642,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
 # continued each round). The driver's correctness gate samples the
-# dict from the front (50 entries per round). The r9 window: slots
-# 1-3 are the round's NEW queries (the forced-Arrow-kernel pair and
-# the exact-decimal rollup, never driver-sampled); slots 4-33 are
-# ALL 30 remaining r5-era rows (their latest driver row is
-# CORRECTNESS_r05; after this window no query's latest row is older
-# than r6); slots 34-50 are the 17 stalest r6-era rows in
-# registration order — the remaining r6-era rows lead the r10
-# window next.
+# dict from the front (50 entries per round). The r10 window: slots
+# 1-2 are the two formerly rows-only sketch queries, freshly given
+# bound-asserting oracles this round (VERDICT r9 task 3 — their
+# first-ever hash-checked driver rows); slots 3-33 are the other 31
+# r6-era rows in registration order (after this window no query's
+# latest row is older than r7); slots 34-50 are the 17 stalest
+# r7-era rows in registration order — the remaining 33 r7-era rows
+# lead the r11 window next (starting at set_ops_customer_years).
 _PRIORITY = [
-    "vec_knn_arrow_kernel",
-    "vec_lsh_arrow_kernel",
-    "agg_decimal_exact_pricing",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "ml_hash_split",
-    "ml_weighted_sample",
-    "text_tfidf_topk",
-    "text_chunk_token_budget",
-    "join_range_binned",
-    "join_interval_overlap",
-    "ids_dense_assign",
-    "join_bloom_prefilter",
-    "join_salted_skew",
-    "agg_corr_covar",
-    "incremental_join_delta",
-    "sql_frontend_window_gsets",
-    "sql_frontend_lateral",
-    "sql_frontend_setops",
-    "incremental_changelog_rollup",
-    "vec_ivfpq_topk",
-    "vec_pq_codes",
-    "vec_pq_topk_adc",
-    "cdc_apply_changelog",
-    "cdc_store_diff",
-    "text_source_cap",
-    "text_length_outliers",
-    "text_bigram_surprisal",
-    "text_bpe_pair_merge",
-    "text_unigram_surprisal",
-    "cdc_time_travel",
-    "cdc_snapshot_diff",
-    "sql_frontend_having",
-    "sql_frontend_cte_exists",
-    "funnel_three_step_maximal",
-    "vec_ann_topk",
-    "vec_ivf_cells",
-    "vec_ivf_topk",
-    "vec_banded_neardup",
-    "stream_sessionize",
-    "mm_binary_features",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipmode",
-    "q14_promo_share",
-    "agg_grouping_sets",
-    "cdc_late_data_rescan",
+    "agg_approx_sketches",
+    "incremental_distinct_rollup",
     "set_ops_all_variants",
+    "join_cross_region_nation",
+    "window_range_frame_spend",
+    "agg_collect_nations",
+    "unpivot_customer_metrics",
+    "subquery_correlated_order_above_cust_avg",
+    "scalar_math_lineitem",
+    "agg_bitwise_events",
+    "scalar_datetime_parse_roundtrip",
+    "scalar_try_cast_safe",
+    "agg_boolean_lineitem",
+    "scalar_regexp_advanced",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    "q15_top_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_part_promo_suppliers",
+    "ml_stratified_sample",
+    "ml_kfold_assign",
+    "profile_documents",
+    "text_bm25_rank",
+    "search_rrf_fusion",
+    "vec_centroid_per_label",
+    "window_moving_avg_nth",
+    "incremental_theta_overlap",
+    "incremental_topk_rollup",
+    "text_mad_outliers",
+    "window_time_range_moving_sum",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_outer_customer_orders",
+    "join_semi_customers_with_open_orders",
+    "join_anti_customers_without_orders",
+    "join_full_outer_keys",
+    "join_theta_acctbal_band",
+    "agg_distinct_by_status",
+    "agg_rollup_region_nation",
+    "window_rank_orders_per_customer",
+    "window_lag_event_gaps",
+    "window_running_revenue",
+    "window_first_last_value",
+    "window_share_of_total",
+    "sort_topk_lineitem",
+    "sort_nulls_ordering",
 ]
 
 
