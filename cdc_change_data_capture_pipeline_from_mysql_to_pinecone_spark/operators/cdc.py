@@ -173,6 +173,58 @@ def snapshot_latest(df: DataFrame, key_cols: list[str], change_col: str, tiebrea
     )
 
 
+def persist_snapshot_bucketed(
+    snapshot: DataFrame,
+    table_name: str,
+    key_cols: list[str],
+    n_buckets: int,
+) -> None:
+    """Persist a per-cycle snapshot as a catalog table hash-BUCKETED on
+    the CDC key — the storage layout for the reference's repeated
+    snapshot-vs-snapshot cycle (service_layer/service.py:52-57 re-reads
+    and re-matches full tables every 300 s poll, controller.py:35).
+
+    Every downstream key operation between co-bucketed snapshots —
+    :func:`snapshot_diff`'s full outer join, a changelog apply, the
+    store-vs-store audit — then satisfies its required distribution
+    straight off the scan: NO Exchange on either side (plan-pinned in
+    tests/test_bucketing.py). The shuffle is paid once at snapshot
+    write, where the cycle writes anyway, instead of once per
+    downstream join per cycle: at 100 TB with a poll-loop cadence that
+    is the difference between re-shuffling the table every 5 minutes
+    and never. Buckets are also sorted by the key inside each file, so
+    the diff's sort-merge join can skip its Sort when each bucket is
+    one file. Both snapshots MUST use the same ``n_buckets`` and key
+    order — size so a bucket is one healthy task (hundreds of MB)."""
+    from ..sources.tables import write_bucketed
+
+    write_bucketed(
+        snapshot.repartition(n_buckets, *[F.col(c) for c in key_cols]),
+        table_name,
+        key_cols,
+        n_buckets,
+        sort_cols=key_cols,
+    )
+
+
+def bucketed_snapshot_diff(
+    spark,
+    old_table: str,
+    new_table: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """:func:`snapshot_diff` over two catalog snapshots written by
+    :func:`persist_snapshot_bucketed`: the bucket spec rides in the
+    catalog entry, so the full outer join is co-located (zero
+    Exchange). Reading the same files with ``spark.read.parquet``
+    would LOSE the layout — bucketing only exists through the
+    catalog."""
+    return snapshot_diff(
+        spark.table(old_table), spark.table(new_table), key_cols, compare_cols
+    )
+
+
 def as_of(history: DataFrame, ts, valid_from: str = "valid_from", valid_to: str = "valid_to") -> DataFrame:
     """Point-in-time (time-travel) view over an SCD2 history: the rows
     whose validity interval covers ``ts`` — exactly one per key that

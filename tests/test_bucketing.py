@@ -105,6 +105,57 @@ def test_bucketed_aggregation_skips_its_exchange(spark, bucketed):
     assert "Exchange" not in final, final[:800]
 
 
+def test_snapshot_diff_bucketed_zero_exchange_and_parity(spark):
+    """The CDC snapshot-cycle path (persist_snapshot_bucketed +
+    bucketed_snapshot_diff): two co-bucketed snapshot tables feed
+    snapshot_diff's full outer join with ZERO Exchange, and the diff
+    equals the same operator over plain (unbucketed) frames."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.cdc import (
+        bucketed_snapshot_diff,
+        persist_snapshot_bucketed,
+        snapshot_diff,
+    )
+
+    db = "graft_snapcycle_test"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    _force_smj(spark)
+    try:
+        base = load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        # cycle N: drop keys %19, mutate %7 — cycle N+1's snapshot
+        old = base.filter(F.col("o_orderkey") % 19 != 0)
+        new = base.filter(F.col("o_orderkey") % 17 != 0).withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1)
+            .otherwise(F.col("o_totalprice")),
+        )
+        persist_snapshot_bucketed(old, f"{db}.snap_t0", ["o_orderkey"], 8)
+        persist_snapshot_bucketed(new, f"{db}.snap_t1", ["o_orderkey"], 8)
+
+        diff = bucketed_snapshot_diff(
+            spark, f"{db}.snap_t0", f"{db}.snap_t1",
+            ["o_orderkey"], ["o_orderstatus", "o_totalprice"],
+        )
+        rows = diff.collect()
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin FullOuter" in final or "SortMergeJoin" in final
+        assert "Exchange" not in final, final[:800]
+
+        plain = snapshot_diff(
+            old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+        ).collect()
+        key = lambda r: (r["o_orderkey"], r["change_type"])  # noqa: E731
+        assert sorted(map(key, rows)) == sorted(map(key, plain))
+        assert any(r["change_type"] == "insert" for r in rows)
+        assert any(r["change_type"] == "delete" for r in rows)
+        assert any(r["change_type"] == "update" for r in rows)
+    finally:
+        _restore(spark)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_bucketed_roundtrip_values_match(spark, bucketed):
     o = read_bucketed(spark, f"{bucketed}.orders_b")
     plain = load_table(spark, SF_DIR, "orders")

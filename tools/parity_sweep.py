@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Full-registry oracle parity sweep at an arbitrary scale factor.
+
+VERDICT r9 task 4: the driver's correctness gate runs at sf0.01, but
+the >=1 GiB fixtures (fixtures/sf10) exercise a different execution
+regime — AQE runtime re-planning, shuffled hash joins, 100-row-group
+scans — exactly where a silent wrong answer could hide behind a plan
+change. This sweep runs EVERY oracle-backed `queries()` entry against
+the DuckDB oracle at the given fixture dir and records a tally.
+
+Usage:
+    python tools/parity_sweep.py [sf_dir] [--resume]
+
+Writes one JSON line per query to SWEEP_<name>.jsonl as it goes
+(resume skips recorded queries), then a summary to SWEEP_<name>.json.
+Known benign deviation class: floating SUMs over millions of rows can
+differ in the last ~2 ulps between engines because partial-aggregate
+summation order differs (measured rel err ~1e-15); those appear as
+hash mismatches whose numeric columns agree to >=12 significant
+digits. The summary classifies them separately from real mismatches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def _float_only_deviation(res: dict) -> bool:
+    """True when the hash mismatch is confined to float columns that
+    agree to >=12 significant digits — the cross-engine summation-order
+    class (benign, documented in PERFORMANCE.md), not a logic bug."""
+    only_s = res.get("only_spark") or []
+    only_d = res.get("only_duck") or []
+    if not only_s or len(only_s) != len(only_d):
+        return False
+    for s_line, d_line in zip(sorted(only_s), sorted(only_d)):
+        s_cells = s_line.split("|")
+        d_cells = d_line.split("|")
+        if len(s_cells) != len(d_cells):
+            return False
+        for a, b in zip(s_cells, d_cells):
+            if a == b:
+                continue
+            try:
+                fa, fb = float(a), float(b)
+            except ValueError:
+                return False
+            denom = max(abs(fa), abs(fb), 1e-300)
+            if abs(fa - fb) / denom > 1e-12:
+                return False
+    return True
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    resume = "--resume" in sys.argv
+    sf_dir = args[0] if args else os.path.join(REPO, "fixtures", "sf10")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    jsonl = os.path.join(REPO, f"SWEEP_{tag}.jsonl")
+    summary_path = os.path.join(REPO, f"SWEEP_{tag}.json")
+
+    import __spark_entry__ as entrymod
+    from bench import sized_session
+    from oracle_harness import compare, duck_con
+
+    done: dict[str, dict] = {}
+    if resume and os.path.exists(jsonl):
+        with open(jsonl) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                done[rec["query"]] = rec
+    elif os.path.exists(jsonl) and not resume:
+        os.remove(jsonl)
+
+    spark = sized_session(sf_dir, app_name=f"parity-sweep-{tag}")
+    con = duck_con(sf_dir)
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+
+    t0 = time.time()
+    n_run = 0
+    with open(jsonl, "a") as out:
+        for name, fn in qs.items():
+            if name not in sqls or name in done:
+                continue
+            rec: dict = {"query": name}
+            t = time.time()
+            try:
+                res = compare(fn(spark, sf_dir), con, sqls[name])
+                rec["rows_spark"] = res["rows_spark"]
+                rec["rows_duck"] = res["rows_duck"]
+                rec["values_match"] = res["values_match"]
+                rec["cols_match"] = res["cols_match"]
+                if not res["values_match"]:
+                    rec["float_only"] = _float_only_deviation(res)
+                    rec["only_spark"] = (res.get("only_spark") or [])[:3]
+                    rec["only_duck"] = (res.get("only_duck") or [])[:3]
+            except Exception as exc:  # record, keep sweeping
+                rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+            rec["sec"] = round(time.time() - t, 2)
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            done[name] = rec
+            n_run += 1
+
+    recs = list(done.values())
+    fails = [r for r in recs if not r.get("values_match") and "err" not in r]
+    errs = [r for r in recs if "err" in r]
+    float_only = [r for r in fails if r.get("float_only")]
+    real = [r for r in fails if not r.get("float_only")]
+    summary = {
+        "sf_dir": sf_dir,
+        "total_oracle_queries": len(recs),
+        "pass": len(recs) - len(fails) - len(errs),
+        "float_only_deviation": sorted(r["query"] for r in float_only),
+        "real_mismatch": sorted(r["query"] for r in real),
+        "errors": {r["query"]: r["err"] for r in errs},
+        "wall_sec_this_run": round(time.time() - t0, 1),
+        "slowest": dict(
+            sorted(((r["query"], r["sec"]) for r in recs if "sec" in r),
+                   key=lambda kv: -kv[1])[:15]
+        ),
+    }
+    with open(summary_path, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary, indent=1))
+    sys.exit(0 if not real and not errs else 1)
+
+
+if __name__ == "__main__":
+    main()
