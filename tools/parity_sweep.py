@@ -32,6 +32,80 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
+#: Above this result size the row-by-row oracle_harness.compare (pure
+#: Python over collect()ed Rows — the driver-identical gate) becomes
+#: the bottleneck AND a driver-memory risk (60M-row full-projection
+#: results at sf10). Larger results go through the vectorized Arrow
+#: compare below: same multiset-equality question, answered columnar.
+FAST_COMPARE_MIN_ROWS = 200_000
+
+
+def _arrow_norm(tbl, float_dp=None):
+    """pyarrow Table -> pandas DataFrame with columns sorted by name
+    and values normalized for cross-engine comparison (decimals ->
+    float64, timestamps -> int64 us, binary -> hex)."""
+    import numpy as np
+    import pyarrow as pa
+
+    df = tbl.to_pandas(types_mapper=None)
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and len(s) and isinstance(
+            next((v for v in s if v is not None), None), (bytes, bytearray)
+        ):
+            df[c] = s.map(lambda b: b.hex() if b is not None else None)
+        elif str(s.dtype).startswith("datetime64"):
+            df[c] = s.astype("int64")
+        elif s.dtype == object:
+            # decimals and lists: stringify deterministically
+            df[c] = s.map(lambda v: str(v) if v is not None else None)
+    return df
+
+
+def _fast_compare(spark_df, con, sql: str) -> dict:
+    """Vectorized multiset compare for large results: both engines
+    materialize to Arrow, rows are sorted on every column, and float
+    columns compare with rel tol 1e-12 (the cross-engine
+    summation-order class) while everything else compares exactly.
+    Returns the same dict shape oracle_harness.compare produces, plus
+    ``float_only`` when the only differences were in-tolerance
+    floats."""
+    import numpy as np
+    import pandas as pd
+
+    s = _arrow_norm(spark_df.toArrow())
+    d = _arrow_norm(con.sql(sql).arrow())
+    out = {
+        "rows_spark": len(s),
+        "rows_duck": len(d),
+        "cols_match": list(s.columns) == list(d.columns),
+        "rows_match": len(s) == len(d),
+        "fast_path": True,
+    }
+    if not out["cols_match"] or not out["rows_match"]:
+        out["values_match"] = False
+        return out
+    non_float = [c for c in s.columns if s[c].dtype.kind not in "fc"]
+    s = s.sort_values(list(s.columns), kind="mergesort", na_position="last").reset_index(drop=True)
+    d = d.sort_values(list(d.columns), kind="mergesort", na_position="last").reset_index(drop=True)
+    exact_ok = all(s[c].equals(d[c]) for c in non_float)
+    float_ok = True
+    float_exact = True
+    for c in s.columns:
+        if s[c].dtype.kind in "fc":
+            a, b = s[c].to_numpy(), d[c].to_numpy()
+            both_nan = np.isnan(a) & np.isnan(b)
+            eq = (a == b) | both_nan
+            float_exact = float_exact and bool(eq.all())
+            close = np.isclose(a, b, rtol=1e-12, atol=0.0, equal_nan=True)
+            float_ok = float_ok and bool(close.all())
+    out["values_match"] = exact_ok and float_exact
+    if not out["values_match"]:
+        out["float_only"] = exact_ok and float_ok
+    return out
+
+
 def _float_only_deviation(res: dict) -> bool:
     """True when the hash mismatch is confined to float columns that
     agree to >=12 significant digits — the cross-engine summation-order
@@ -93,7 +167,14 @@ def main() -> None:
             rec: dict = {"query": name}
             t = time.time()
             try:
-                res = compare(fn(spark, sf_dir), con, sqls[name])
+                n_expected = con.sql(
+                    f"SELECT count(*) FROM ({sqls[name]}) _q"
+                ).fetchone()[0]
+                if n_expected >= FAST_COMPARE_MIN_ROWS:
+                    res = _fast_compare(fn(spark, sf_dir), con, sqls[name])
+                    rec["fast_path"] = True
+                else:
+                    res = compare(fn(spark, sf_dir), con, sqls[name])
                 rec["rows_spark"] = res["rows_spark"]
                 rec["rows_duck"] = res["rows_duck"]
                 rec["values_match"] = res["values_match"]

@@ -6,8 +6,15 @@ protocol the per-round bar is judged on, so this is the one-command
 re-verification of the "N consecutive windows <= BAR" claim.
 
 Usage: python tools/windows.py [N] [--bar 2.0] [--sleep 60]
-           [--wait-load L] [query ...]
+           [--wait-load L] [--pin-duck SECS] [query ...]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+
+--pin-duck SECS: additionally report each window's Spark total against
+a PINNED DuckDB denominator (e.g. the r8-recorded 1.85 s at sf0.1).
+The live denominator drifts ±20% with host state (measured r9-r10),
+so the live ratio conflates our regressions with DuckDB's host luck;
+the pinned ratio isolates the Spark numerator's movement. Both are
+printed — the bar check stays on the live ratio.
 
 --wait-load L: before each window, poll until the 1-minute load
 average drains to <= L (capped at 10 min, then proceed anyway). The
@@ -44,6 +51,11 @@ def main() -> None:
         i = args.index("--wait-load")
         wait_load = float(args[i + 1])
         del args[i:i + 2]
+    pin_duck = None
+    if "--pin-duck" in args:
+        i = args.index("--pin-duck")
+        pin_duck = float(args[i + 1])
+        del args[i:i + 2]
     here = os.path.dirname(os.path.abspath(__file__))
     results = []
     for w in range(n):
@@ -64,20 +76,31 @@ def main() -> None:
             continue
         rec = json.loads(line[-1])
         results.append(rec)
+        pinned = (
+            f", pinned-duck ratio {rec['spark_total'] / pin_duck:.3f}x"
+            if pin_duck
+            else ""
+        )
         print(
             f"window {w + 1}: ratio {rec['ratio']:.3f}x "
             f"(spark {rec['spark_total']:.3f} / duck {rec['duck_total']:.3f}, "
-            f"load {rec.get('load_avg_1m')})",
+            f"load {rec.get('load_avg_1m')}){pinned}",
             flush=True,
         )
     ok = [r for r in results if r is not None]
     met = all(r["ratio"] <= bar for r in ok) and len(ok) == n
-    print(json.dumps({
+    summary = {
         "windows": n,
         "ratios": [r["ratio"] if r else None for r in results],
         "bar": bar,
         "all_windows_at_or_under_bar": met,
-    }))
+    }
+    if pin_duck:
+        summary["pin_duck"] = pin_duck
+        summary["pinned_ratios"] = [
+            round(r["spark_total"] / pin_duck, 3) if r else None for r in results
+        ]
+    print(json.dumps(summary))
     sys.exit(0 if met else 1)
 
 
