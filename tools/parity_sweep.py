@@ -107,9 +107,15 @@ def _fast_compare(spark_df, con, sql: str) -> dict:
 
 
 def _float_only_deviation(res: dict) -> bool:
-    """True when the hash mismatch is confined to float columns that
-    agree to >=12 significant digits — the cross-engine summation-order
-    class (benign, documented in PERFORMANCE.md), not a logic bug."""
+    """True when the hash mismatch is confined to numeric cells that
+    agree to >=9 significant digits — the cross-engine summation-order
+    class (benign, documented in PERFORMANCE.md), not a logic bug.
+    9 digits, not 12, because this inspects the HARNESS-NORMALIZED
+    strings: oracle_harness renders floats with %.10g (and whole
+    floats as ints), so a true 1e-15 deviation that crosses the
+    int/float render boundary (q1's 2.8e11-magnitude sums) surfaces
+    here as a ~1e-10 string-level difference. The fast path
+    (_fast_compare) classifies from raw values at rel 1e-12."""
     only_s = res.get("only_spark") or []
     only_d = res.get("only_duck") or []
     if not only_s or len(only_s) != len(only_d):
@@ -127,7 +133,7 @@ def _float_only_deviation(res: dict) -> bool:
             except ValueError:
                 return False
             denom = max(abs(fa), abs(fb), 1e-300)
-            if abs(fa - fb) / denom > 1e-12:
+            if abs(fa - fb) / denom > 1e-9:
                 return False
     return True
 
