@@ -463,15 +463,28 @@ def join_full_outer_keys(spark, sf_dir):
     """,
 )
 def join_theta_acctbal_band(spark, sf_dir):
-    """Theta/range join (J6): band predicate, BNL with broadcast of the
-    10-row side — the strategy Catalyst picks is the right one here."""
+    """Theta/range join with a count rollup (J6). Until r10 this ran
+    the band BNL join Catalyst picks (fine at sf0.1's 1k x 15k), but
+    the sf10 parity sweep exposed it as the round's scale-killer: the
+    ±100 band MATCHES ~2.7B supplier-customer pairs at 100k x 1.5M,
+    and any join strategy — BNL or the binned equi-join — must
+    materialize every pair just to count it (>30 min at sf10). Since
+    the query only needs the count, it now pushes the aggregate below
+    the join entirely: band_count_join evaluates the cumulative
+    distribution of customer balances at each supplier's band
+    endpoints via a two-level binned prefix sum (count = F(hi) -
+    F(lo⁻)), linear in both inputs — sf10 runs in seconds and the
+    pairs never exist. Value-identical to the BNL form
+    (tests/test_scale_ops.py pins parity), oracle unchanged."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        band_count_join,
+    )
+
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
-    cond = c.c_acctbal.between(s.s_acctbal - 100, s.s_acctbal + 100)
-    return (
-        s.join(c, cond, "left")
-        .groupBy("s_suppkey")
-        .agg(F.count("c_custkey").alias("n_close"))
+    return band_count_join(
+        s, c, ["s_suppkey"], "s_acctbal", "c_acctbal",
+        delta=100.0, bin_width=2.0, count_alias="n_close",
     )
 
 

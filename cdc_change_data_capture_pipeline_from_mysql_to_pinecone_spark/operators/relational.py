@@ -257,6 +257,128 @@ def binned_range_join(
     return out
 
 
+def band_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    left_val: str,
+    right_val: str,
+    delta: float,
+    bin_width: float,
+    count_alias: str = "n_in_band",
+) -> DataFrame:
+    """COUNT-of-band-matches without materializing the matches: for
+    each left row, how many right rows have ``right_val`` within
+    ``left_val ± delta``. Returns ``left_keys + count_alias``.
+
+    The r10 sf10 parity sweep caught the naive form (band BNL join,
+    then count per key) as a scale-killer: the MATCHED PAIRS are the
+    blowup — at sf10 the supplier x customer ±100 band yields ~2.7
+    BILLION pairs that exist only to be counted, and even the binned
+    equi-join (binned_range_join) must surface every one. When the
+    aggregate is a count, it pushes below the join entirely:
+
+      count(val in [lo, hi]) = F(hi) - F(lo⁻)
+
+    with F the cumulative count of right values. F is evaluated at
+    2|left| band endpoints via a two-level distributed prefix sum —
+    (a) right collapses to per-(bin, value) counts, (b) a DENSE
+    per-bin prefix table (window over ~value_range/bin_width rows —
+    bounded by the VALUE DOMAIN, not the data, so the single-partition
+    window is safe at any scale; size ``bin_width`` to keep it so),
+    (c) each endpoint equi-joins its OWN bin's values for the partial
+    (<= for the hi endpoint, < for lo) and adds the prefix below its
+    bin. Endpoints outside the populated bin range clamp to 0 / total.
+    Cost is linear in |left| + |right| plus |endpoints| x
+    values-per-bin — never |left| x |right|, and the 2.7B pairs never
+    exist. NULL left_val counts 0 (a NULL band matches nothing);
+    NULL right_val rows never match (mirrors ``between``).
+
+    ``left_keys`` must uniquely identify left rows (duplicate keys
+    would merge their endpoint contributions).
+    """
+    val = F.col(right_val)
+    rv = (
+        right.filter(val.isNotNull())
+        .groupBy(
+            F.floor(val / F.lit(bin_width)).cast("long").alias("_bin"),
+            val.alias("_v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_vc"))
+    )
+    per_bin = rv.groupBy("_bin").agg(F.sum("_vc").alias("_bc"))
+    bounds = per_bin.agg(
+        F.min("_bin").alias("_b0"),
+        F.max("_bin").alias("_b1"),
+        F.sum("_bc").alias("_total"),
+    )
+    dense = bounds.select(
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("_bin")
+    )
+    w = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        dense.join(per_bin, "_bin", "left")
+        .select("_bin", F.coalesce(F.col("_bc"), F.lit(0)).alias("_bc"))
+        .select("_bin", F.coalesce(F.sum("_bc").over(w), F.lit(0)).alias("_cum_prev"))
+    )
+    lv = F.col(left_val)
+    ep = left.select(*left_keys, lv.alias("_lv")).select(
+        *left_keys,
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("_lv") + F.lit(delta)).alias("_e"),
+                    F.lit(1).alias("_sign"),
+                    F.lit(1).alias("_incl"),
+                ),
+                F.struct(
+                    (F.col("_lv") - F.lit(delta)).alias("_e"),
+                    F.lit(-1).alias("_sign"),
+                    F.lit(0).alias("_incl"),
+                ),
+            )
+        ).alias("_ep"),
+    ).select(
+        *left_keys,
+        F.col("_ep._e").alias("_e"),
+        F.col("_ep._sign").alias("_sign"),
+        F.col("_ep._incl").alias("_incl"),
+        F.floor(F.col("_ep._e") / F.lit(bin_width)).cast("long").alias("_ebin"),
+    )
+    # partial inside the endpoint's own bin: values <= e (hi) / < e (lo)
+    in_bin = (
+        ep.join(rv, ep["_ebin"] == rv["_bin"], "left")
+        .withColumn(
+            "_hit",
+            F.when(
+                F.when(F.col("_incl") == 1, F.col("_v") <= F.col("_e")).otherwise(
+                    F.col("_v") < F.col("_e")
+                ),
+                F.col("_vc"),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy(*left_keys, "_e", "_sign", "_incl", "_ebin")
+        .agg(F.sum("_hit").alias("_partial"))
+    )
+    # prefix below the bin, clamped outside the populated range; the
+    # prefix and bounds relations are bin-count-sized — broadcast
+    f_vals = (
+        in_bin.join(F.broadcast(prefix), in_bin["_ebin"] == prefix["_bin"], "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *left_keys,
+            "_sign",
+            F.when(F.col("_ebin") < F.col("_b0"), F.lit(0))
+            .when(F.col("_ebin") > F.col("_b1"), F.col("_total"))
+            .otherwise(F.col("_cum_prev") + F.col("_partial"))
+            .alias("_f"),
+        )
+    )
+    return f_vals.groupBy(*left_keys).agg(
+        F.coalesce(F.sum(F.col("_sign") * F.col("_f")), F.lit(0)).alias(count_alias)
+    )
+
+
 def binned_overlap_join(
     a: DataFrame,
     b: DataFrame,

@@ -59,6 +59,65 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS o_bkt")
 
 
+def test_band_count_join_matches_bnl_and_has_no_nested_loop(spark, sf_dir):
+    """band_count_join must equal the naive band-BNL count per key and
+    plan without any nested-loop/cartesian operator (the sf10
+    scale-killer it replaces)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        band_count_join,
+    )
+
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    fast = band_count_join(
+        s, c, ["s_suppkey"], "s_acctbal", "c_acctbal",
+        delta=100.0, bin_width=2.0, count_alias="n_close",
+    )
+    plan = explain_str(fast)
+    assert "Cartesian" not in plan, plan[:800]
+    # the ONLY nested-loop allowed is the condition-less Cross against
+    # the broadcast 1-row bounds relation (the constants pattern);
+    # a band-predicate BNL would plan as a CONDITIONED BNL join
+    import re
+
+    bnl = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
+    assert not any((">=" in b) or ("<=" in b) for b in bnl), bnl
+    naive = (
+        s.join(c, c.c_acctbal.between(s.s_acctbal - 100, s.s_acctbal + 100), "left")
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("n_close"))
+    )
+    a = {r["s_suppkey"]: r["n_close"] for r in fast.collect()}
+    b = {r["s_suppkey"]: r["n_close"] for r in naive.collect()}
+    assert a == b
+    assert sum(a.values()) > 0
+
+
+def test_band_count_join_null_and_boundary_semantics(spark):
+    """NULL left values count 0; NULL right values never match;
+    boundary values are inclusive on both ends (between semantics)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        band_count_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 100.0)], "k int, v double"
+    )
+    right = spark.createDataFrame(
+        [(5.0,), (15.0,), (None,), (20.0,), (95.0,)], "w double"
+    )
+    out = {
+        r["k"]: r["n"]
+        for r in band_count_join(
+            left, right, ["k"], "v", "w", delta=5.0, bin_width=2.0,
+            count_alias="n",
+        ).collect()
+    }
+    # k=1 band [5,15]: matches 5.0 and 15.0 (inclusive both ends)
+    # k=2 NULL band: 0;  k=3 band [95,105]: matches 95.0
+    assert out == {1: 2, 2: 0, 3: 1}, out
+
+
 def test_binned_range_join_equijoin_plan_and_parity(spark, sf_dir):
     """binned_range_join must (a) match the BNL band join's answer and
     (b) execute as an equi-join on the bin id — no nested-loop or
