@@ -57,6 +57,15 @@ def _arrow_norm(tbl, float_dp=None):
             df[c] = s.map(lambda b: b.hex() if b is not None else None)
         elif str(s.dtype).startswith("datetime64"):
             df[c] = s.astype("int64")
+        elif s.dtype.kind in "iu":
+            # dtype-normalize: engines disagree on integer WIDTH
+            # (int32 vs int64) for the same values, and
+            # Series.equals is dtype-sensitive
+            df[c] = s.astype("int64")
+        elif s.dtype.kind == "b":
+            df[c] = s.astype("int64")
+        elif s.dtype.kind == "f":
+            df[c] = s.astype("float64")
         elif s.dtype == object:
             # decimals and lists: stringify deterministically
             df[c] = s.map(lambda v: str(v) if v is not None else None)
@@ -86,6 +95,14 @@ def _fast_compare(spark_df, con, sql: str) -> dict:
     if not out["cols_match"] or not out["rows_match"]:
         out["values_match"] = False
         return out
+    # width-align: a column that is int64 on one side and float64 on
+    # the other (nullable ints surface as float64 in pandas) must
+    # compare as float on both
+    for c in s.columns:
+        kinds = {s[c].dtype.kind, d[c].dtype.kind}
+        if "f" in kinds and kinds != {"f"}:
+            s[c] = s[c].astype("float64")
+            d[c] = d[c].astype("float64")
     non_float = [c for c in s.columns if s[c].dtype.kind not in "fc"]
     s = s.sort_values(list(s.columns), kind="mergesort", na_position="last").reset_index(drop=True)
     d = d.sort_values(list(d.columns), kind="mergesort", na_position="last").reset_index(drop=True)
