@@ -496,14 +496,15 @@ def main() -> None:
         except Exception as exc:
             errors["sf1"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    # Optional third decade (r9): SPARK_GRAFT_BENCH_SF10=1 adds an
-    # "sf10" block over fixtures/sf10 (tools/gen_sf.py, K=100 —
-    # 1.7 GB, the AQE-on regime). Off by default: it adds ~3-4 min
-    # and the per-round artifact's job is sf0.1+sf1; the cross-scale
-    # series (sf0.1 ~2.2 / sf1 ~1.9 / sf10 ~1.64, PERFORMANCE.md r9)
-    # is reproducible with this one switch.
+    # Third decade (r9, default-on since r10): an "sf10" block over
+    # fixtures/sf10 (tools/gen_sf.py, K=100 — 1.7 GB, the AQE-on
+    # regime). Adds ~3-4 min, and records the cross-scale series
+    # (sf0.1 ~2.2 / sf1 ~1.9 / sf10 ~1.64, PERFORMANCE.md r9) — the
+    # direct evidence the residual ratio is per-job floor, not plan
+    # quality — in every round artifact instead of only on demand.
+    # SPARK_GRAFT_BENCH_SF10=0 disables for quick runs.
     sf10_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf10")
-    if os.path.isdir(sf10_dir) and os.environ.get("SPARK_GRAFT_BENCH_SF10", "0") == "1":
+    if os.path.isdir(sf10_dir) and os.environ.get("SPARK_GRAFT_BENCH_SF10", "1") == "1":
         try:
             sf10_bytes = sum(
                 os.path.getsize(os.path.join(r, f))
