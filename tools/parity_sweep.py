@@ -158,6 +158,10 @@ def _float_only_deviation(res: dict) -> bool:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     resume = "--resume" in sys.argv
+    shard_i, shard_n = 0, 1
+    for a in sys.argv[1:]:
+        if a.startswith("--shard="):
+            shard_i, shard_n = (int(x) for x in a.split("=")[1].split("/"))
     sf_dir = args[0] if args else os.path.join(REPO, "fixtures", "sf10")
     tag = os.path.basename(os.path.normpath(sf_dir))
     jsonl = os.path.join(REPO, f"SWEEP_{tag}.jsonl")
@@ -184,8 +188,8 @@ def main() -> None:
     t0 = time.time()
     n_run = 0
     with open(jsonl, "a") as out:
-        for name, fn in qs.items():
-            if name not in sqls or name in done:
+        for qi, (name, fn) in enumerate(qs.items()):
+            if name not in sqls or name in done or qi % shard_n != shard_i:
                 continue
             rec: dict = {"query": name}
             t = time.time()
