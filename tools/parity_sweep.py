@@ -32,6 +32,22 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
+#: Queries whose ORACLE (not the engine) cannot scale to the given
+#: fixture: the dedup cluster oracles compute connected components as
+#: a recursive-CTE transitive closure — explicitly documented "fine at
+#: oracle scale" — which is O(sum of component sizes squared) in rows
+#: and effectively unbounded on the 1M-node sf10 doubled corpus (both
+#: ran >27 min without completing; the Spark side, iterative min-label
+#: propagation, finishes in seconds — verified and recorded in the
+#: summary as oracle_unscalable with the engine-side runtime).
+ORACLE_UNSCALABLE = {
+    "fixtures/sf10": {
+        "dedup_cluster_survivors": "oracle transitive-closure CTE is quadratic; spark side OK",
+        "dedup_cluster_best_survivors": "oracle transitive-closure CTE is quadratic; spark side OK",
+    }
+}
+
+
 #: Above this result size the row-by-row oracle_harness.compare (pure
 #: Python over collect()ed Rows — the driver-identical gate) becomes
 #: the bottleneck AND a driver-memory risk (60M-row full-projection
@@ -185,6 +201,10 @@ def main() -> None:
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
 
+    skip = {}
+    for key, entries in ORACLE_UNSCALABLE.items():
+        if sf_dir.rstrip("/").endswith(key):
+            skip = entries
     t0 = time.time()
     n_run = 0
     with open(jsonl, "a") as out:
@@ -193,6 +213,18 @@ def main() -> None:
                 continue
             rec: dict = {"query": name}
             t = time.time()
+            if name in skip:
+                # engine-side rows-only evidence for the record
+                try:
+                    rec["spark_rows_only"] = fn(spark, sf_dir).count()
+                except Exception as exc:
+                    rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+                rec["oracle_unscalable"] = skip[name]
+                rec["sec"] = round(time.time() - t, 2)
+                out.write(json.dumps(rec) + "\n")
+                out.flush()
+                done[name] = rec
+                continue
             try:
                 n_expected = con.sql(
                     f"SELECT count(*) FROM ({sqls[name]}) _q"
@@ -219,6 +251,8 @@ def main() -> None:
             n_run += 1
 
     recs = list(done.values())
+    unscalable = [r for r in recs if "oracle_unscalable" in r]
+    recs = [r for r in recs if "oracle_unscalable" not in r]
     fails = [r for r in recs if not r.get("values_match") and "err" not in r]
     errs = [r for r in recs if "err" in r]
     float_only = [r for r in fails if r.get("float_only")]
@@ -229,6 +263,14 @@ def main() -> None:
         "pass": len(recs) - len(fails) - len(errs),
         "float_only_deviation": sorted(r["query"] for r in float_only),
         "real_mismatch": sorted(r["query"] for r in real),
+        "oracle_unscalable_rows_only": {
+            r["query"]: {
+                "reason": r["oracle_unscalable"],
+                "spark_rows": r.get("spark_rows_only"),
+                "spark_sec": r.get("sec"),
+            }
+            for r in unscalable
+        },
         "errors": {r["query"]: r["err"] for r in errs},
         "wall_sec_this_run": round(time.time() - t0, 1),
         "slowest": dict(
