@@ -1574,11 +1574,47 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash(d, "text", "doc_id", bits=16)
 
 
+#: Signature width for the near-dup candidate query. The r10 sf10
+#: sweep caught the 16-bit form as unusable at scale TWICE over: (a)
+#: 2^16 signature values cannot separate 500k templated docs — the
+#: CANDIDATE SET itself explodes (555k pairs from 5k docs at sf0.1,
+#: >1 GiB of result at sf10); (b) its fixed ``>> 8`` bucketing held
+#: bucket count constant while data grew, so within-bucket joins grew
+#: quadratically (10^9 pairs, 24g heap OOM). 48 bits is the portable
+#: md5-prefix hash's full usable width (functions.hashing: 60-bit hh,
+#: bits must stay below it); hamming ≤ 6 of 48 is selective (random
+#: pairs center at 24) while exact/near dups stay at 0-6.
+_SIMHASH_NEARDUP_BITS = 48
+
+
+def _simhash_bucket_shift(n_docs: int, bits: int = _SIMHASH_NEARDUP_BITS) -> int:
+    """Corpus-adaptive bucket width for simhash near-dup candidate
+    generation: keep ~16 docs per bucket (bucket_bits =
+    max(8, ceil(log2(n/16))), pure-integer bit_length so both engines
+    derive the identical value). A fixed bucket count is the same bug
+    class as a fixed LSH plane count — candidate-generation
+    granularity must scale with the corpus (planes_for_corpus is the
+    vec-family analogue). Recall trade is explicit: tighter buckets
+    confine candidates to pairs agreeing on more high bits; the
+    guaranteed-recall path for hamming radius r is banded multi-table
+    hashing (the LSH/winnowing family)."""
+    m = max(1, -(-n_docs // 16))
+    bucket_bits = max(8, (m - 1).bit_length())
+    return max(0, bits - bucket_bits)
+
+
 @_q(
     "dedup_simhash_neardup",
     f"""
-    WITH sig AS ({_duck_simhash_sql()}),
-         b AS (SELECT doc_id, simhash, simhash >> 8 AS bkt FROM sig)
+    WITH sig AS ({_duck_simhash_sql(bits=_SIMHASH_NEARDUP_BITS)}),
+         nc AS (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS m FROM documents),
+         sh AS (SELECT GREATEST(0, {_SIMHASH_NEARDUP_BITS} - GREATEST(8,
+                    length(ltrim(bin(m - 1), '0')))) AS s FROM nc),
+         b0 AS (SELECT doc_id, simhash,
+                       simhash >> (SELECT s FROM sh) AS bkt FROM sig),
+         ok AS (SELECT bkt FROM b0 GROUP BY bkt
+                HAVING count(*) BETWEEN 2 AND 256),
+         b AS (SELECT b0.* FROM b0 JOIN ok USING (bkt))
     SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, bb.simhash)) AS BIGINT) AS hamming
     FROM b a JOIN b bb ON a.bkt = bb.bkt AND a.doc_id < bb.doc_id
@@ -1587,12 +1623,30 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_simhash_neardup(spark, sf_dir):
     """SimHash near-dup candidates: bucket on the signature's high
-    bits (identical high byte ⇒ hamming concentrated in low bits),
-    pair within buckets, keep pairs within hamming ≤ 6. The join key
-    is one small int — the n² explosion never materializes."""
+    bits, pair within buckets, keep pairs within hamming ≤ 6. 48-bit
+    signatures and corpus-adaptive bucket width (see
+    _SIMHASH_NEARDUP_BITS / _simhash_bucket_shift — the r10 fixes for
+    the two quadratic blowups the sf10 sweep caught); the oracle
+    derives the identical shift from count(*) with the same integer
+    bit-length formula, so the bucketing replays exactly cross-engine
+    at every scale. Degenerate buckets (>256 members — a shared
+    template collapsing many docs onto one high-bit prefix) are
+    DROPPED before pairing, the same non-discriminative-bucket policy
+    as lsh_candidate_pairs(max_bucket_size=...): a hot bucket's pair
+    expansion is quadratic in its size regardless of how buckets are
+    keyed, and its members are better recovered by the banded
+    families."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = dedup.simhash(d, "text", "doc_id", bits=16)
-    b = sig.withColumn("bkt", F.shiftright("simhash", 8))
+    shift = _simhash_bucket_shift(_table_rows(sf_dir, "documents"))
+    sig = dedup.simhash(d, "text", "doc_id", bits=_SIMHASH_NEARDUP_BITS)
+    b = sig.withColumn("bkt", F.shiftright("simhash", shift))
+    ok = (
+        b.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= 256))
+        .select("bkt")
+    )
+    b = b.join(ok, "bkt")
     left = b.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "bkt")
     right = b.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "bkt")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
