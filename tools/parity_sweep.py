@@ -55,6 +55,82 @@ ORACLE_UNSCALABLE = {
 #: compare below: same multiset-equality question, answered columnar.
 FAST_COMPARE_MIN_ROWS = 200_000
 
+#: Above this result size NO driver-side materialization is sane (the
+#: sf10 interval-overlap pair list is 1.29 BILLION rows — overlap
+#: joins are semantically quadratic in dense regions). Parity is then
+#: checked by aggregates computed INSIDE each engine: row count, exact
+#: integer-column sums (BIGINT-exact both sides), double sums at rel
+#: 1e-6 (summation-order drift over 10^9 rows), string length sums,
+#: timestamp epoch averages. Any logic bug moves these by orders of
+#: magnitude; nothing is shipped to the driver but the aggregates.
+AGG_COMPARE_MIN_ROWS = 20_000_000
+
+
+def _agg_compare(spark_df, con, sql: str, n_expected: int) -> dict:
+    import math
+
+    from pyspark.sql import functions as F
+
+    d_schema = con.sql(f"SELECT * FROM ({sql}) q LIMIT 0")
+    d_cols = list(d_schema.columns)
+    d_types = [str(t).upper() for t in d_schema.types]
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    out = {
+        "agg_compare": True,
+        "rows_spark": None,
+        "rows_duck": n_expected,
+        "cols_match": sorted(d_cols) == sorted(s_types),
+    }
+    duck_aggs, spark_aggs, kinds = ["count(*)"], [F.count(F.lit(1))], ["exact"]
+    for c, dt in zip(d_cols, d_types):
+        st = s_types.get(c, "")
+        if any(k in dt for k in ("INT", "HUGEINT")) and "POINT" not in dt:
+            duck_aggs.append(f'CAST(sum("{c}") AS VARCHAR)')
+            spark_aggs.append(F.sum(F.col(c)).cast("string"))
+            kinds.append("exact")
+        elif any(k in dt for k in ("DOUBLE", "FLOAT", "DECIMAL")):
+            duck_aggs.append(f'sum("{c}"::DOUBLE)')
+            spark_aggs.append(F.sum(F.col(c).cast("double")))
+            kinds.append("approx")
+        elif "TIMESTAMP" in dt or "DATE" in dt:
+            duck_aggs.append(f'avg(epoch_us("{c}"::TIMESTAMP))')
+            spark_aggs.append(F.avg(F.unix_micros(F.col(c).cast("timestamp"))))
+            kinds.append("approx")
+        elif "BOOL" in dt:
+            duck_aggs.append(f'CAST(sum(CASE WHEN "{c}" THEN 1 ELSE 0 END) AS VARCHAR)')
+            spark_aggs.append(F.sum(F.when(F.col(c), 1).otherwise(0)).cast("string"))
+            kinds.append("exact")
+        else:
+            duck_aggs.append(f'CAST(sum(length("{c}")) AS VARCHAR)')
+            spark_aggs.append(F.sum(F.length(F.col(c))).cast("string"))
+            kinds.append("exact")
+    d_row = con.sql(
+        f"SELECT {', '.join(duck_aggs)} FROM ({sql}) q"
+    ).fetchone()
+    s_row = spark_df.agg(*spark_aggs).collect()[0]
+    out["rows_spark"] = int(s_row[0])
+    out["rows_match"] = out["rows_spark"] == n_expected
+    ok = out["rows_match"] and out["cols_match"]
+    diffs = []
+    for i, kind in enumerate(kinds[1:], start=1):
+        a, b = s_row[i], d_row[i]
+        if kind == "exact":
+            same = str(a) == str(b)
+        else:
+            fa = float(a) if a is not None else math.nan
+            fb = float(b) if b is not None else math.nan
+            if math.isnan(fa) and math.isnan(fb):
+                same = True
+            else:
+                same = abs(fa - fb) <= 1e-6 * max(abs(fa), abs(fb), 1e-300)
+        if not same:
+            diffs.append({"agg_index": i, "spark": str(a)[:40], "duck": str(b)[:40]})
+            ok = False
+    out["values_match"] = ok
+    if diffs:
+        out["agg_diffs"] = diffs[:5]
+    return out
+
 
 def _arrow_norm(tbl, float_dp=None):
     """pyarrow Table -> pandas DataFrame with columns sorted by name
@@ -197,7 +273,22 @@ def main() -> None:
         os.remove(jsonl)
 
     spark = sized_session(sf_dir, app_name=f"parity-sweep-{tag}")
-    con = duck_con(sf_dir)
+
+    def fresh_con():
+        # fresh connection PER QUERY: a DuckDB memory error poisons
+        # the connection and cascades instant failures onto every
+        # later oracle. An in-memory DuckDB also cannot spill without
+        # a temp dir, and its default memory target (80% of RAM)
+        # overcommits against the Spark JVM — big sf10 oracle
+        # intermediates then die with malloc "bad allocation" instead
+        # of spilling. Bound it explicitly and give it disk.
+        c = duck_con(sf_dir)
+        c.sql("SET temp_directory='/tmp/duck_sweep_spill'")
+        c.sql("SET max_temp_directory_size='80GB'")
+        c.sql("SET memory_limit='24GB'")
+        return c
+
+    con = fresh_con()
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
 
@@ -213,6 +304,7 @@ def main() -> None:
                 continue
             rec: dict = {"query": name}
             t = time.time()
+            con = fresh_con()
             if name in skip:
                 # engine-side rows-only evidence for the record
                 try:
@@ -229,7 +321,10 @@ def main() -> None:
                 n_expected = con.sql(
                     f"SELECT count(*) FROM ({sqls[name]}) _q"
                 ).fetchone()[0]
-                if n_expected >= FAST_COMPARE_MIN_ROWS:
+                if n_expected >= AGG_COMPARE_MIN_ROWS:
+                    res = _agg_compare(fn(spark, sf_dir), con, sqls[name], n_expected)
+                    rec["agg_compare"] = True
+                elif n_expected >= FAST_COMPARE_MIN_ROWS:
                     res = _fast_compare(fn(spark, sf_dir), con, sqls[name])
                     rec["fast_path"] = True
                 else:
