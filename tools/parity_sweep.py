@@ -285,7 +285,10 @@ def main() -> None:
         c = duck_con(sf_dir)
         c.sql("SET temp_directory='/tmp/duck_sweep_spill'")
         c.sql("SET max_temp_directory_size='80GB'")
-        c.sql("SET memory_limit='24GB'")
+        # 24GB coexists with sharded Spark JVMs; the sf10 PQ oracles
+        # genuinely need ~60GB+ (247KB codebook-literal SQL over 200k
+        # vectors) — run those solo with SWEEP_DUCK_MEM=80GB
+        c.sql(f"SET memory_limit='{os.environ.get('SWEEP_DUCK_MEM', '24GB')}'")
         return c
 
     con = fresh_con()
@@ -304,6 +307,10 @@ def main() -> None:
                 continue
             rec: dict = {"query": name}
             t = time.time()
+            try:
+                con.close()  # each con owns a thread pool — leak = EAGAIN
+            except Exception:
+                pass
             con = fresh_con()
             if name in skip:
                 # engine-side rows-only evidence for the record
