@@ -3250,15 +3250,15 @@ def stream_sliding_window(spark, sf_dir):
     "stream_session_window_native",
     """
     WITH s AS (
-      SELECT event_type, epoch_us(ts) AS us, value,
+      SELECT event_type, event_id, epoch_us(ts) AS us, value,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS brk
       FROM events
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+      WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
     ), g AS (
       SELECT event_type, us, value,
-             sum(brk) OVER (PARTITION BY event_type ORDER BY us
+             sum(brk) OVER (PARTITION BY event_type ORDER BY us, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM s
     )
@@ -3276,7 +3276,13 @@ def stream_session_window_native(spark, sf_dir):
     principles with lag+cumsum): 30-min-gap sessions per event_type;
     start = first event, end = last event + gap. Oracle is the classic
     gap-and-islands construction, proving the built-in against first
-    principles."""
+    principles. The oracle's two window passes MUST share one
+    deterministic total order (us, event_id): the r10 sf10 sweep
+    caught the original mixed ordering (lag over raw nano ts, cumsum
+    over µs) splitting a session when 100 events tie on the same
+    microsecond — the cumsum placed 99 tied rows 'before' the
+    session-break row. Spark's single session was correct; the oracle
+    was the bug."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "event_type")
