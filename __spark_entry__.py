@@ -1607,7 +1607,8 @@ def _simhash_bucket_shift(n_docs: int, bits: int = _SIMHASH_NEARDUP_BITS) -> int
     "dedup_simhash_neardup",
     f"""
     WITH sig AS ({_duck_simhash_sql(bits=_SIMHASH_NEARDUP_BITS)}),
-         nc AS (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS m FROM documents),
+         nc AS (SELECT GREATEST(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS m
+                FROM documents),
          sh AS (SELECT GREATEST(0, {_SIMHASH_NEARDUP_BITS} - GREATEST(8,
                     length(ltrim(bin(m - 1), '0')))) AS s FROM nc),
          b0 AS (SELECT doc_id, simhash,
@@ -3882,15 +3883,23 @@ def agg_minby_maxby_events(spark, sf_dir):
     "agg_cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS total, count(*) AS n
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS total,
+           count(*) AS n
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_cube_status_priority(spark, sf_dir):
-    """CUBE grouping sets (A6)."""
+    """CUBE grouping sets (A6). The money total sums as DECIMAL —
+    order-independent, so the hash check holds at EVERY scale (the
+    double sum drifted by summation order past the round(,2) boundary
+    at sf10's magnitudes — the q1 class, VERDICT r10 task 3); the
+    exact decimal converts to DOUBLE losslessly below 2^53 cents."""
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n")
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -4265,41 +4274,146 @@ def mm_frame_sample(spark, sf_dir):
     return frames.select("id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
-@_q("embed_documents", None)  # non-SQL-expressible: pandas_udf kernel
+# The deterministic hashing featurizer (streaming.pipeline._hash_featurize,
+# the model-free fallback for U1) is SQL-expressible: per whitespace token,
+# h = int(md5(tok)[:15 hex], 16) — 60 bits, so (h >> 60) & 1 is always 0 and
+# the scatter sign is always -1 — bucket h % 384, normalize. The DuckDB
+# replica below was verified BIT-EXACT against the numpy kernel at the
+# float32 level (200/200 docs, every nonzero component) before these two
+# queries gained hash-checked oracles (VERDICT r10 task 2: the registry's
+# last no_oracle entries). When sentence_transformers IS importable the
+# UDF switches to the real model and these oracles no longer apply — the
+# import-gated test in tests/test_streaming.py covers that path.
+_EMBED_FALLBACK_COMPONENTS_SQL = r"""
+    d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+            FROM d),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 384 AS idx
+          FROM tok WHERE t <> ''),
+    k AS (SELECT doc_id, idx, count(*)::BIGINT AS k FROM h GROUP BY 1, 2),
+    n AS (SELECT doc_id, sqrt(sum(k * k)) AS nrm FROM k GROUP BY 1),
+    comp AS (SELECT k.doc_id, k.idx,
+                    CAST(-(k.k::DOUBLE) / n.nrm AS FLOAT) AS c
+             FROM k JOIN n USING (doc_id))
+"""
+
+
+@_q(
+    "embed_documents",
+    f"""
+    WITH {_EMBED_FALLBACK_COMPONENTS_SQL},
+    agg AS (SELECT doc_id,
+                   round(sqrt(sum(c::DOUBLE * c::DOUBLE)), 4) AS norm,
+                   count(*)::BIGINT AS n_nonzero,
+                   round(sum(c::DOUBLE), 6) AS comp_sum,
+                   round(sum((idx + 1) * c::DOUBLE), 4) AS idx_wsum,
+                   (array_agg(idx ORDER BY c ASC, idx ASC))[1]::BIGINT
+                       AS argmax_idx
+            FROM comp GROUP BY 1)
+    SELECT d.doc_id, CAST(384 AS BIGINT) AS dim,
+           coalesce(a.norm, 0.0) AS norm,
+           coalesce(a.n_nonzero, 0) AS n_nonzero,
+           coalesce(a.comp_sum, 0.0) AS comp_sum,
+           coalesce(a.idx_wsum, 0.0) AS idx_wsum,
+           coalesce(a.argmax_idx, -1) AS argmax_idx
+    FROM d LEFT JOIN agg a USING (doc_id)
+    """,
+)
 def embed_documents(spark, sf_dir):
     """Batch embedding UDF over Arrow batches (U1, ≙ model.encode at
     embeddings_utils.py:7-8). Kernel is the deterministic hashing
-    featurizer when sentence-transformers is absent; contract checks:
-    dim=384, unit norm."""
+    featurizer when sentence-transformers is absent. The output is a
+    per-vector content fingerprint computed FROM the UDF's float32
+    array — dim, norm, nonzero count, component sum, index-weighted
+    sum, argmax index — each either exact-integer or rounded far above
+    the fp accumulation noise, so the DuckDB featurizer replica
+    hash-checks the actual embedding values, not just their shape
+    (VERDICT r10 task 2). Fixed doc_id < 200 slice on both sides
+    (the old .limit(200) picked a nondeterministic subset)."""
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
         embed_text,
     )
 
-    d = _t(spark, sf_dir, "documents").limit(200)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     emb = d.select("doc_id", embed_text(F.col("text")).alias("vec"))
+    nz = F.size(F.filter(F.col("vec"), lambda x: x != 0)).cast("long")
+    # components are -k/||k||: every occupied index is strictly
+    # negative, so argmax |component| = array_min, and equal counts
+    # produce bit-identical float32s (array_position's first match =
+    # smallest index, mirroring the oracle's ORDER BY c, idx)
+    argmax = F.when(nz == F.lit(0), F.lit(-1).cast("long")).otherwise(
+        (F.array_position(F.col("vec"), F.array_min(F.col("vec"))) - 1).cast("long")
+    )
     return emb.select(
         "doc_id",
-        F.size("vec").alias("dim"),
+        F.size("vec").cast("long").alias("dim"),
         F.round(l2_norm(F.col("vec")), 4).alias("norm"),
+        nz.alias("n_nonzero"),
+        F.round(
+            F.aggregate("vec", F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+        ).alias("comp_sum"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec"),
+                    F.sequence(F.lit(1), F.lit(384)),
+                    lambda x, i: x.cast("double") * i.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("idx_wsum"),
+        argmax.alias("argmax_idx"),
     )
 
 
-@_q("search_end_to_end", None)  # non-SQL-expressible: embeds via pandas_udf
+@_q(
+    "search_end_to_end",
+    f"""
+    WITH {_EMBED_FALLBACK_COMPONENTS_SQL},
+    qtok AS (SELECT unnest(string_split('spark query join stream', ' ')) AS t),
+    qh AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 384 AS idx
+           FROM qtok),
+    qk AS (SELECT idx, count(*)::BIGINT AS k FROM qh GROUP BY 1),
+    qv AS (SELECT idx, -(k::DOUBLE) / (SELECT sqrt(sum(k * k)) FROM qk) AS q
+           FROM qk),
+    na AS (SELECT doc_id, sqrt(sum(c::DOUBLE * c::DOUBLE)) AS na
+           FROM comp GROUP BY 1),
+    dp AS (SELECT c.doc_id, sum(c.c::DOUBLE * qv.q) AS dp
+           FROM comp c JOIN qv USING (idx) GROUP BY 1),
+    nb AS (SELECT sqrt(sum(q * q)) AS nb FROM qv)
+    SELECT d.doc_id,
+           round(CASE WHEN coalesce(na.na, 0.0) > 0 AND (SELECT nb FROM nb) > 0
+                      THEN coalesce(dp.dp, 0.0)
+                           / (na.na * (SELECT nb FROM nb))
+                      ELSE 0.0 END, 6) AS score
+    FROM d LEFT JOIN na USING (doc_id) LEFT JOIN dp USING (doc_id)
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
 def search_end_to_end(spark, sf_dir):
     """The reference's implied read path completed (entry point 3,
     SURVEY §3): embed documents -> embed a query string -> cosine
-    top-k over the embedded corpus."""
+    top-k over the embedded corpus. Hash-checked end to end (VERDICT
+    r10 task 2): the oracle rebuilds both the float32 document
+    vectors and the float64 query vector from the featurizer's SQL
+    replica and scores the same cosine; round(score, 6) sits ~10
+    orders of magnitude above cross-engine summation-order noise.
+    The query vector intentionally skips the float32 truncation —
+    mirroring the engine, where _hash_featurize's float64 output is
+    passed straight to lit_double_array."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
+        lit_double_array,
+    )
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
         _hash_featurize,
         embed_text,
     )
 
-    d = _t(spark, sf_dir, "documents").limit(200)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     corpus = d.select("doc_id", embed_text(F.col("text")).alias("vec"))
-    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
-        lit_double_array,
-    )
-
     qvec = [float(x) for x in _hash_featurize(["spark query join stream"])[0]]
     q = lit_double_array(qvec)
     return (
@@ -5523,7 +5637,8 @@ def join_bloom_prefilter(spark, sf_dir):
     "join_salted_skew",
     """
     SELECT o_orderpriority, count(*) AS n_items,
-           round(sum(l_extendedprice), 2) AS revenue
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE
+               AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -5532,13 +5647,17 @@ def join_salted_skew(spark, sf_dir):
     """Skew-resistant equi-join (operators.relational.salted_join): the
     fact side's hot keys spread over 16 salt sub-keys, dimension side
     replicated across them — same result as the plain join (the oracle
-    is the plain join), different shuffle distribution."""
+    is the plain join), different shuffle distribution. Revenue sums
+    as DECIMAL so the hash check is order-independent at every scale
+    (VERDICT r10 task 3 — the double sum drifted at sf10)."""
     li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     joined = relational.salted_join(li, o, on="o_orderkey", salt_buckets=16)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
     )
 
 
@@ -5553,7 +5672,7 @@ def join_salted_skew(spark, sf_dir):
            count(*)                       AS n_rows,
            count(o_orderkey)              AS n_orders,
            count(c_name)                  AS n_custs,
-           round(sum(o_totalprice), 2)    AS total
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS total
     FROM o FULL OUTER JOIN c USING (c_custkey)
     GROUP BY c_nationkey
     """,
@@ -5563,7 +5682,9 @@ def join_salted_outer(spark, sf_dir):
     (operators.relational.salted_join, how='full'): big-side misses
     null-extend once (each big row carries exactly one salt), and
     unmatched small rows are recovered by a key anti-join — never once
-    per salt bucket. Oracle is the plain full outer join."""
+    per salt bucket. Oracle is the plain full outer join. Total sums
+    as DECIMAL for an order-independent hash at every scale (VERDICT
+    r10 task 3)."""
     o = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -5579,7 +5700,9 @@ def join_salted_outer(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_orderkey").alias("n_orders"),
         F.count("c_name").alias("n_custs"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total"),
     )
 
 
@@ -6116,24 +6239,31 @@ def incremental_theta_overlap(spark, sf_dir):
         )
     )
 
-    def _within(est_col, exact_col, tol):
-        return F.abs(F.col(est_col) - F.col(exact_col)) <= tol * F.col(exact_col)
+    # Bounds: relative tol with an ABSOLUTE floor on the intersection
+    # and jaccard checks (ADVICE r10). A pure relative bound collapses
+    # to exact-equality when the true intersection is 0, yet past
+    # sketch capacity a disjoint pair may legitimately estimate a
+    # small nonzero overlap — the theta intersection's absolute error
+    # scales with |A∪B|/sqrt(k) (k=2^16 -> rse 1/256), so the floor is
+    # 4 sigma of that: 4*nd_or/256 for counts, 4/256 for jaccard.
+    def _within(est_col, exact_col, tol, floor=None):
+        bound = tol * F.col(exact_col)
+        if floor is not None:
+            bound = F.greatest(bound, floor)
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= bound
 
+    exact_j = F.col("nd_and").cast("double") / F.col("nd_or").cast("double")
     return pairs.join(F.broadcast(est), ["key_a", "key_b"]).select(
         "key_a", "key_b", "nd_a", "nd_b", "nd_and", "nd_or",
-        F.round(F.col("nd_and").cast("double") / F.col("nd_or").cast("double"), 6).alias("jaccard"),
+        F.round(exact_j, 6).alias("jaccard"),
         (
             _within("e_a", "nd_a", 0.02)
             & _within("e_b", "nd_b", 0.02)
             & _within("e_or", "nd_or", 0.02)
-            & _within("e_and", "nd_and", 0.05)
-            & (
-                F.abs(
-                    F.col("e_j")
-                    - F.col("nd_and").cast("double") / F.col("nd_or").cast("double")
-                )
-                <= 0.05 * (F.col("nd_and").cast("double") / F.col("nd_or").cast("double"))
-            )
+            & _within("e_and", "nd_and", 0.05,
+                      floor=4.0 * F.col("nd_or").cast("double") / 256.0)
+            & (F.abs(F.col("e_j") - exact_j)
+               <= F.greatest(0.05 * exact_j, F.lit(4.0 / 256.0)))
         ).alias("est_ok"),
     )
 
@@ -6790,65 +6920,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
 # continued each round). The driver's correctness gate samples the
-# dict from the front (50 entries per round). The r10 window: slots
-# 1-2 are the two formerly rows-only sketch queries, freshly given
-# bound-asserting oracles this round (VERDICT r9 task 3 — their
-# first-ever hash-checked driver rows); slots 3-33 are the other 31
-# r6-era rows in registration order (after this window no query's
-# latest row is older than r7); slots 34-50 are the 17 stalest
-# r7-era rows in registration order — the remaining 33 r7-era rows
-# lead the r11 window next (starting at set_ops_customer_years).
+# dict from the front (50 entries per round). The r11 window: slots
+# 1-33 are the 33 remaining r7-era rows in registration order
+# (leading with set_ops_customer_years, per the r10 plan — after
+# this window no query's latest driver row is older than r8). That
+# block includes embed_documents and search_end_to_end, which gained
+# their first hash-checked oracles this round (VERDICT r10 task 2 —
+# the registry's no_oracle count drops 2 -> 0). Slots 34-50 are the
+# 17 stalest r8-era rows in registration order; the remaining 33
+# r8-era rows lead the r12 window next (starting at
+# text_contamination).
 _PRIORITY = [
-    "agg_approx_sketches",
-    "incremental_distinct_rollup",
-    "set_ops_all_variants",
-    "join_cross_region_nation",
-    "window_range_frame_spend",
-    "agg_collect_nations",
-    "unpivot_customer_metrics",
-    "subquery_correlated_order_above_cust_avg",
-    "scalar_math_lineitem",
-    "agg_bitwise_events",
-    "scalar_datetime_parse_roundtrip",
-    "scalar_try_cast_safe",
-    "agg_boolean_lineitem",
-    "scalar_regexp_advanced",
-    "mm_resize_plan",
-    "mm_frame_sample",
-    "q15_top_supplier",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_count",
-    "q20_part_promo_suppliers",
-    "ml_stratified_sample",
-    "ml_kfold_assign",
-    "profile_documents",
-    "text_bm25_rank",
-    "search_rrf_fusion",
-    "vec_centroid_per_label",
-    "window_moving_avg_nth",
-    "incremental_theta_overlap",
-    "incremental_topk_rollup",
-    "text_mad_outliers",
-    "window_time_range_moving_sum",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "join_outer_customer_orders",
-    "join_semi_customers_with_open_orders",
-    "join_anti_customers_without_orders",
-    "join_full_outer_keys",
-    "join_theta_acctbal_band",
-    "agg_distinct_by_status",
-    "agg_rollup_region_nation",
-    "window_rank_orders_per_customer",
-    "window_lag_event_gaps",
-    "window_running_revenue",
-    "window_first_last_value",
-    "window_share_of_total",
-    "sort_topk_lineitem",
-    "sort_nulls_ordering",
+    "set_ops_customer_years",
+    "scalar_string_part",
+    "scalar_string_extended",
+    "scalar_datetime_orders",
+    "scalar_encoding_misc",
+    "scalar_json_events",
+    "case_pred_orders",
+    "agg_price_histogram",
+    "scalar_conditional_lineitem",
+    "pivot_priority_status",
+    "cdc_incremental_scan",
+    "cdc_watermark_next",
+    "cdc_watermark_upsert",
+    "cdc_serialize_rows",
+    "cdc_chunk_documents",
+    "cdc_snapshot_latest",
+    "asof_join_purchase_click",
+    "cdc_catalog_watermark_join",
+    "dedup_lsh_candidates_capped",
+    "cohort_retention_orders",
+    "text_normalize_stopwords",
+    "text_top_bigram_per_lang",
+    "vec_l2_normalize",
+    "text_fingerprint",
+    "vec_label_norms",
+    "array_ops_documents",
+    "map_ops_events",
+    "array_hof_documents",
+    "array_posexplode_tokens",
+    "text_bpe_regex_tokens",
+    "embed_documents",
+    "search_end_to_end",
+    "incremental_ivf_cells",
+    "window_ranking_suite",
+    "string_similarity_parts",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_candidates",
+    "dedup_setsim_exact",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "ml_split_leakage_safe",
+    "dedup_cluster_survivors",
+    "dedup_cluster_best_survivors",
+    "dedup_jaccard_consecutive",
+    "dedup_minhash_est_jaccard",
+    "text_scrub_pii",
+    "text_repetition_ratio",
 ]
 
 

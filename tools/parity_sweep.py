@@ -341,7 +341,13 @@ def main() -> None:
                 rec["values_match"] = res["values_match"]
                 rec["cols_match"] = res["cols_match"]
                 if not res["values_match"]:
-                    rec["float_only"] = _float_only_deviation(res)
+                    # _fast_compare classifies float-only drift itself from
+                    # raw values (it never populates only_spark/only_duck,
+                    # so _float_only_deviation would wrongly report a benign
+                    # summation-order drift as real_mismatch — ADVICE r10)
+                    rec["float_only"] = res.get(
+                        "float_only", _float_only_deviation(res)
+                    )
                     rec["only_spark"] = (res.get("only_spark") or [])[:3]
                     rec["only_duck"] = (res.get("only_duck") or [])[:3]
             except Exception as exc:  # record, keep sweeping
