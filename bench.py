@@ -220,6 +220,23 @@ def sized_session(sf_dir: str, app_name: str = "bench"):
         # 100 TB build side can never be forced to hash-build.
         if aqe:
             spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+            # AQE coalesce granularity (r11, VERDICT r10 task 4): the
+            # 64 MiB advisory default coalesces the post-SHJ stages of
+            # the fact-fact joins to a handful of partitions on this
+            # 32-core box — q3's li⋈o join stage (measured to BE the
+            # whole query: join-only arm 2.18 s of the 2.28 s total at
+            # sf10; scans are 0.79 s) ran underparallelized. Sized like
+            # the shuffle width: ~input/(8*cores), clamped [4, 64] MiB
+            # — sf10 lands ~6 MiB. Interleaved min-of-3 at sf10:
+            # q3 2.10 -> 1.72 (-18%), q5 2.63 -> 2.17 (-18%), q19
+            # flat; the 64 MiB ceiling keeps real-cluster deploys at
+            # the standard setting as input grows.
+            advisory = min(
+                64 << 20, max(4 << 20, input_bytes // (8 * int(cpus)))
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(advisory)
+            )
     return spark
 
 
@@ -325,6 +342,20 @@ def main() -> None:
     queries = entrymod.queries()
     warm_up(spark, sf_dir)
     errors: dict[str, str] = {}
+    # sf0.1-regime conf snapshot: the sf1/sf10 blocks mutate the AQE /
+    # shuffle / split confs in place, and the snapshot-cycle block at
+    # the end must run under the DRIVER-SCALE regime to be comparable
+    # across rounds (VERDICT r10 task 6)
+    _base_confs = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.join.preferSortMergeJoin",
+        )
+    }
 
     # Headline window at the driver scale factor: interleaved
     # Spark-vs-DuckDB per query (r8 verdict task 5 — the sf0.1 block
@@ -522,6 +553,11 @@ def main() -> None:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", str(32 << 20))
             spark.conf.set("spark.sql.join.preferSortMergeJoin",
                            "false" if sf10_bytes >= 1024 * 1024 * 1024 else "true")
+            # mirror sized_session's AQE coalesce granularity (r11)
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(min(64 << 20, max(4 << 20, sf10_bytes // (8 * cpus10)))),
+            )
             warm_up(spark, sf10_dir)
             con10, oracles10 = _duck(sf10_dir)
             t10, d10 = _measure_pair(
@@ -539,6 +575,69 @@ def main() -> None:
             detail["sf10"] = {"queries": t10, "duck_queries": d10}
         except Exception as exc:
             errors["sf10"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # Snapshot-cycle A/B (VERDICT r10 task 6): the bucketed-layout
+    # scale story — repeated keyed joins/aggs against a persisted CDC
+    # snapshot run zero-Exchange when the snapshot is written
+    # hash-bucketed+sorted on the key — as a TRACKED per-round number
+    # instead of PERFORMANCE.md prose. Runs at the LARGEST available
+    # fixture (the layout pays in the large regime; at sf0.1 the
+    # bucketed write's shuffle cancels the downstream wins and the
+    # ratio is ~1.0 — measured, which is exactly why the driver-scale
+    # number would mis-tell the story). 5 cycles per arm, one rep each
+    # (the interleaved 2-rep protocol lives in
+    # tools/snapshot_cycle_ab.py for deeper runs); per-phase splits go
+    # to the detail sidecar, the ratio to the stdout line.
+    # SPARK_GRAFT_BENCH_SNAPCYCLE=0 disables for quick runs.
+    if os.environ.get("SPARK_GRAFT_BENCH_SNAPCYCLE", "1") == "1":
+        try:
+            _fx = os.path.dirname(os.path.abspath(__file__))
+            sc_dir = next(
+                (
+                    d
+                    for d in (
+                        os.path.join(_fx, "fixtures", "sf10"),
+                        os.path.join(_fx, "fixtures", "sf1"),
+                        sf_dir,
+                    )
+                    if os.path.isdir(d)
+                ),
+                sf_dir,
+            )
+            # size the session for the chosen fixture (same regime
+            # policy as the sf1/sf10 blocks above); harmless when
+            # sc_dir == sf_dir because _base_confs holds that regime
+            if sc_dir == sf_dir:
+                for k, v in _base_confs.items():
+                    spark.conf.set(k, v)
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            )
+            from snapshot_cycle_ab import run_arm as _sc_run_arm
+
+            from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+                load_table as _sc_load,
+            )
+
+            _sc_base = _sc_load(spark, sc_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+            _sc_base.count()  # warm the scan
+            sc_plain = _sc_run_arm(spark, _sc_base, 5, False, "bench_sc_plain")
+            sc_bkt = _sc_run_arm(spark, _sc_base, 5, True, "bench_sc_bkt")
+            out["snapshot_cycle"] = {
+                "cycles": 5,
+                "sf_dir": sc_dir.rsplit("/", 1)[-1],
+                "plain_total_s": sc_plain["total_s"],
+                "bucketed_total_s": sc_bkt["total_s"],
+                "bucketed_over_plain": round(
+                    sc_bkt["total_s"] / sc_plain["total_s"], 3
+                ),
+            }
+            detail["snapshot_cycle"] = {"sf_dir": sc_dir,
+                                        "plain": sc_plain, "bucketed": sc_bkt}
+        except Exception as exc:
+            errors["snapshot_cycle"] = f"{type(exc).__name__}: {exc}"[:200]
     if errors:
         out["errors"] = errors
         detail["errors"] = errors

@@ -55,11 +55,23 @@ def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int]:
 
 
 def extract_features(media_df: DataFrame) -> DataFrame:
-    """Per-payload feature extraction over Arrow batches
-    (``mapInPandas``): byte size, content hash, decoded dimensions
-    (stubbed). The iterator-of-batches shape is exactly what a real
-    image decode uses — swap ``_decode_stub`` only."""
-    import hashlib
+    """Per-payload feature extraction: byte size and content hash stay
+    JVM-side (``sha2``/``length`` inside whole-stage codegen — hashing
+    in the Python kernel paid Arrow export + per-row hashlib for work
+    Spark vectorizes natively; VERDICT r10 task 5), while the decode
+    kernel — the part a real deployment genuinely does in Python
+    (Pillow/ffmpeg) — runs over Arrow batches via ``mapInPandas``,
+    with the precomputed columns passing through the batch. The
+    iterator-of-batches shape is exactly what a real image decode
+    uses — swap ``_decode_stub`` only."""
+
+    pre = media_df.select(
+        "id",
+        "media_type",
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -68,14 +80,14 @@ def extract_features(media_df: DataFrame) -> DataFrame:
                 {
                     "id": pdf["id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "sha256": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                    "n_bytes": pdf["n_bytes"],
+                    "sha256": pdf["sha256"],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                 }
             )
 
-    return media_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return pre.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = "id long, width int, height int, n_bytes long"

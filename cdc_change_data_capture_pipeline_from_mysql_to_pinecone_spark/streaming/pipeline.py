@@ -433,11 +433,15 @@ def run_streaming_pipeline(
 
     File source (directory + glob — FileStreamSource requires a
     directory basePath) -> foreachBatch(cdc_tick-shaped transform) ->
-    caller's ``sink`` list (test harness) or a real keyed writer.
-    Offset tracking is Spark's checkpoint; trigger_seconds=300 ≙ the
-    reference's sleep(300). Parquet TIMESTAMP(NANOS) columns are read
-    as raw int64 and converted per batch (Spark 4 rejects the physical
-    type; see sources.tables).
+    caller's ``sink`` list. The list sink is the TEST/MEMORY DEMO
+    PATH ONLY: ``process`` collects chunk rows to the driver, which is
+    fine for bounded smoke fixtures but is NOT the production shape —
+    deploys route each micro-batch through the partitioned keyed MERGE
+    (``sweep``'s foreachBatch -> sinks.upsert path), where nothing is
+    driver-materialized. Offset tracking is Spark's checkpoint;
+    trigger_seconds=300 ≙ the reference's sleep(300). Parquet
+    TIMESTAMP(NANOS) columns are read as raw int64 and converted per
+    batch (Spark 4 rejects the physical type; see sources.tables).
     """
     import os
 

@@ -33,19 +33,14 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 #: Queries whose ORACLE (not the engine) cannot scale to the given
-#: fixture: the dedup cluster oracles compute connected components as
-#: a recursive-CTE transitive closure — explicitly documented "fine at
-#: oracle scale" — which is O(sum of component sizes squared) in rows
-#: and effectively unbounded on the 1M-node sf10 doubled corpus (both
-#: ran >27 min without completing; the Spark side, iterative min-label
-#: propagation, finishes in seconds — verified and recorded in the
-#: summary as oracle_unscalable with the engine-side runtime).
-ORACLE_UNSCALABLE = {
-    "fixtures/sf10": {
-        "dedup_cluster_survivors": "oracle transitive-closure CTE is quadratic; spark side OK",
-        "dedup_cluster_best_survivors": "oracle transitive-closure CTE is quadratic; spark side OK",
-    }
-}
+#: fixture. Empty since r11: the dedup cluster oracles' quadratic
+#: transitive-closure CTE (>27 min at sf10) was replaced by unrolled
+#: min-label + pointer-jump rounds (linear per round — see
+#: __spark_entry__._duck_cluster_labels_cte), measured 75 s on the
+#: 1M-node sf10 doubled corpus with the engine-matching 341180-row
+#: survivor set. The mechanism stays for any future genuinely
+#: unscalable oracle: {"<sf_dir suffix>": {"<query>": "<reason>"}}.
+ORACLE_UNSCALABLE: dict[str, dict[str, str]] = {}
 
 
 #: Above this result size the row-by-row oracle_harness.compare (pure
