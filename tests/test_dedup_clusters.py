@@ -173,3 +173,98 @@ def test_winnow_textless_docs_have_no_fingerprints(spark):
     # sub-k-token docs as their full join, so "" fingerprints as itself
     empty = spark.createDataFrame([(9, "")], ["doc_id", "text"])
     assert winnow_fingerprints(empty, "text", "doc_id", k=4, window=8).count() == 1
+
+
+def _duck_labels(con, nodes, edges, **kw):
+    """Run the oracle's min-label contraction CTE chain over an
+    explicit node list + edge list (bypassing the LSH pipeline)."""
+    import __spark_entry__ as entry
+
+    con.execute("DROP TABLE IF EXISTS _cc_edges")
+    con.execute("CREATE TABLE _cc_edges(src BIGINT, dst BIGINT)")
+    if edges:
+        con.executemany("INSERT INTO _cc_edges VALUES (?, ?)", edges)
+    u = "SELECT * FROM (VALUES " + ",".join(f"({n})" for n in nodes) + ") t(doc_id)"
+    ctes = entry._duck_minlabel_rounds_ctes(id_out="node_id", **kw)
+    sql = f"""WITH u AS ({u}),
+    edges AS (SELECT src, dst FROM _cc_edges
+              UNION ALL SELECT dst, src FROM _cc_edges),
+    {ctes}
+    SELECT node_id, label FROM labels"""
+    return dict(con.sql(sql).fetchall())
+
+
+def _union_find(nodes, edges):
+    p = {n: n for n in nodes}
+
+    def find(x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            p[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_minlabel_cte_converges_on_adversarial_graphs():
+    """The dedup-cluster ORACLE's component machinery (VERDICT r10
+    task 3a): Boruvka contraction + pointer-jump compression must
+    reach the exact component minimum on graph shapes far nastier
+    than any LSH near-dup graph — a long randomly-permuted PATH (the
+    worst case for label propagation: one-jump relaxation rounds were
+    measured to advance only ~2 edges/round and left a 64-node path
+    unconverged after 16 rounds), sparse random graphs, cliques, and
+    singletons. Compared against a union-find ground truth."""
+    import random
+
+    import duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(42)
+
+    # long path, shuffled ids — default rounds must cover it
+    ids = list(range(5000))
+    rng.shuffle(ids)
+    path_edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    assert _duck_labels(con, ids, path_edges) == _union_find(ids, path_edges)
+
+    # sparse random graph + isolated nodes + a clique, ids non-dense
+    nodes = [n * 7 + 3 for n in range(800)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(500)]
+    edges += [(nodes[i], nodes[j]) for i in range(790, 800) for j in range(i + 1, 800)]
+    assert _duck_labels(con, nodes, edges) == _union_find(nodes, edges)
+
+    # edgeless corpus: every node labels itself
+    singles = [5, 9, 11]
+    assert _duck_labels(con, singles, []) == {5: 5, 9: 9, 11: 11}
+
+
+def test_minlabel_cte_matches_connected_components(spark):
+    """Cross-engine: the oracle CTE and the engine's iterative
+    connected_components agree on a random graph (same component
+    minima), independent of the minhash/LSH candidate generation that
+    normally feeds both."""
+    import random
+
+    import duckdb
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(300))
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(220)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got_spark = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    want = _union_find(nodes, edges)
+    # engine labels only nodes that appear in edges
+    touched = {a for e in edges for a in e}
+    assert got_spark == {n: want[n] for n in touched}
+    con = duckdb.connect()
+    got_duck = _duck_labels(con, nodes, edges)
+    assert got_duck == want
