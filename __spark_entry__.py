@@ -964,19 +964,29 @@ def scalar_conditional_lineitem(spark, sf_dir):
     "pivot_priority_status",
     """
     SELECT o_orderpriority,
-           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+           round(sum(CASE WHEN o_orderstatus = 'O'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2)::DOUBLE AS O,
+           round(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2)::DOUBLE AS F,
+           round(sum(CASE WHEN o_orderstatus = 'P'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2)::DOUBLE AS P
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def pivot_priority_status(spark, sf_dir):
-    """Pivot (wide aggregation)."""
+    """Pivot (wide aggregation). Money pivots sum as DECIMAL so the
+    hash check is summation-order-independent at every scale (the
+    sf11 sf10 sweep caught the double sum crossing the harness's
+    int/float render boundary at 2.5e11 magnitude — the q1 class)."""
     o = _t(spark, sf_dir, "orders")
     piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast(
+                "double"
+            )
+        )
     )
     return piv
 
@@ -3453,7 +3463,8 @@ def mm_binary_features(spark, sf_dir):
 @_q(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(13,2))), 2)::DOUBLE AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -3464,8 +3475,16 @@ def mm_binary_features(spark, sf_dir):
 )
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: pure scan + conjunctive pushed filter + global
-    agg — the pattern where pushdown/pruning does all the work."""
+    agg — the pattern where pushdown/pruning does all the work. The
+    ungrouped full-table money sum aggregates as DECIMAL (exact
+    product DECIMAL(18,2)×DECIMAL(13,2), the
+    agg_decimal_exact_pricing pattern) so the hash check is
+    summation-order-independent at every scale — at sf10 magnitudes a
+    double sum crosses the round(,2) boundary with real probability
+    (the q1/pivot class)."""
     li = _t(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(13,2)")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -3474,7 +3493,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum(ext * disc), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -3626,9 +3645,26 @@ def q18_large_orders_having(spark, sf_dir):
 def q19_disjunctive_predicates(spark, sf_dir):
     """TPC-H Q19 shape: disjunction of conjunctive brand/size/qty
     bands — the OR-predicate pattern Catalyst must not naively
-    cross-join on."""
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_type")
-    li = _t(spark, sf_dir, "lineitem")
+    cross-join on.
+
+    Each side also gets the DERIVED single-table weakening of the
+    disjunction (the classic Q19 rewrite Catalyst does not infer
+    across mixed-table conjuncts): parts must satisfy
+    brand∈{1,2} ∨ type=ECONOMY and lineitems l_quantity ∈ [1,40] ∨
+    ≥45 — both IMPLIED by the full predicate, so results are
+    identical (oracle unchanged), but the part filter shrinks the
+    build side toward broadcast range before the join and the
+    quantity range reaches the parquet scan as a pushed filter."""
+    part_weak = (
+        F.col("p_brand").isin("Brand#1", "Brand#2") | (F.col("p_type") == "ECONOMY")
+    )
+    li_weak = F.col("l_quantity").between(1, 40) | (F.col("l_quantity") >= 45)
+    p = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size", "p_type")
+        .filter(part_weak)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(li_weak)
     joined = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
