@@ -409,3 +409,25 @@ def test_join_outer_aggregates_below_join(spark, sf_dir):
     assert not any("keys=[c_custkey" in ln for ln in aggs), plan
     # partial+final combine on the pre-aggregation
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_q19_derived_filters_reach_both_scans(spark, sf_dir):
+    """r11: the derived single-table weakenings of Q19's disjunction
+    (Catalyst does not infer them across mixed-table conjuncts) must
+    be PUSHED into BOTH scans — the lineitem quantity range prunes the
+    fact scan (60M rows at sf10) and the part brand/type filter
+    shrinks the build side toward broadcast — and the join must be a
+    broadcast at fixture scale."""
+    df = entrymod.queries()["q19_disjunctive_predicates"](spark, sf_dir)
+    plan = explain_str(df)
+    # formatted mode: each scan = a block with Location + PushedFilters
+    blocks = re.split(r"\n\s*\n", plan)
+    li = next(b for b in blocks if "lineitem.parquet" in b)
+    p = next(b for b in blocks if "part.parquet" in b)
+    assert (
+        "Or(And(GreaterThanOrEqual(l_quantity,1.0),"
+        "LessThanOrEqual(l_quantity,40.0)),"
+        "GreaterThanOrEqual(l_quantity,45.0))" in li
+    ), li
+    assert "Or(In(p_brand, [Brand#1,Brand#2]),EqualTo(p_type,ECONOMY))" in p, p
+    assert "BroadcastHashJoin" in plan
