@@ -463,3 +463,58 @@ def test_funnel_maximal_matches_bruteforce(spark_g, events, gap):
             base + dt.timedelta(seconds=w) if w is not None else None for w in want
         )
         assert got[1] == exp
+
+
+@settings(max_examples=25, deadline=None)  # pure python+duckdb: no Spark jobs
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdefgh \t\nXYZ019.,-#"),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_embed_fallback_oracle_is_float32_bit_exact(texts):
+    """The embed_documents/search_end_to_end oracles hinge on the
+    DuckDB SQL replica of _hash_featurize being BIT-EXACT at the
+    float32 component level (r11). Property-checked over random
+    texts — including empties, runs of spaces, punctuation-glued
+    tokens and repeated tokens — not just the fixture corpus."""
+    import duckdb
+    import numpy as np
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
+        EMBED_DIM,
+        _hash_featurize,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", list(enumerate(texts)) or [(0, "")]
+    )
+    rows = con.sql(
+        r"""
+        WITH tok AS (SELECT doc_id,
+                            unnest(regexp_split_to_array(text, '\s+')) AS t
+                     FROM docs),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 15))::BIGINT % 384 AS idx
+              FROM tok WHERE t <> ''),
+        k AS (SELECT doc_id, idx, count(*)::BIGINT AS k FROM h GROUP BY 1, 2),
+        n AS (SELECT doc_id, sqrt(sum(k * k)) AS nrm FROM k GROUP BY 1)
+        SELECT k.doc_id, k.idx,
+               CAST(-(k.k::DOUBLE) / n.nrm AS FLOAT) AS c
+        FROM k JOIN n USING (doc_id)
+        """
+    ).fetchall()
+    duck = {}
+    for did, idx, c in rows:
+        duck.setdefault(did, {})[idx] = c
+    vecs = _hash_featurize(texts or [""]).astype(np.float32)
+    for did, v in enumerate(vecs):
+        py = {j: float(v[j]) for j in range(EMBED_DIM) if v[j] != 0}
+        assert py == duck.get(did, {}), (did, texts[did] if texts else "")
