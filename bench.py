@@ -604,12 +604,41 @@ def main() -> None:
                 ),
                 sf_dir,
             )
-            # size the session for the chosen fixture (same regime
-            # policy as the sf1/sf10 blocks above); harmless when
-            # sc_dir == sf_dir because _base_confs holds that regime
+            # size the session for the chosen fixture explicitly (the
+            # prior sf1/sf10 blocks may be disabled or absent, so the
+            # live confs are not necessarily the right regime)
             if sc_dir == sf_dir:
                 for k, v in _base_confs.items():
                     spark.conf.set(k, v)
+            else:
+                sc_bytes = sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _d, fs in os.walk(sc_dir)
+                    for f in fs
+                )
+                sc_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+                sc_aqe = sc_bytes >= 1024 * 1024 * 1024
+                spark.conf.set("spark.sql.adaptive.enabled",
+                               "true" if sc_aqe else "false")
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               str(max(16, min(256, sc_bytes // (8 * 1024 * 1024)))))
+                spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes",
+                    str(min(128 * 1024 * 1024,
+                            max(1 << 20, sc_bytes // (3 * sc_cpus)))),
+                )
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 << 20))
+                spark.conf.set("spark.sql.join.preferSortMergeJoin",
+                               "false" if sc_aqe else "true")
+                if sc_aqe:
+                    spark.conf.set(
+                        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                        str(32 << 20),
+                    )
+                    spark.conf.set(
+                        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                        str(min(64 << 20, max(4 << 20, sc_bytes // (8 * sc_cpus)))),
+                    )
             sys.path.insert(
                 0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
             )

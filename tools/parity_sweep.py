@@ -278,7 +278,12 @@ def main() -> None:
         # intermediates then die with malloc "bad allocation" instead
         # of spilling. Bound it explicitly and give it disk.
         c = duck_con(sf_dir)
-        c.sql("SET temp_directory='/tmp/duck_sweep_spill'")
+        # PER-PROCESS spill dir: concurrent shards sharing one
+        # temp_directory clobber each other's spill files — DuckDB
+        # aborts the whole process with an IOException on cleanup
+        # ("Could not remove file ... duckdb_temp_storage"), observed
+        # killing a shard mid-sweep in r11.
+        c.sql(f"SET temp_directory='/tmp/duck_sweep_spill_{os.getpid()}'")
         c.sql("SET max_temp_directory_size='80GB'")
         # 24GB coexists with sharded Spark JVMs; the sf10 PQ oracles
         # genuinely need ~60GB+ (247KB codebook-literal SQL over 200k
