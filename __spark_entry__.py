@@ -220,9 +220,12 @@ def _supplier_chain(spark, sf_dir: str, region: str | None = None):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                              AS sum_qty,
-           round(sum(l_extendedprice), 2)                         AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE
+               AS sum_base_price,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(13,2)))), 2)::DOUBLE
+               AS sum_disc_price,
            round(avg(l_quantity), 4)                              AS avg_qty,
            round(avg(l_extendedprice), 4)                         AS avg_price,
            count(*)                                               AS count_order
@@ -232,15 +235,23 @@ def _supplier_chain(spark, sf_dir: str, region: str | None = None):
     """,
 )
 def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: scan -> pushed filter -> hash agg (A4/P3)."""
+    """TPC-H Q1 shape: scan -> pushed filter -> hash agg (A4/P3).
+    Money/quantity SUMS aggregate as DECIMAL (TPC-H's own types) —
+    order-independent, so since r11 q1 hash-checks clean at sf10
+    instead of being the documented float_only exception (the 2.8e11
+    sum crossed the harness render boundary every sweep). AVGs stay
+    double: their magnitudes sit ~15 digits above the rounding grid."""
     li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    ext = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(13,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(ext), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(ext * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
