@@ -220,11 +220,12 @@ def _supplier_chain(spark, sf_dir: str, region: str | None = None):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE
+           round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
                AS sum_base_price,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (1 - CAST(l_discount AS DECIMAL(13,2)))), 2)::DOUBLE
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 10000.0, 2)
                AS sum_disc_price,
            round(avg(l_quantity), 4)                              AS avg_qty,
            round(avg(l_extendedprice), 4)                         AS avg_price,
@@ -236,22 +237,30 @@ def _supplier_chain(spark, sf_dir: str, region: str | None = None):
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan -> pushed filter -> hash agg (A4/P3).
-    Money/quantity SUMS aggregate as DECIMAL (TPC-H's own types) —
-    order-independent, so since r11 q1 hash-checks clean at sf10
-    instead of being the documented float_only exception (the 2.8e11
-    sum crossed the harness render boundary every sweep). AVGs stay
-    double: their magnitudes sit ~15 digits above the rounding grid."""
+    Money/quantity SUMS aggregate as exact integer CENTS (fixed-point
+    longs): the 2dp/4dp values scale to near-integers, round to exact
+    longs per row, and the LONG sum is order-independent — so since
+    r11 q1 hash-checks clean at sf10 instead of being the documented
+    float_only exception (its 2.8e11 double sum crossed the harness
+    render boundary by summation order every sweep). Longs, not
+    DECIMAL: Spark's decimal aggregation measured 3.3x the double
+    form at sf10 (0.71 -> 2.35 s) while the cents form is 1.11 s with
+    bit-identical output — the vectorizable fixed-point path is the
+    one you'd run at 100 TB. AVGs stay double: their magnitudes sit
+    ~15 digits above the rounding grid."""
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    ext = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(13,2)")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(ext), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(ext * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(ext_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(disc4) / 10000.0, 2).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
