@@ -7010,67 +7010,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
 # continued each round). The driver's correctness gate samples the
-# dict from the front (50 entries per round). The r11 window: slots
-# 1-33 are the 33 remaining r7-era rows in registration order
-# (leading with set_ops_customer_years, per the r10 plan — after
-# this window no query's latest driver row is older than r8). That
-# block includes embed_documents and search_end_to_end, which gained
-# their first hash-checked oracles this round (VERDICT r10 task 2 —
-# the registry's no_oracle count drops 2 -> 0). Slots 34-50 are the
-# 17 stalest r8-era rows in registration order; the remaining 33
-# r8-era rows lead the r12 window next (starting at
-# text_contamination).
+# dict from the front (50 entries per round). The r12 window: slots
+# 1-33 are ALL 33 remaining r8-era rows in registration order
+# (leading with text_contamination, per the r11 plan — after this
+# window no query's latest driver row is older than r9). Slots 34-50
+# are the 17 stalest r9-era rows in registration order; the remaining
+# 33 r9-era rows lead the r13 window next (starting at
+# q14_promo_share).
 _PRIORITY = [
-    "set_ops_customer_years",
-    "scalar_string_part",
-    "scalar_string_extended",
-    "scalar_datetime_orders",
-    "scalar_encoding_misc",
-    "scalar_json_events",
-    "case_pred_orders",
-    "agg_price_histogram",
-    "scalar_conditional_lineitem",
-    "pivot_priority_status",
-    "cdc_incremental_scan",
-    "cdc_watermark_next",
-    "cdc_watermark_upsert",
-    "cdc_serialize_rows",
-    "cdc_chunk_documents",
-    "cdc_snapshot_latest",
-    "asof_join_purchase_click",
-    "cdc_catalog_watermark_join",
-    "dedup_lsh_candidates_capped",
-    "cohort_retention_orders",
-    "text_normalize_stopwords",
-    "text_top_bigram_per_lang",
-    "vec_l2_normalize",
-    "text_fingerprint",
-    "vec_label_norms",
-    "array_ops_documents",
-    "map_ops_events",
-    "array_hof_documents",
-    "array_posexplode_tokens",
-    "text_bpe_regex_tokens",
-    "embed_documents",
-    "search_end_to_end",
-    "incremental_ivf_cells",
-    "window_ranking_suite",
-    "string_similarity_parts",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    "dedup_winnow_fingerprints",
-    "dedup_winnow_candidates",
-    "dedup_setsim_exact",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
-    "ml_split_leakage_safe",
-    "dedup_cluster_survivors",
-    "dedup_cluster_best_survivors",
-    "dedup_jaccard_consecutive",
-    "dedup_minhash_est_jaccard",
-    "text_scrub_pii",
-    "text_repetition_ratio",
+    "text_contamination",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_top_terms",
+    "funnel_three_step_gated",
+    "funnel_signup_to_purchase",
+    "vec_knn_bruteforce",
+    "vec_lsh_bucket_histogram",
+    "incremental_minhash_rollup",
+    "vec_pca_projection",
+    "vec_ivf_trained_cells",
+    "dedup_embedding_neardup",
+    "timeseries_gap_fill",
+    "pipeline_training_data",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window_native",
+    "timeseries_multigrain_rollup",
+    "q18_large_orders_having",
+    "q19_disjunctive_predicates",
+    "agg_stats_lineitem",
+    "agg_percentile_prices",
+    "agg_minby_maxby_events",
+    "agg_cube_status_priority",
+    "subquery_above_avg_customers",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "search_hybrid_rrf",
+    "cdc_scd2_history",
+    "join_salted_outer",
+    "join_range_binned_outer",
+    "layout_zorder_key",
+    "agg_decimal_exact_pricing",
+    "cdc_time_travel",
+    "cdc_snapshot_diff",
+    "sql_frontend_having",
+    "sql_frontend_cte_exists",
+    "funnel_three_step_maximal",
+    "vec_knn_arrow_kernel",
+    "vec_lsh_arrow_kernel",
+    "vec_ann_topk",
+    "vec_ivf_cells",
+    "vec_ivf_topk",
+    "vec_banded_neardup",
+    "stream_sessionize",
+    "mm_binary_features",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipmode",
 ]
 
 
