@@ -152,6 +152,110 @@ def cosine_scores_arrow(vec_col: Column, query_vec) -> Column:
     return _cos(vec_col)
 
 
+def _list_matrix(arr):
+    """pyarrow ListArray of float -> (float64 matrix, null mask).
+
+    The zero-copy path for uniform-length non-null lists (every
+    fixture embedding column): one buffer reinterpret + reshape +
+    widening cast — no per-row Python object is ever created. This is
+    the conversion the pandas_udf path cannot avoid (Arrow->pandas
+    builds one ndarray OBJECT per row, then _stack re-walks them); at
+    200k rows that object churn is the measurable difference between
+    the two kernels. Null rows fall back to a per-row scatter that
+    mirrors _stack's zero-fill semantics."""
+    import numpy as np
+
+    n = len(arr)
+    if arr.null_count == 0:
+        flat = arr.flatten().to_numpy(zero_copy_only=True)
+        if n and flat.size % n == 0:
+            return (
+                flat.astype(np.float64, copy=False).reshape(n, flat.size // n),
+                np.zeros(n, dtype=bool),
+            )
+    # ragged or null-bearing batch: per-row (semantics mirror of _stack)
+    mask = np.asarray([not v for v in arr.is_valid().to_pylist()], dtype=bool)
+    pylists = arr.to_pylist()
+    dim = next((len(x) for x in pylists if x is not None), 0)
+    rows = [
+        np.zeros(dim, dtype=np.float64) if x is None else np.asarray(x, dtype=np.float64)
+        for x in pylists
+    ]
+    return (np.vstack(rows) if rows else np.empty((0, dim))), mask
+
+
+def cosine_scores_map_arrow(df, id_cols: list[str], vec_col: str, query_vec):
+    """mapInArrow form of :func:`cosine_scores_arrow`: scores every
+    row vector against a FIXED query vector, returning ``id_cols`` +
+    a raw ``score`` double column (round/order/limit stay JVM-side so
+    the query contract is unchanged). Same sequential-fold summation
+    order as the HOF/pandas kernels — scores are bit-identical.
+
+    Why a separate entry point instead of a Column expression:
+    ``mapInArrow`` replaces the whole frame and is OPAQUE to Catalyst
+    column pruning, so the input projection must be pruned by hand
+    (select only ids + vector) and the output schema declared. In
+    exchange the kernel touches raw Arrow buffers: id columns pass
+    through zero-copy and the vector column reshapes without creating
+    per-row pandas objects (see _list_matrix)."""
+    import numpy as np
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.sqrt(_fold_dot(q.reshape(1, -1), q)[0]))
+    src = df.select(*id_cols, vec_col)
+    out_schema = ", ".join(
+        f"{c} {src.schema[c].dataType.simpleString()}" for c in id_cols
+    ) + ", score double"
+    vec_idx = len(id_cols)
+
+    def _score_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            mat, mask = _list_matrix(b.column(vec_idx))
+            d = _fold_dot(mat, q)
+            nrm = np.sqrt(_fold_sq_norm(mat))
+            denom = nrm * qn
+            score = np.where(denom > 0, d / np.where(denom > 0, denom, 1.0), 0.0)
+            score_arr = pa.array(score, mask=mask) if mask.any() else pa.array(score)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(vec_idx)] + [score_arr],
+                names=list(id_cols) + ["score"],
+            )
+
+    return src.mapInArrow(_score_batches, out_schema)
+
+
+def lsh_bucket_counts_map_arrow(df, vec_col: str, planes):
+    """mapInArrow form of the LSH bucket histogram input: one
+    ``bucket int`` column per input row (bit b = sign(vec . plane_b),
+    NULL vector -> NULL bucket — identical to :func:`lsh_bucket_arrow`).
+    The caller aggregates (groupBy bucket / count) JVM-side exactly as
+    with the column-expression kernels; hand-pruned input because
+    mapInArrow blocks column pruning (see cosine_scores_map_arrow)."""
+    import numpy as np
+
+    P = np.asarray([[float(x) for x in p] for p in planes], dtype=np.float64)
+    W = (1 << np.arange(P.shape[0])).astype(np.int64)
+    src = df.select(vec_col)
+
+    def _bucket_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            mat, mask = _list_matrix(b.column(0))
+            signs = np.stack(
+                [_fold_dot(mat, P[i]) >= 0 for i in range(P.shape[0])], axis=1
+            )
+            buckets = (signs @ W).astype(np.int32)
+            arr = pa.array(buckets, mask=mask) if mask.any() else pa.array(buckets)
+            yield pa.RecordBatch.from_arrays([arr], names=["bucket"])
+
+    return src.mapInArrow(_bucket_batches, "bucket int")
+
+
 def lsh_bucket_arrow(vec_col: Column, planes) -> Column:
     """LSH bucket id from sign bits against a FIXED plane matrix — the
     Arrow kernel form of the ``_bucket_sql`` HOF expression (bit b =

@@ -300,3 +300,64 @@ def test_pca_deflation_recovers_two_planted_directions(spark):
     assert abs(float(np.dot(vs[0], V[:, -1]))) > 0.99
     assert abs(float(np.dot(vs[1], V[:, -2]))) > 0.99
     assert abs(float(np.dot(vs[0], vs[1]))) < 1e-6
+
+
+def test_map_arrow_kernels_bit_match_pandas_kernels(spark, sf_dir):
+    """The mapInArrow kernels (r12 A/B artifact — measured a TIE vs
+    pandas_udf at sf10: the vec-family cost is per-query fixed Python
+    dispatch, not the IPC mechanism; PERFORMANCE.md r12) must stay
+    bit-identical to the pandas kernels: same sequential-fold
+    summation order, same null semantics, zero-copy fast path and
+    null-bearing slow path both covered."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
+        cosine_scores_arrow,
+        cosine_scores_map_arrow,
+        lsh_bucket_arrow,
+        lsh_bucket_counts_map_arrow,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    a = e.select(
+        "vec_id", cosine_scores_arrow(F.col("embedding"), q).alias("score")
+    ).orderBy("vec_id").collect()
+    b = cosine_scores_map_arrow(e, ["vec_id"], "embedding", q).orderBy("vec_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # bit-equal, not approx
+
+    planes = [vec_ops._hyperplane(64, p) for p in range(4)]
+    ha = (
+        e.select(lsh_bucket_arrow(F.col("embedding"), planes).alias("bucket"))
+        .groupBy("bucket").count().orderBy("bucket").collect()
+    )
+    hb = (
+        lsh_bucket_counts_map_arrow(e, "embedding", planes)
+        .groupBy("bucket").count().orderBy("bucket").collect()
+    )
+    assert ha == hb
+
+    # null-bearing frame exercises the slow path: NULL vector -> NULL out
+    nulled = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, None), (3, [-0.25] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [1.0] * 8
+    pa_rows = nulled.select(
+        "vec_id", cosine_scores_arrow(F.col("embedding"), qv).alias("score")
+    ).orderBy("vec_id").collect()
+    ma_rows = (
+        cosine_scores_map_arrow(nulled, ["vec_id"], "embedding", qv)
+        .orderBy("vec_id").collect()
+    )
+    assert [tuple(r) for r in pa_rows] == [tuple(r) for r in ma_rows]
+    assert pa_rows[1]["score"] is None
+    pb = nulled.select(
+        "vec_id", lsh_bucket_arrow(F.col("embedding"), [qv, [-1.0] * 8]).alias("bucket")
+    ).orderBy("vec_id").collect()
+    mb = (
+        lsh_bucket_counts_map_arrow(nulled, "embedding", [qv, [-1.0] * 8])
+        .orderBy("bucket").collect()
+    )
+    assert sorted(r["bucket"] for r in pb if r["bucket"] is not None) == sorted(
+        r["bucket"] for r in mb if r["bucket"] is not None
+    )
+    assert sum(1 for r in mb if r["bucket"] is None) == 1
