@@ -326,14 +326,51 @@ def q3_shipping_priority(spark, sf_dir):
     customer and orders grow with the scale factor, so a forced
     broadcast OOMs executors at 100 TB — AQE picks broadcast at runtime
     when the filtered side is genuinely small."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return _q3_compose(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+def _q3_compose(li, o, c, preagg: bool = False):
+    """Q3 dataflow over caller-supplied fact/dim frames — shared by the
+    plain and bucketed-layout variants so the two registry entries can
+    never drift.
+
+    ``preagg=True`` (the bucketed arm) aggregates revenue per
+    (o_orderkey, o_custkey) BELOW the customer join. Each order has
+    exactly one customer, so the groups are identical to the final
+    per-order groups and the result is unchanged — but the rows
+    crossing the post-join exchanges shrink from every surviving
+    lineitem to one skinny row per order. Under the orderkey bucket
+    layout the pre-aggregate itself needs no exchange (a bucket
+    distribution on o_orderkey satisfies clustering by any superset
+    key). On the plain layout the same rewrite was measured WORSE at
+    sf10 (r11: the pre-agg forces the full li⋈o exchange anyway and
+    adds a pass), which is why it is arm-gated rather than default."""
+    c = c.filter(F.col("c_mktsegment") == "BUILDING")
+    o = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = li.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    if preagg:
+        per_order = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey", "o_custkey")
+            .agg(F.sum(rev).alias("_rev"))
+        )
+        return (
+            per_order.join(c, per_order.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10)
+        )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -361,12 +398,176 @@ def q5_region_revenue(spark, sf_dir):
     broadcasts them at runtime whenever actually small. Forced hints
     are reserved for constant-cardinality frames (nation=25,
     region=5, 1-row scalars) throughout the TPC-H family."""
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    return _q5_compose(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _supplier_chain(spark, sf_dir, region="ASIA"),
     )
-    dim = _supplier_chain(spark, sf_dir, region="ASIA")
+
+
+_BKT_FACT_BUCKETS = 128
+
+
+def _bucketed_fact(spark, sf_dir, table: str, key: str, n_buckets: int = _BKT_FACT_BUCKETS):
+    """The fact table as an orderkey-hash-BUCKETED managed table,
+    ingested once per (sf_dir, table) and reused across sessions via
+    the catalog (VERDICT r11 task 3): pay the partitioning shuffle at
+    ingest, not once per query — the storage-layout answer to the
+    fact-fact exchange that the r11 sf10 decomposition pinned as
+    ~95% of q3's cost. Reuse guard is a row-count match against the
+    parquet footer (fixtures are immutable; a regenerated fixture with
+    the same row count is byte-identical by construction — gen_sf.py
+    is deterministic). If the environment cannot write a managed
+    table (read-only warehouse), falls back to the plain frame: the
+    query result is identical either way — the layout is a
+    performance property, plan-pinned in tests/test_bucketing.py."""
+    per_session = _session_cache(spark, "bucketed_facts")
+    ck = (sf_dir, table, n_buckets)
+    got = per_session.get(ck)
+    if got is not None:
+        return got
+    base = _t(spark, sf_dir, table)
+    try:
+        import os as _os
+        import re as _re
+        import shutil as _shutil
+        from urllib.parse import urlparse as _urlparse
+
+        from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+            read_bucketed,
+            write_bucketed,
+        )
+
+        token = _re.sub(r"[^0-9A-Za-z]+", "_", _os.path.basename(sf_dir.rstrip("/")))
+        name = f"bktfact.{table}_{token}_ok{n_buckets}"
+        expected = _table_rows(sf_dir, table)
+        spark.sql("CREATE DATABASE IF NOT EXISTS bktfact")
+        if not (
+            spark.catalog.tableExists(name)
+            and spark.table(name).count() == expected
+        ):
+            # The default in-memory catalog dies with the process but
+            # the written files don't: a prior process's table lives on
+            # as a directory that (a) blocks saveAsTable with
+            # LOCATION_ALREADY_EXISTS and (b) is a finished, correct
+            # bucketed layout. Re-attach it as an EXTERNAL table with
+            # the declared bucket spec (bucketing is a catalog
+            # property; the files carry Spark's own bucket hashing from
+            # write_bucketed) — cross-process reuse without re-paying
+            # the ingest shuffle. Only if re-attach fails (missing,
+            # truncated, foreign files) is the location cleared and
+            # rewritten.
+            loc = _os.path.join(
+                _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+                or spark.conf.get("spark.sql.warehouse.dir"),
+                "bktfact.db",
+                name.split(".", 1)[1],
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            attached = False
+            if _os.path.isdir(loc):
+                try:
+                    ddl = spark.createDataFrame([], base.schema)._jdf.schema().toDDL()
+                    spark.sql(
+                        f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                        f"CLUSTERED BY ({key}) INTO {int(n_buckets)} BUCKETS "
+                        f"LOCATION '{loc}'"
+                    )
+                    attached = spark.table(name).count() == expected
+                except Exception:
+                    attached = False
+                if not attached:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+                    _shutil.rmtree(loc, ignore_errors=True)
+            if not attached:
+                # repartition on the bucket hash first so each write
+                # task holds exactly one bucket -> ONE file per bucket.
+                # Without it every task emits a file per bucket it
+                # touches (measured: 1,889 sub-MB files for sf10
+                # lineitem at 32 buckets — the scan paid 0.89 s vs
+                # 0.32 s plain just opening footers).
+                write_bucketed(
+                    base.repartition(int(n_buckets), F.col(key)),
+                    name,
+                    [key],
+                    n_buckets,
+                )
+        df = read_bucketed(spark, name)
+    except Exception:
+        df = base
+    per_session[ck] = df
+    return df
+
+
+@_q(
+    "q3_bucketed_layout",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_bucketed_layout(spark, sf_dir):
+    """Q3 over orderkey-CO-BUCKETED lineitem/orders (ingest-once
+    managed tables, _bucketed_fact): the lineitem⋈orders exchange —
+    measured as 2.18 of plain q3's 2.28 s at sf10 (PERFORMANCE.md
+    r11) — disappears; both scans arrive hash-distributed on the join
+    key, the join degenerates to a per-bucket zip, and the
+    o_orderkey aggregation reuses the same distribution. Zero-Exchange
+    plan pinned in tests/test_bucketing.py; identical dataflow and
+    oracle as q3_shipping_priority (shared _q3_compose), so the
+    driver hash-checks that the layout changes nothing but the
+    plan. The plain entry remains the contract number — this entry is
+    the tracked bucketed arm (bench.py 'bucketed_facts' block)."""
+    return _q3_compose(
+        _bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey"),
+        _bucketed_fact(spark, sf_dir, "orders", "o_orderkey"),
+        _t(spark, sf_dir, "customer"),
+        preagg=True,
+    )
+
+
+@_q(
+    "q5_bucketed_layout",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_bucketed_layout(spark, sf_dir):
+    """Q5 over orderkey-co-bucketed facts (see q3_bucketed_layout):
+    the broadcast dim join preserves the bucket distribution, the
+    li⋈o join runs exchange-free, and the only shuffle left is the
+    ≤25-row final n_name aggregate. Same composition and oracle as
+    q5_region_revenue."""
+    return _q5_compose(
+        _bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey"),
+        _bucketed_fact(spark, sf_dir, "orders", "o_orderkey"),
+        _t(spark, sf_dir, "customer"),
+        _supplier_chain(spark, sf_dir, region="ASIA"),
+    )
+
+
+def _q5_compose(li, o, c, dim):
+    """Q5 dataflow over caller-supplied frames — shared by the plain
+    and bucketed-layout variants (see _q3_compose)."""
+    c = c.select("c_custkey", "c_nationkey")
+    o = o.select("o_orderkey", "o_custkey")
+    li = li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     # join order: the selective (region-pruned, ~1/5) dim chain first —
     # it shrinks lineitem BEFORE the big li⋈o shuffle, cutting that
     # shuffle's probe side ~5x (measured -19% at sf0.1; the win grows
@@ -7014,10 +7215,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # 1-33 are ALL 33 remaining r8-era rows in registration order
 # (leading with text_contamination, per the r11 plan — after this
 # window no query's latest driver row is older than r9). Slots 34-50
-# are the 17 stalest r9-era rows in registration order; the remaining
-# 33 r9-era rows lead the r13 window next (starting at
-# q14_promo_share).
+# are the stalest r9-era rows in registration order. The two NEW
+# bucketed-layout entries (never driver-checked) lead the window,
+# displacing q10_returned_items / q12_priority_shipmode past slot 50;
+# those two plus the remaining 33 r9-era rows lead the r13 window
+# next (starting at q10_returned_items, then q14_promo_share).
 _PRIORITY = [
+    "q3_bucketed_layout",
+    "q5_bucketed_layout",
     "text_contamination",
     "text_stats",
     "text_quality",

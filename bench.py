@@ -573,6 +573,51 @@ def main() -> None:
                 ),
             }
             detail["sf10"] = {"queries": t10, "duck_queries": d10}
+
+            # Bucketed-arm A/B for the headline joins (VERDICT r11
+            # task 3): q3/q5 over orderkey-co-bucketed lineitem/orders
+            # (ingest-once managed tables; zero-shuffle li⋈o join,
+            # plan-pinned in tests/test_bucketing.py), interleaved
+            # with the plain arms in this same sf10-sized window. The
+            # plain numbers above remain the contract; this block
+            # tracks what the layout buys when the partitioning is
+            # paid at ingest. SPARK_GRAFT_BENCH_BKTFACT=0 disables.
+            if os.environ.get("SPARK_GRAFT_BENCH_BKTFACT", "1") == "1":
+                import __spark_entry__ as _em
+
+                pre_exists = os.path.isdir(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "spark-warehouse", "bktfact.db",
+                    f"lineitem_sf10_ok{_em._BKT_FACT_BUCKETS}",
+                ))
+                t_ing = time.time()
+                _em._bucketed_fact(spark, sf10_dir, "lineitem", "l_orderkey")
+                _em._bucketed_fact(spark, sf10_dir, "orders", "o_orderkey")
+                ingest_s = time.time() - t_ing
+                arms10 = {
+                    "q3_plain": queries["q3_shipping_priority"],
+                    "q3_bucketed": queries["q3_bucketed_layout"],
+                    "q5_plain": queries["q5_region_revenue"],
+                    "q5_bucketed": queries["q5_bucketed_layout"],
+                }
+                for fn in arms10.values():
+                    fn(spark, sf10_dir).toArrow()  # untimed warm exec
+                bb = {a: float("inf") for a in arms10}
+                for _ in range(3):
+                    for a, fn in arms10.items():
+                        t0 = time.time()
+                        fn(spark, sf10_dir).toArrow()
+                        bb[a] = min(bb[a], time.time() - t0)
+                out["bucketed_facts"] = {
+                    "sf_dir": "sf10",
+                    "ingest_s": round(ingest_s, 3),
+                    "ingest_reused": bool(pre_exists),
+                    "best_sec": {a: round(s, 3) for a, s in bb.items()},
+                    "bucketed_over_plain": {
+                        "q3": round(bb["q3_bucketed"] / bb["q3_plain"], 3),
+                        "q5": round(bb["q5_bucketed"] / bb["q5_plain"], 3),
+                    },
+                }
         except Exception as exc:
             errors["sf10"] = f"{type(exc).__name__}: {exc}"[:200]
 
