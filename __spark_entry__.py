@@ -244,16 +244,29 @@ def q1_pricing_summary(spark, sf_dir):
     float_only exception (its 2.8e11 double sum crossed the harness
     render boundary by summation order every sweep). Longs, not
     DECIMAL: Spark's decimal aggregation measured 3.3x the double
-    form at sf10 (0.71 -> 2.35 s) while the cents form is 1.11 s with
-    bit-identical output — the vectorizable fixed-point path is the
-    one you'd run at 100 TB. AVGs stay double: their magnitudes sit
-    ~15 digits above the rounding grid."""
+    form at sf10 (0.71 -> 2.35 s) while the cents form is ~1.06 s
+    with bit-identical output — the vectorizable fixed-point path is
+    the one you'd run at 100 TB. AVGs stay double: their magnitudes
+    sit ~15 digits above the rounding grid.
+
+    The 4dp discounted sum is INTEGER arithmetic on the two 2dp cents
+    columns — ext_c * (100 - disc_c) == round(ext*(1-disc)*10000)
+    exactly, because both factors are exact integers and the double
+    product error (<1e-3 ULP at 1e12) never reaches the old form's
+    rounding boundary. Replacing that third per-row double
+    round()::long with one long multiply measured -15% on q1 at sf10
+    (0.846/0.852 across two interleaved windows, r12 task 5 —
+    PERFORMANCE.md), recovering half the r11 exactness cost.
+
+    Headroom bound (ADVICE r11): per-row disc4 units reach ~1e9, so
+    the int64 group sum wraps around ~9e18 ≈ sf1000 (≈100 TB of
+    lineitem in ONE group). Within spec for this engine's target; at
+    or beyond that scale sum the cents as DECIMAL(38,0) or pre-split
+    the group key."""
     li = _t(spark, sf_dir, "lineitem")
     qty_c = F.round(F.col("l_quantity") * 100).cast("long")
     ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc4 = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-    ).cast("long")
+    disc4 = ext_c * (F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
