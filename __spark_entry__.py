@@ -1961,7 +1961,23 @@ def _duck_minlabel_rounds_ctes(
         FROM {prev} l LEFT JOIN {sp} s ON s.node = l.label)"""
         )
         prev = f"l{k}"
-    steps.append(f"labels AS (SELECT node AS {id_out}, label FROM {prev})")
+    # Convergence guard (ADVICE r11): a fixed unrolled round count
+    # would surface an under-converged pathological component as a
+    # confusing parity MISMATCH; instead compare the last two label
+    # rounds and raise an explicit oracle error if anything still
+    # moved. Idempotence past convergence makes "l{r-1} == l{r}" the
+    # exact fixed-point test; the check is one linear node-sized join.
+    steps.append(
+        f"""conv_check AS (
+        SELECT count(*) AS n FROM l{rounds} a
+        JOIN l{rounds - 1} b ON b.node = a.node AND b.label <> a.label)"""
+    )
+    steps.append(
+        f"labels AS (SELECT node AS {id_out}, "
+        f"CASE WHEN (SELECT n FROM conv_check) > 0 "
+        f"THEN error('minlabel oracle did not converge in {rounds} rounds') "
+        f"ELSE label END AS label FROM {prev})"
+    )
     return ",\n    ".join(steps)
 
 

@@ -684,10 +684,21 @@ def main() -> None:
                         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
                         str(min(64 << 20, max(4 << 20, sc_bytes // (8 * sc_cpus)))),
                     )
-            sys.path.insert(
-                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+            # import by explicit path (ADVICE r11): a permanent
+            # sys.path[0]=tools/ entry would let tools/ module names
+            # (ab, windows, ...) shadow later imports process-wide
+            import importlib.util as _ilu
+
+            _sc_spec = _ilu.spec_from_file_location(
+                "snapshot_cycle_ab",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools", "snapshot_cycle_ab.py",
+                ),
             )
-            from snapshot_cycle_ab import run_arm as _sc_run_arm
+            _sc_mod = _ilu.module_from_spec(_sc_spec)
+            _sc_spec.loader.exec_module(_sc_mod)
+            _sc_run_arm = _sc_mod.run_arm
 
             from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
                 load_table as _sc_load,

@@ -268,3 +268,20 @@ def test_minlabel_cte_matches_connected_components(spark):
     con = duckdb.connect()
     got_duck = _duck_labels(con, nodes, edges)
     assert got_duck == want
+
+
+def test_minlabel_cte_convergence_guard_fires():
+    """The ADVICE-r11 fixed-point guard: an under-converged run must
+    raise an explicit oracle error, never return wrong labels that
+    would surface as a confusing parity mismatch. rounds=1/jumps=0 on
+    a long path cannot converge; the full default budget can."""
+    import duckdb
+    import pytest
+
+    nodes = list(range(64))
+    edges = [(i, i + 1) for i in range(63)]
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="did not converge"):
+        _duck_labels(con, nodes, edges, rounds=1, jumps=0)
+    # and the default budget converges the same graph cleanly
+    assert set(_duck_labels(con, nodes, edges).values()) == {0}
