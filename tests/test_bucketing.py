@@ -281,3 +281,37 @@ def test_bucketed_fact_reattach_rewrite_and_fallback(spark):
     df = fresh_call()
     assert df.count() == plain_rows
     assert not os.path.exists(os.path.join(loc, "garbage.parquet"))
+
+
+def test_bucketed_point_lookup_prunes_to_one_bucket(spark):
+    """Bucket PRUNING (r12): an equality filter on the bucket key
+    scans 1 of n_buckets — the O(data/n_buckets) key fetch the layout
+    buys at 100 TB, on top of the zero-shuffle joins. Spark only
+    applies it while the bucketed scan itself is active, and
+    autoBucketedScan auto-disables bucketed scans for scan-only plans
+    (usually right: bucket files don't split), so the test pins the
+    behavior under the explicit toggle a point-lookup caller would
+    set."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        o = entrymod._bucketed_fact(spark, SF_DIR, "orders", "o_orderkey")
+        q = o.filter(F.col("o_orderkey") == 42).select("o_orderkey", "o_totalprice")
+        rows = q.collect()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan[:800]
+        assert int(m.group(1)) == 1 and int(m.group(2)) == entrymod._BKT_FACT_BUCKETS
+        # and the lookup is CORRECT vs the plain scan
+        plain = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_orderkey") == 42)
+            .select("o_orderkey", "o_totalprice")
+            .collect()
+        )
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, plain))
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
