@@ -3897,31 +3897,42 @@ def q19_disjunctive_predicates(spark, sf_dir):
     bands — the OR-predicate pattern Catalyst must not naively
     cross-join on.
 
-    Each side also gets the DERIVED single-table weakening of the
-    disjunction (the classic Q19 rewrite Catalyst does not infer
-    across mixed-table conjuncts): parts must satisfy
-    brand∈{1,2} ∨ type=ECONOMY and lineitems l_quantity ∈ [1,40] ∨
-    ≥45 — both IMPLIED by the full predicate, so results are
-    identical (oracle unchanged), but the part filter shrinks the
-    build side toward broadcast range before the join and the
-    quantity range reaches the parquet scan as a pushed filter."""
-    part_weak = (
-        F.col("p_brand").isin("Brand#1", "Brand#2") | (F.col("p_type") == "ECONOMY")
-    )
-    li_weak = F.col("l_quantity").between(1, 40) | (F.col("l_quantity") >= 45)
+    The lineitem side keeps the derived quantity weakening
+    (l_quantity ∈ [1,40] ∨ ≥45 — implied by the full predicate) as a
+    pushed parquet filter. The part side is PRE-CLASSED into a
+    bitmask (r12): each part evaluates its three brand/size/type
+    conjunct-classes ONCE before the broadcast —
+    pmask = (brand1∧size1-15) + 2·(brand2∧size10-30) + 4·(ECONOMY) —
+    and only pmask>0 parts enter the hash table. This is strictly
+    stronger than the r11 brand∈{1,2}∨ECONOMY weakening (a Brand#1
+    part with size 20 and non-ECONOMY type never reaches the join at
+    all), so non-qualifying lineitems drop AT THE JOIN instead of in
+    a post-join filter, and the residual per-probe predicate is three
+    int bit-tests + quantity ranges instead of re-running string
+    equality and size ranges on every matched row. Measured at sf10:
+    2.56 -> 0.88 s / 2.22 -> 0.81 s interleaved (-65%), results
+    bit-identical, oracle unchanged (PERFORMANCE.md r12). The same
+    precompute-per-build-row trick is what you'd ship to 1000
+    executors: the mask costs 200k part-side evaluations instead of
+    60M probe-side ones — build-side work is O(dim), probe-side is
+    O(fact)."""
+    m1 = ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)).cast("int")
+    m2 = ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)).cast("int")
+    m3 = (F.col("p_type") == "ECONOMY").cast("int")
     p = (
         _t(spark, sf_dir, "part")
-        .select("p_partkey", "p_brand", "p_size", "p_type")
-        .filter(part_weak)
+        .select("p_partkey", (m1 + m2 * 2 + m3 * 4).alias("pmask"))
+        .filter(F.col("pmask") > 0)
     )
+    li_weak = F.col("l_quantity").between(1, 40) | (F.col("l_quantity") >= 45)
     li = _t(spark, sf_dir, "lineitem").filter(li_weak)
-    joined = li.join(p, li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
     cond = (
-        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
-        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 40))
-        | ((F.col("p_type") == "ECONOMY") & (F.col("l_quantity") >= 45))
+        ((F.col("pmask").bitwiseAND(1) > 0) & qty.between(1, 20))
+        | ((F.col("pmask").bitwiseAND(2) > 0) & qty.between(10, 40))
+        | ((F.col("pmask").bitwiseAND(4) > 0) & (qty >= 45))
     )
-    return joined.filter(cond).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).filter(cond).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )

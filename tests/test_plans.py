@@ -412,22 +412,34 @@ def test_join_outer_aggregates_below_join(spark, sf_dir):
 
 
 def test_q19_derived_filters_reach_both_scans(spark, sf_dir):
-    """r11: the derived single-table weakenings of Q19's disjunction
-    (Catalyst does not infer them across mixed-table conjuncts) must
-    be PUSHED into BOTH scans — the lineitem quantity range prunes the
-    fact scan (60M rows at sf10) and the part brand/type filter
-    shrinks the build side toward broadcast — and the join must be a
-    broadcast at fixture scale."""
+    """r11/r12: Q19's single-table derivations must land where they
+    pay — the derived lineitem quantity range PUSHED into the fact
+    scan (60M rows at sf10), and the r12 part-side bitmask
+    pre-classification (each part evaluates its three conjunct
+    classes once; only pmask>0 parts enter the broadcast hash table)
+    sitting as the Filter directly on the part scan, replacing the
+    old brand/type weakening. The residual join predicate is the
+    int bit-tests, and the join is a broadcast at fixture scale."""
     df = entrymod.queries()["q19_disjunctive_predicates"](spark, sf_dir)
     plan = explain_str(df)
     # formatted mode: each scan = a block with Location + PushedFilters
     blocks = re.split(r"\n\s*\n", plan)
     li = next(b for b in blocks if "lineitem.parquet" in b)
-    p = next(b for b in blocks if "part.parquet" in b)
     assert (
         "Or(And(GreaterThanOrEqual(l_quantity,1.0),"
         "LessThanOrEqual(l_quantity,40.0)),"
         "GreaterThanOrEqual(l_quantity,45.0))" in li
     ), li
-    assert "Or(In(p_brand, [Brand#1,Brand#2]),EqualTo(p_type,ECONOMY))" in p, p
+    # the class-mask filter evaluates ON the part side (build), so the
+    # string/size comparisons appear exactly once, below the join
+    mask_filters = [
+        b for b in blocks
+        if b.lstrip().startswith(("(4) Filter", "(3) Filter", "(2) Filter"))
+        and "Brand#1" in b and "p_size" in b and "ECONOMY" in b
+    ]
+    assert len(mask_filters) == 1, blocks
+    # and the probe-side residual predicate is bit-tests, not strings
+    post_join = next(b for b in blocks if "BroadcastHashJoin" in b)
+    assert "Brand#1" not in post_join, post_join
+    assert "& 1" in plan or "and(pmask" in plan.lower() or "pmask" in plan
     assert "BroadcastHashJoin" in plan
