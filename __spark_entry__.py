@@ -238,25 +238,31 @@ def _supplier_chain(spark, sf_dir: str, region: str | None = None):
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan -> pushed filter -> hash agg (A4/P3).
     Money/quantity SUMS aggregate as exact integer CENTS (fixed-point
-    longs): the 2dp/4dp values scale to near-integers, round to exact
-    longs per row, and the LONG sum is order-independent — so since
-    r11 q1 hash-checks clean at sf10 instead of being the documented
-    float_only exception (its 2.8e11 double sum crossed the harness
-    render boundary by summation order every sweep). Longs, not
-    DECIMAL: Spark's decimal aggregation measured 3.3x the double
-    form at sf10 (0.71 -> 2.35 s) while the cents form is ~1.06 s
-    with bit-identical output — the vectorizable fixed-point path is
-    the one you'd run at 100 TB. AVGs stay double: their magnitudes
-    sit ~15 digits above the rounding grid.
+    longs): the 2dp/4dp values scale to near-integers, recover to
+    exact longs per row, and the LONG sum is order-independent — so
+    since r11 q1 hash-checks clean at sf10 instead of being the
+    documented float_only exception (its 2.8e11 double sum crossed
+    the harness render boundary by summation order every sweep).
+    Longs, not DECIMAL: Spark's decimal aggregation measured 3.3x the
+    double form at sf10 while the cents form below is ~0.52 s vs the
+    double form's 0.47-0.54 — exactness now costs ~nothing. AVGs stay
+    double: their magnitudes sit ~15 digits above the rounding grid.
 
-    The 4dp discounted sum is INTEGER arithmetic on the two 2dp cents
-    columns — ext_c * (100 - disc_c) == round(ext*(1-disc)*10000)
-    exactly, because both factors are exact integers and the double
-    product error (<1e-3 ULP at 1e12) never reaches the old form's
-    rounding boundary. Replacing that third per-row double
-    round()::long with one long multiply measured -15% on q1 at sf10
-    (0.846/0.852 across two interleaved windows, r12 task 5 —
-    PERFORMANCE.md), recovering half the r11 exactness cost.
+    Cents recovery is `floor(x*100 + 0.5)` (r12), NOT
+    `round(x*100)::long`: Spark's round() on double routes through
+    BigDecimal per row, measured as HALF of the whole query (1.02 ->
+    0.52 s at sf10, two interleaved windows, value-identical), while
+    floor is plain codegen arithmetic returning LONG directly. It is
+    exact for this data class: every true value is a POSITIVE ≤2dp
+    quantity, so x*100 is an exact integer n plus representation
+    error |ε| << 0.5, and floor(n + ε + 0.5) == n with no rounding-
+    mode semantics involved. (Do NOT reuse for signed values — floor
+    biases negatives — or for true half-cent inputs.)
+
+    The 4dp discounted sum is INTEGER arithmetic on the two cents
+    columns — ext_c * (100 - disc_c), exact for the same reason
+    (r12 task 5, first -15% via dropping the third per-row round,
+    then the floor rewrite above).
 
     Headroom bound (ADVICE r11): per-row disc4 units reach ~1e9, so
     the int64 group sum wraps around ~9e18 ≈ sf1000 (≈100 TB of
@@ -264,9 +270,9 @@ def q1_pricing_summary(spark, sf_dir):
     or beyond that scale sum the cents as DECIMAL(38,0) or pre-split
     the group key."""
     li = _t(spark, sf_dir, "lineitem")
-    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
-    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc4 = ext_c * (F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long"))
+    qty_c = F.floor(F.col("l_quantity") * 100 + 0.5)
+    ext_c = F.floor(F.col("l_extendedprice") * 100 + 0.5)
+    disc4 = ext_c * (F.lit(100) - F.floor(F.col("l_discount") * 100 + 0.5))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
