@@ -250,13 +250,23 @@ def test_bucketed_fact_reattach_rewrite_and_fallback(spark):
     assert df.count() == plain_rows
     assert os.path.isdir(loc)
 
-    # (1) catalog loss with intact files -> external re-attach, no rewrite
-    spark.sql(f"DROP TABLE IF EXISTS {name}")  # files survive (managed? drop
-    # may delete managed files — recreate if so, then drop the EXTERNAL one)
-    if not os.path.isdir(loc):
-        fresh_call()
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-    assert os.path.isdir(loc), "external/managed drop deleted files unexpectedly"
+    # (1) catalog loss with intact files -> external re-attach, no rewrite.
+    # What actually happens cross-process is the CATALOG dying while the
+    # warehouse directory survives; DROP TABLE is the wrong emulation when
+    # step (0) ingested a MANAGED table (drop deletes its files — observed
+    # on a clean host where no prior process left an external re-attach).
+    # Emulate process loss faithfully: stash the files, drop the catalog
+    # entry, restore the files (copy2 preserves mtimes for the no-rewrite
+    # assertion below).
+    import tempfile
+
+    stash = os.path.join(tempfile.mkdtemp(prefix="bktfact_stash_"), "t")
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if not os.path.isdir(loc):  # managed drop deleted files: restore
+        shutil.move(stash, loc)
+    shutil.rmtree(os.path.dirname(stash), ignore_errors=True)
+    assert os.path.isdir(loc)
     before = max(
         os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)
     )
