@@ -2977,6 +2977,38 @@ def vec_knn_arrow_kernel(spark, sf_dir):
     return vec_ops.cosine_topk(e, "vec_id", "embedding", qvec, k=15, kernel="arrow")
 
 
+_DUCK_COS3 = (
+    "list_cosine_similarity(embedding::DOUBLE[], "
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 3))"
+)
+
+
+@_q(
+    "vec_knn_explode_kernel",
+    f"""
+    SELECT vec_id, round({_DUCK_COS3}, 6) AS score
+    FROM embeddings
+    ORDER BY round({_DUCK_COS3}, 6) DESC, vec_id
+    LIMIT 12
+    """,
+)
+def vec_knn_explode_kernel(spark, sf_dir):
+    """Exact cosine top-k FORCING the r12 JVM explode kernel —
+    posexplode + literal-lookup products + hash-agg sums, no Python
+    worker at all (functions/vector.cosine_scores_explode). This is
+    what kernel='auto' resolves to above the size gate since r12
+    (measured −39% vs the Arrow kernel at sf10, bit-identical scores
+    — tools/vec_jvm_ab.py), but auto resolves to the HOF form at the
+    driver's sf0.01 gate scale, so without this entry the scale
+    kernel would never earn a driver oracle row. Distinct parameters
+    (query vector = row 3, k=12) keep the result set independent of
+    the other knn entries. Single-rounded score contract (see
+    vec_knn_bruteforce)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vector(sf_dir, vec_id=3)
+    return vec_ops.cosine_topk(e, "vec_id", "embedding", qvec, k=12, kernel="explode")
+
+
 @_q(
     "vec_lsh_arrow_kernel",
     f"""
@@ -7266,9 +7298,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # displacing q10_returned_items / q12_priority_shipmode past slot 50;
 # those two plus the remaining 33 r9-era rows lead the r13 window
 # next (starting at q10_returned_items, then q14_promo_share).
+# vec_knn_explode_kernel (new mid-r12, never driver-checked) slots in
+# at 3, additionally displacing q6_forecast_revenue to 51.
 _PRIORITY = [
     "q3_bucketed_layout",
     "q5_bucketed_layout",
+    "vec_knn_explode_kernel",
     "text_contamination",
     "text_stats",
     "text_quality",

@@ -152,6 +152,65 @@ def cosine_scores_arrow(vec_col: Column, query_vec) -> Column:
     return _cos(vec_col)
 
 
+def cosine_scores_explode(df, id_cols: list[str], vec_col: str, query_vec):
+    """Cosine scores to a FIXED query vector with NO Python worker at
+    all — the r12 JVM explode shape (third formulation after HOF and
+    the Arrow kernels, tools/vec_jvm_ab.py):
+
+        posexplode(vec) -> val * element_at(<query literal>, pos+1)
+        -> hash-agg SUM(dot), SUM(sq) per id -> score
+
+    Catalyst constant-folds the query literal, the products and the
+    two SUMs run inside whole-stage codegen, and the only exchange
+    moves one row per input vector (each vector's elements stay in one
+    partition, so the partial aggregate finishes the fold map-side).
+    Versus the Arrow kernel this trades the per-query Python-eval
+    dispatch floor (~0.38 s, r12 mapInArrow A/B) plus vector IPC for
+    one narrow shuffle: measured bit-identical and -39% at sf10
+    (0.75 vs 1.23 s), tie at sf1, loses at sf0.1 where the HOF gate
+    keeps it off anyway. (The analogous LSH explode form LOSES — 13
+    sum buffers per group vs one numpy matmul — so only the cosine
+    path takes this shape; see PERFORMANCE.md r12.)
+
+    Bit-exactness: a row's exploded elements are contiguous in one
+    partition and hash aggregation folds each group's inputs in
+    encounter order, so SUM accumulates in pos order — the identical
+    sequential fold of the HOF/_fold_dot kernels (gated raw-equal in
+    tools/vec_jvm_ab.py and tests).
+
+    Semantics match cosine_sim/cosine_scores_arrow: NULL vector ->
+    NULL score, zero norm (e.g. empty array) -> 0.0 — posexplode_outer
+    keeps null/empty rows and an is-null flag separates the two."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = 0.0
+    for x in q:  # same sequential fold as _fold_dot / l2_norm
+        qn += x * x
+    qn = math.sqrt(qn)
+    Q = lit_double_array(q)
+    ex = df.select(
+        *id_cols,
+        F.col(vec_col).isNull().alias("_vnull"),
+        F.posexplode_outer(vec_col).alias("_pos", "_val"),
+    )
+    v = F.col("_val").cast("double")
+    agg = ex.groupBy(*id_cols).agg(
+        F.max("_vnull").alias("_vnull"),
+        F.sum(v * F.element_at(Q, F.col("_pos") + 1)).alias("_d"),
+        F.sum(v * v).alias("_sq"),
+    )
+    score = (
+        F.when(F.col("_vnull"), F.lit(None).cast("double"))
+        .when(
+            (F.col("_sq") > 0) & (F.lit(qn) > 0),
+            F.col("_d") / (F.sqrt("_sq") * F.lit(qn)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(*id_cols, score.alias("score"))
+
+
 def _list_matrix(arr):
     """pyarrow ListArray of float -> (float64 matrix, null mask).
 

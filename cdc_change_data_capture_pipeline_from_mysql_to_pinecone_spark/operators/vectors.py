@@ -35,11 +35,17 @@ from ..functions.vector import cosine_sim, lit_double_array
 ARROW_KERNEL_MIN_BYTES = 4 * 1024 * 1024
 
 
-def _resolve_kernel(df: DataFrame, kernel: str) -> str:
+def _resolve_kernel(df: DataFrame, kernel: str, scale_kernel: str = "arrow") -> str:
+    """'auto' -> ``scale_kernel`` above the size gate, 'hof' below it.
+    The scale kernel is per-operator: cosine scoring takes the JVM
+    explode shape (r12: −39% vs Arrow at sf10, gap grows with rows),
+    LSH bucketing keeps the Arrow matmul (the 13-sum explode agg
+    measured 24% WORSE at sf10 — one matmul beats thirteen grouped
+    sums; tools/vec_jvm_ab.py)."""
     if kernel != "auto":
         return kernel
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    return "arrow" if size >= ARROW_KERNEL_MIN_BYTES else "hof"
+    return scale_kernel if size >= ARROW_KERNEL_MIN_BYTES else "hof"
 
 
 def cosine_topk(
@@ -52,17 +58,38 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector.
 
-    ``kernel='arrow'`` scores with the Arrow-batched numpy kernel (one
-    matmul per batch — see functions.vector docstring: HOF lambdas
-    evaluate interpreted per element, and the straight-line unroll is
-    a measured codegen dead end); ``kernel='hof'`` keeps the
-    pure-expression form; ``'auto'`` (default) picks by the
-    optimizer's input-size estimate (ARROW_KERNEL_MIN_BYTES — no job).
-    Both produce identical scores (verified bit-equal at sf0.1/sf1);
-    the plan stays scan -> TakeOrderedAndProject either way —
-    per-partition top-k + driver merge, no global sort, at any
-    scale."""
-    if _resolve_kernel(emb_df, kernel) == "arrow":
+    Kernels (all produce bit-identical scores — same sequential fold;
+    verified raw-equal at sf0.1/sf1/sf10, tools/vec_jvm_ab.py):
+
+    - ``'explode'`` (the scale default since r12): pure-JVM
+      posexplode + literal-lookup products + hash-agg sums — no
+      Python worker, no interpreted lambda; −39% vs the Arrow kernel
+      at sf10 and the gap grows with rows (the Arrow path pays a
+      ~0.38 s Python dispatch floor plus vector IPC, the explode path
+      one narrow row-per-vector exchange).
+    - ``'arrow'``: Arrow-batched numpy kernel (one matmul per batch).
+      Kept for callers that want scoring as a COLUMN on the original
+      frame shape (no re-aggregation), and as the LSH kernel where
+      the explode form loses.
+    - ``'hof'``: pure-expression form (the oracle mirror) — wins
+      under ARROW_KERNEL_MIN_BYTES where every batch mechanism's
+      fixed cost dominates.
+    - ``'auto'`` (default) picks ``'explode'`` above the size gate,
+      ``'hof'`` below it (no job — optimizer size estimate).
+
+    The plan ends in TakeOrderedAndProject either way — per-partition
+    top-k + driver merge, no global sort, at any scale."""
+    resolved = _resolve_kernel(emb_df, kernel, scale_kernel="explode")
+    if resolved == "explode":
+        from ..functions.vector import cosine_scores_explode
+
+        scored = cosine_scores_explode(emb_df, [id_col], vec_col, query_vec)
+        return (
+            scored.select(F.col(id_col), F.round(F.col("score"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k)
+        )
+    if resolved == "arrow":
         from ..functions.vector import cosine_scores_arrow
 
         score = cosine_scores_arrow(F.col(vec_col), query_vec)

@@ -361,3 +361,71 @@ def test_map_arrow_kernels_bit_match_pandas_kernels(spark, sf_dir):
         r["bucket"] for r in mb if r["bucket"] is not None
     )
     assert sum(1 for r in mb if r["bucket"] is None) == 1
+
+
+def test_explode_kernel_bit_matches_and_stays_jvm_side(spark, sf_dir):
+    """The r12 JVM explode cosine kernel (tools/vec_jvm_ab.py: −39%
+    vs the Arrow kernel at sf10, no Python worker) must be
+    bit-identical to the Arrow kernel — same sequential fold: a
+    vector's exploded elements stay contiguous in one partition and
+    the partial hash aggregate folds them in pos order — and its plan
+    must contain NO Python eval node at all (that absence IS the win:
+    the Arrow kernels pay a per-query Python dispatch floor that no
+    IPC mechanism removes, r12 mapInArrow A/B)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
+        cosine_scores_arrow,
+        cosine_scores_explode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    a = e.select(
+        "vec_id", cosine_scores_arrow(F.col("embedding"), q).alias("score")
+    ).orderBy("vec_id").collect()
+    x = cosine_scores_explode(e, ["vec_id"], "embedding", q).orderBy("vec_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in x]  # bit-equal, not approx
+
+    # the full operator contract: all three kernels, same top-k
+    topk = {
+        k: vec_ops.cosine_topk(e, "vec_id", "embedding", q, k=10, kernel=k).collect()
+        for k in ("hof", "arrow", "explode")
+    }
+    assert [tuple(r) for r in topk["explode"]] == [tuple(r) for r in topk["arrow"]]
+    assert [tuple(r) for r in topk["explode"]] == [tuple(r) for r in topk["hof"]]
+
+    # plan: zero Python eval nodes, and the pieces that make it fast
+    # are present (Generate for the explode, partial hash aggregate)
+    plan = vec_ops.cosine_topk(
+        e, "vec_id", "embedding", q, k=10, kernel="explode"
+    )._jdf.queryExecution().executedPlan().toString()
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "PythonMapInArrow",
+                        "FlatMapsInPandas", "MapInPandas"):
+        assert python_node not in plan, python_node
+    assert "Generate" in plan and "HashAggregate" in plan
+
+    # null vector -> NULL score; empty vector -> 0.0 (zero norm) —
+    # matching the Arrow scale kernel's documented semantics
+    edge = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, None), (3, [])],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [1.0] * 8
+    rows = {
+        r["vec_id"]: r["score"]
+        for r in cosine_scores_explode(edge, ["vec_id"], "embedding", qv).collect()
+    }
+    arrow_rows = {
+        r["vec_id"]: r["score"]
+        for r in edge.select(
+            "vec_id", cosine_scores_arrow(F.col("embedding"), qv).alias("score")
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] is None and arrow_rows[2] is None
+    assert rows[3] == 0.0 == arrow_rows[3]
+    assert rows[1] == arrow_rows[1]
+
+    # 'auto' resolves to the explode kernel above the size gate
+    assert vec_ops._resolve_kernel(e, "auto", scale_kernel="explode") in (
+        "explode", "hof"
+    )
