@@ -518,3 +518,57 @@ def test_embed_fallback_oracle_is_float32_bit_exact(texts):
     for did, v in enumerate(vecs):
         py = {j: float(v[j]) for j in range(EMBED_DIM) if v[j] != 0}
         assert py == duck.get(did, {}), (did, texts[did] if texts else "")
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(
+                    min_value=-1e3, max_value=1e3,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=0, max_size=9,
+            ),
+        ),
+        min_size=1, max_size=12,
+    ),
+    dim=st.integers(min_value=1, max_value=9),
+)
+def test_explode_cosine_kernel_bit_matches_hof_fold(spark_g, vecs, dim):
+    """The r12 JVM explode cosine kernel's bit-exactness claim is
+    STRUCTURAL (exploded elements fold in pos order inside the partial
+    hash aggregate); this pins it over random vectors, not just the
+    fixture: raw doubles equal the Arrow kernel's sequential fold
+    exactly, including NULL vectors (NULL score) and ragged/empty
+    vectors. Vectors are truncated/padded to a common dim because the
+    kernels' contract is uniform-dim input; empties stay empty to keep
+    the zero-norm branch covered."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
+        cosine_scores_arrow,
+        cosine_scores_explode,
+    )
+
+    shaped = [
+        None if v is None else ([float(x) for x in (v + [0.0] * dim)[:dim]] if v else [])
+        for v in vecs
+    ]
+    df = spark_g.createDataFrame(
+        [(i, v) for i, v in enumerate(shaped)], "vec_id long, embedding array<float>"
+    )
+    q = [1.0 + 0.5 * j for j in range(dim)]
+    a = {
+        r["vec_id"]: r["score"]
+        for r in df.select(
+            "vec_id", cosine_scores_arrow(F.col("embedding"), q).alias("score")
+        ).collect()
+    }
+    x = {
+        r["vec_id"]: r["score"]
+        for r in cosine_scores_explode(df, ["vec_id"], "embedding", q).collect()
+    }
+    assert set(a) == set(x)
+    for k in a:
+        assert a[k] == x[k], (k, shaped[k], a[k], x[k])  # bit-equal, not approx
