@@ -2997,8 +2997,10 @@ def vec_knn_explode_kernel(spark, sf_dir):
     posexplode + literal-lookup products + hash-agg sums, no Python
     worker at all (functions/vector.cosine_scores_explode). This is
     what kernel='auto' resolves to above the size gate since r12
-    (measured −39% vs the Arrow kernel at sf10, bit-identical scores
-    — tools/vec_jvm_ab.py), but auto resolves to the HOF form at the
+    (steady-state tie with the Arrow kernel at sf10 with ~half the
+    contention degradation and no Python worker, bit-identical
+    scores — tools/vec_jvm_ab.py, PERFORMANCE.md), but auto resolves
+    to the HOF form at the
     driver's sf0.01 gate scale, so without this entry the scale
     kernel would never earn a driver oracle row. Distinct parameters
     (query vector = row 3, k=12) keep the result set independent of

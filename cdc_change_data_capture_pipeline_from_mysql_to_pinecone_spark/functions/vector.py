@@ -164,13 +164,18 @@ def cosine_scores_explode(df, id_cols: list[str], vec_col: str, query_vec):
     two SUMs run inside whole-stage codegen, and the only exchange
     moves one row per input vector (each vector's elements stay in one
     partition, so the partial aggregate finishes the fold map-side).
-    Versus the Arrow kernel this trades the per-query Python-eval
-    dispatch floor (~0.38 s, r12 mapInArrow A/B) plus vector IPC for
-    one narrow shuffle: measured bit-identical and -39% at sf10
-    (0.75 vs 1.23 s), tie at sf1, loses at sf0.1 where the HOF gate
-    keeps it off anyway. (The analogous LSH explode form LOSES — 13
-    sum buffers per group vs one numpy matmul — so only the cosine
-    path takes this shape; see PERFORMANCE.md r12.)
+    Versus the Arrow kernel this trades per-query Python-worker
+    dispatch plus vector IPC (~50 MB/query at sf10) for one narrow
+    shuffle of partial sums (~5 MB): measured bit-identical and a
+    steady-state TIE at sf10 across four windows (0.38-0.41 vs
+    0.33-0.40 s quiet; 0.75 vs 1.23 s under background load — the
+    JVM arm degrades about half as much under contention), 0.93x at
+    sf1, loses at sf0.1 where the HOF gate keeps it off anyway.
+    Landed as the scale default for the robustness and the removed
+    Python-worker subsystem, not a throughput claim — full window
+    table in PERFORMANCE.md r12. (The analogous LSH explode form
+    LOSES 24-59% — 13 sum buffers per group vs one numpy matmul — so
+    only the cosine path takes this shape.)
 
     Bit-exactness: a row's exploded elements are contiguous in one
     partition and hash aggregation folds each group's inputs in

@@ -38,10 +38,11 @@ ARROW_KERNEL_MIN_BYTES = 4 * 1024 * 1024
 def _resolve_kernel(df: DataFrame, kernel: str, scale_kernel: str = "arrow") -> str:
     """'auto' -> ``scale_kernel`` above the size gate, 'hof' below it.
     The scale kernel is per-operator: cosine scoring takes the JVM
-    explode shape (r12: −39% vs Arrow at sf10, gap grows with rows),
+    explode shape (r12: steady-state tie with Arrow at sf10, ~half
+    the contention degradation, no Python worker — PERFORMANCE.md),
     LSH bucketing keeps the Arrow matmul (the 13-sum explode agg
-    measured 24% WORSE at sf10 — one matmul beats thirteen grouped
-    sums; tools/vec_jvm_ab.py)."""
+    measured 24-59% WORSE at sf10 — one matmul beats thirteen
+    grouped sums; tools/vec_jvm_ab.py)."""
     if kernel != "auto":
         return kernel
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
@@ -63,10 +64,12 @@ def cosine_topk(
 
     - ``'explode'`` (the scale default since r12): pure-JVM
       posexplode + literal-lookup products + hash-agg sums — no
-      Python worker, no interpreted lambda; −39% vs the Arrow kernel
-      at sf10 and the gap grows with rows (the Arrow path pays a
-      ~0.38 s Python dispatch floor plus vector IPC, the explode path
-      one narrow row-per-vector exchange).
+      Python worker, no interpreted lambda. Steady-state TIE with the
+      Arrow kernel at sf10 (four-window record in PERFORMANCE.md);
+      chosen as default because it degrades ~half as much under
+      executor contention and drops the Python-worker subsystem
+      (worker pool, ~50 MB/query vector IPC) from the hot path at
+      equal speed.
     - ``'arrow'``: Arrow-batched numpy kernel (one matmul per batch).
       Kept for callers that want scoring as a COLUMN on the original
       frame shape (no re-aggregation), and as the LSH kernel where

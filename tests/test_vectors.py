@@ -364,8 +364,9 @@ def test_map_arrow_kernels_bit_match_pandas_kernels(spark, sf_dir):
 
 
 def test_explode_kernel_bit_matches_and_stays_jvm_side(spark, sf_dir):
-    """The r12 JVM explode cosine kernel (tools/vec_jvm_ab.py: −39%
-    vs the Arrow kernel at sf10, no Python worker) must be
+    """The r12 JVM explode cosine kernel (tools/vec_jvm_ab.py:
+    steady-state tie with the Arrow kernel at sf10, ~half the
+    contention degradation, no Python worker) must be
     bit-identical to the Arrow kernel — same sequential fold: a
     vector's exploded elements stay contiguous in one partition and
     the partial hash aggregate folds them in pos order — and its plan
