@@ -185,7 +185,14 @@ def cosine_scores_explode(df, id_cols: list[str], vec_col: str, query_vec):
 
     Semantics match cosine_sim/cosine_scores_arrow: NULL vector ->
     NULL score, zero norm (e.g. empty array) -> 0.0 — posexplode_outer
-    keeps null/empty rows and an is-null flag separates the two."""
+    keeps null/empty rows and an is-null flag separates the two.
+
+    PRECONDITION: ``id_cols`` must identify rows UNIQUELY — this
+    kernel aggregates by them, so duplicated ids would merge two
+    vectors' elements into one meaningless score where the row-wise
+    kernels emit one row each. cosine_topk guards this by adding a
+    monotonically_increasing_id to the grouping; direct callers with
+    possibly-duplicate ids must do the same."""
     import math
 
     q = [float(x) for x in query_vec]

@@ -86,7 +86,19 @@ def cosine_topk(
     if resolved == "explode":
         from ..functions.vector import cosine_scores_explode
 
-        scored = cosine_scores_explode(emb_df, [id_col], vec_col, query_vec)
+        # Per-row uniquifier: cosine_scores_explode aggregates BY the id
+        # columns, so a duplicated id would MERGE two vectors' elements
+        # into one garbage score — the row-scoring kernels would instead
+        # emit one row each. The _rid keeps per-row semantics identical
+        # across kernels for any input (only used as a grouping key,
+        # dropped before the contract columns; each group is still one
+        # row's contiguous elements, so the fold order is unchanged).
+        scored = cosine_scores_explode(
+            emb_df.withColumn("_rid", F.monotonically_increasing_id()),
+            [id_col, "_rid"],
+            vec_col,
+            query_vec,
+        )
         return (
             scored.select(F.col(id_col), F.round(F.col("score"), 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))

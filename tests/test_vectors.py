@@ -430,3 +430,30 @@ def test_explode_kernel_bit_matches_and_stays_jvm_side(spark, sf_dir):
     assert vec_ops._resolve_kernel(e, "auto", scale_kernel="explode") in (
         "explode", "hof"
     )
+
+
+def test_explode_kernel_topk_safe_under_duplicate_ids(spark):
+    """cosine_topk's explode path must score PER ROW even when the id
+    column is duplicated (cosine_scores_explode aggregates by its id
+    columns — without the operator's per-row uniquifier, two rows
+    sharing an id would merge into one garbage score). All three
+    kernels must agree on the duplicate-id frame."""
+    dup = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (1, [0.0, 1.0, 0.0, 0.0]),   # same id, different vector
+         (2, [1.0, 1.0, 0.0, 0.0]),
+         (3, [-1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0, 0.0]
+    out = {
+        k: sorted(
+            tuple(r) for r in
+            vec_ops.cosine_topk(dup, "vec_id", "embedding", q, k=4, kernel=k).collect()
+        )
+        for k in ("hof", "arrow", "explode")
+    }
+    assert out["explode"] == out["arrow"] == out["hof"]
+    # both rows of id 1 are present with their own scores (1.0 and 0.0)
+    id1_scores = sorted(s for i, s in out["explode"] if i == 1)
+    assert id1_scores == [0.0, 1.0]
