@@ -60,8 +60,26 @@ def _cycle_snapshot(base, i: int):
 
 
 def run_arm(spark, base, cycles: int, bucketed: bool, db: str) -> dict:
+    import shutil
+    from urllib.parse import urlparse
+
+    # A KILLED prior run (timeout, ctrl-C) never reaches this
+    # function's finally-cleanup, and the in-memory catalog dies with
+    # the process — leaving orphan snap_i directories under the db
+    # location that the next run's saveAsTable dies on with
+    # LOCATION_ALREADY_EXISTS (observed: a timed-out bench poisoned
+    # the next bench's snapshot_cycle block). The catalog is fresh
+    # per process, so any files at this db's location are stale by
+    # construction: drop whatever the catalog knows, then scrub the
+    # location itself.
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or spark.conf.get(
+        "spark.sql.warehouse.dir"
+    )
+    shutil.rmtree(os.path.join(wh, f"{db}.db"), ignore_errors=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     tmp_root = f"/tmp/snapcycle_{db}"
+    shutil.rmtree(tmp_root, ignore_errors=True)
     persist_s = diff_s = rollup_s = 0.0
     n_changes = 0
     try:
