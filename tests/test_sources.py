@@ -35,6 +35,30 @@ def test_json_scan_roundtrip(spark, sf_dir, tmp_path):
     )
 
 
+def test_orc_scan_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC — the other Spark-native columnar format (S11 family):
+    values round-trip exactly, and a predicate on the ORC scan is
+    PUSHED (PushedFilters in the scan node), so the format keeps the
+    scan-pruning properties the 100 TB design assumes of parquet."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    out = str(tmp_path / "customer_orc")
+    customer.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == customer.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, customer.collect()))
+
+    filtered = back.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "c_mktsegment" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:800]
+    assert filtered.count() == customer.filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).count()
+
+
 def test_json_lines_parse(spark, sf_dir):
     """events.props is JSON-lines content: from_json must parse it
     (F12 inverse of the serialize operator)."""
