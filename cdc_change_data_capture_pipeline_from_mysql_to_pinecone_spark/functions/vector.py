@@ -41,10 +41,20 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 when either vector has zero norm."""
+    """Cosine similarity; NULL when either vector is NULL (matching the
+    Arrow/explode kernels and DuckDB's ``list_cosine_similarity``), 0.0
+    when either vector has zero norm. The explicit NULL branch matters:
+    without it a NULL input makes the ``when`` condition NULL and the
+    score silently falls through to ``otherwise(0.0)``, so kernel='auto'
+    would flip NULL-vector scores between 0.0 and NULL across the size
+    gate (r12 ADVICE)."""
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
-    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+        .when((na > 0) & (nb > 0), d / (na * nb))
+        .otherwise(F.lit(0.0))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -177,11 +187,18 @@ def cosine_scores_explode(df, id_cols: list[str], vec_col: str, query_vec):
     LOSES 24-59% — 13 sum buffers per group vs one numpy matmul — so
     only the cosine path takes this shape.)
 
-    Bit-exactness: a row's exploded elements are contiguous in one
-    partition and hash aggregation folds each group's inputs in
-    encounter order, so SUM accumulates in pos order — the identical
-    sequential fold of the HOF/_fold_dot kernels (gated raw-equal in
-    tools/vec_jvm_ab.py and tests).
+    Bit-exactness (at tested scales, empirically gated): a row's
+    exploded elements are contiguous in one partition and the partial
+    hash aggregate folds each group's inputs in encounter order, so
+    SUM accumulates in pos order — matching the sequential fold of the
+    HOF/_fold_dot kernels. This is an empirical property, not a
+    guarantee: under memory pressure HashAggregateExec can spill
+    mid-group or fall back to sort-based aggregation, and a group's
+    sum then merges partial chunks whose fold order is not the strict
+    sequential one. The raw-equality gate in tools/vec_jvm_ab.py is a
+    REQUIRED pre-check whenever fixture scale or executor memory
+    changes; the 6-dp rounding in the registry queries absorbs ulp
+    drift, but the internal raw-equal tests do not.
 
     Semantics match cosine_sim/cosine_scores_arrow: NULL vector ->
     NULL score, zero norm (e.g. empty array) -> 0.0 — posexplode_outer
@@ -192,7 +209,15 @@ def cosine_scores_explode(df, id_cols: list[str], vec_col: str, query_vec):
     vectors' elements into one meaningless score where the row-wise
     kernels emit one row each. cosine_topk guards this by adding a
     monotonically_increasing_id to the grouping; direct callers with
-    possibly-duplicate ids must do the same."""
+    possibly-duplicate ids must do the same.
+
+    Ragged inputs: a row vector LONGER than the query is truncated to
+    the query's dimension (both the dot and the squared norm see only
+    the first len(query) elements, so the truncation is consistent).
+    Without the bound, ANSI mode (the PySpark 4.x default) would make
+    ``element_at`` throw INVALID_ARRAY_INDEX and fail the whole query
+    on a single ragged row. Equal-dim inputs — the kernel's contract —
+    are unaffected by the filter."""
     import math
 
     q = [float(x) for x in query_vec]
@@ -205,6 +230,8 @@ def cosine_scores_explode(df, id_cols: list[str], vec_col: str, query_vec):
         *id_cols,
         F.col(vec_col).isNull().alias("_vnull"),
         F.posexplode_outer(vec_col).alias("_pos", "_val"),
+    ).where(  # ragged-row truncation bound; _pos is NULL for NULL/empty rows
+        F.col("_pos").isNull() | (F.col("_pos") < F.lit(len(q)))
     )
     v = F.col("_val").cast("double")
     agg = ex.groupBy(*id_cols).agg(

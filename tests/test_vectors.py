@@ -457,3 +457,73 @@ def test_explode_kernel_topk_safe_under_duplicate_ids(spark):
     # both rows of id 1 are present with their own scores (1.0 and 0.0)
     id1_scores = sorted(s for i, s in out["explode"] if i == 1)
     assert id1_scores == [0.0, 1.0]
+
+
+def test_cosine_kernels_agree_on_null_vectors(spark):
+    """All THREE kernels must give NULL for a NULL vector (r12 ADVICE:
+    the HOF form used to fall through its when() to 0.0 because a NULL
+    condition is not-true, so kernel='auto' flipped NULL-vector scores
+    across the size gate). Pinned here so the three-way agreement
+    covers the null edge, not just populated rows. DuckDB's
+    list_cosine_similarity is NULL-propagating too, so this is also
+    the oracle-side semantic."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
+        cosine_scores_arrow,
+        cosine_scores_explode,
+        cosine_sim,
+        lit_double_array,
+    )
+
+    edge = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, None), (3, [])],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [1.0] * 8
+    hof = {
+        r["vec_id"]: r["score"]
+        for r in edge.select(
+            "vec_id",
+            cosine_sim(F.col("embedding"), lit_double_array(qv)).alias("score"),
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["score"]
+        for r in edge.select(
+            "vec_id", cosine_scores_arrow(F.col("embedding"), qv).alias("score")
+        ).collect()
+    }
+    explode = {
+        r["vec_id"]: r["score"]
+        for r in cosine_scores_explode(edge, ["vec_id"], "embedding", qv).collect()
+    }
+    assert hof[2] is None and arrow[2] is None and explode[2] is None
+    assert hof[3] == arrow[3] == explode[3] == 0.0
+    assert hof[1] == arrow[1] == explode[1]
+
+
+def test_explode_kernel_truncates_ragged_rows(spark):
+    """A data vector LONGER than the query must not crash the explode
+    kernel: under PySpark 4.x default ANSI mode an unbounded
+    element_at(Q, pos+1) throws INVALID_ARRAY_INDEX on the first
+    out-of-range position (r12 ADVICE). The kernel bounds the explode
+    at the query's dimension, so the ragged row scores over its first
+    len(query) elements — consistent truncation of both the dot and
+    the norm — and equal-dim rows are untouched."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
+        cosine_scores_explode,
+    )
+
+    q = [1.0, 0.0]
+    ragged = spark.createDataFrame(
+        [(1, [3.0, 4.0]),            # equal-dim: 3/5 = 0.6
+         (2, [1.0, 0.0, 9.0, 9.0]),  # longer: truncated to [1,0] -> 1.0
+         (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r["score"]
+        for r in cosine_scores_explode(ragged, ["vec_id"], "embedding", q).collect()
+    }
+    assert abs(rows[1] - 0.6) < 1e-12
+    assert abs(rows[2] - 1.0) < 1e-12
+    assert rows[3] is None

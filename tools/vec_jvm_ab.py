@@ -61,8 +61,12 @@ def explode_cosine_scores(e, qvec):
 
 def explode_lsh_buckets(e, planes):
     """vec_id + LSH bucket id via the JVM explode shape: one hash agg
-    with one SUM per plane, sign bits assembled after the agg."""
-    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    with one SUM per plane, sign bits assembled after the agg.
+    posexplode_outer (mirroring cosine_scores_explode) keeps NULL/empty
+    embeddings as rows — a plain posexplode would drop them and the
+    equality gate below would die on an Arrow length mismatch instead
+    of reporting a clean bit-mismatch."""
+    ex = e.select("vec_id", F.posexplode_outer("embedding").alias("pos", "val"))
     v = F.col("val").cast("double")
     sums = [
         F.sum(v * F.element_at(lit_double_array(p), F.col("pos") + 1)).alias(f"d{b}")
@@ -108,6 +112,8 @@ def main() -> None:
         e.select("vec_id", lsh_bucket_arrow(F.col("embedding"), planes).alias("bucket"))
         .toArrow(), ["vec_id"])
     xb = _sorted(explode_lsh_buckets(e, planes).toArrow(), ["vec_id"])
+    assert pb.num_rows == xb.num_rows, (
+        f"bucket row counts differ: pandas {pb.num_rows} vs explode {xb.num_rows}")
     assert pc.all(pc.equal(pb.column("bucket"), xb.column("bucket"))).as_py(), (
         "bucket ids differ")
     print("exactness gates: PASS (raw scores and buckets bit-identical)")
