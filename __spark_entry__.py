@@ -1783,18 +1783,50 @@ def dedup_winnow_candidates(spark, sf_dir):
     r"""
     WITH s AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
                FROM documents WHERE doc_id % 11 = 0),
-    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 len(list_intersect(a.tk, b.tk)) * 1.0 /
-                 (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jac
-          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    tok AS (SELECT doc_id, unnest(tk) AS t FROM s),
+    df AS (SELECT t, count(*) AS dfc FROM tok GROUP BY t),
+    rk AS (SELECT tok.doc_id, tok.t,
+                  row_number() OVER (PARTITION BY tok.doc_id
+                                     ORDER BY df.dfc, tok.t) AS rn
+           FROM tok JOIN df USING (t)),
+    sz AS (SELECT doc_id, len(tk) AS n FROM s),
+    pre AS (SELECT rk.doc_id, rk.t
+            FROM rk JOIN sz USING (doc_id)
+            WHERE rk.rn <= sz.n - (9 * sz.n + 9) // 10 + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pre a JOIN pre b ON a.t = b.t AND a.doc_id < b.doc_id),
+    p AS (SELECT id_a, id_b,
+                 len(list_intersect(sa.tk, sb.tk)) * 1.0 /
+                 (len(sa.tk) + len(sb.tk) - len(list_intersect(sa.tk, sb.tk))) AS jac
+          FROM cand JOIN s sa ON sa.doc_id = cand.id_a
+                    JOIN s sb ON sb.doc_id = cand.id_b)
     SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.9
     """,
 )
 def dedup_setsim_exact(spark, sf_dir):
     """EXACT Jaccard >= 0.9 self-join via prefix filtering (PPJoin
     family) — the exact counterpart of the approximate LSH candidate
-    pass; the oracle is the brute-force all-pairs join over the same
-    sample, so prefix filtering is proven to lose no pairs."""
+    pass.
+
+    Oracle lineage (r13, VERDICT r12 task 1): through r12 the oracle
+    was the brute-force all-pairs join over the same sample — maximally
+    independent, but O(n^2) list_intersect calls made it the sweep's
+    second-slowest oracle at sf10 (1,496 s for ~45k sampled docs). It
+    matched the engine at EVERY scale including one full sf10 pass, so
+    the brute-force anchor is on record. From r13 the oracle generates
+    candidates with the exact prefix-filtering principle (Chaudhuri et
+    al. 2006: if |A∩B| >= a then the first |A|-a+1 tokens of A and
+    |B|-a+1 of B under ANY global token order intersect; J >= 0.9
+    implies |A∩B| >= ceil(0.9*max(|A|,|B|)), so per-set prefix length
+    n - ceil(0.9n) + 1 is lossless) and verifies each candidate with
+    the same brute-force list_intersect arithmetic as before. The
+    prefix lengths use pure-integer ceil ((9n+9)//10) so no FP
+    boundary can differ cross-engine, and the token order (ascending
+    document frequency, token) is a total order. Independence note:
+    the DuckDB formulation shares the THEOREM with the engine's
+    set_similarity_join but nothing else — window-ranked list
+    functions vs Spark's exploded token join — and the verify
+    arithmetic is unchanged from the brute-force oracle."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0).select(
         "doc_id", "text"
     )
@@ -3053,9 +3085,30 @@ def vec_ann_topk(spark, sf_dir):
     return vec_ops.ann_topk(e, "vec_id", "embedding", qvec, dim=64, k=10, n_planes=planes)
 
 
-_DUCK_IVF = """
+#: Corpus-adaptive quantizer-seed modulus: every vec_id % m == 0 vector
+#: becomes a centroid, with m = max(50, ceil(n/512)) — pure-integer
+#: ceiling division so both engines derive the IDENTICAL value. The
+#: fixed % 50 rule this replaces (r13) made the centroid count grow
+#: LINEARLY with the corpus, so every IVF oracle's n x k assignment
+#: cross-join grew quadratically — 4 of the 5 slowest sf10 oracles
+#: (incremental_ivf_cells 1599 s, vec_ivf_topk 1352 s, vec_ivfpq_topk
+#: 623 s, vec_ivf_cells 474 s) were this one seeding bug. Capping the
+#: cell count at ~512 is also the honest index design: nlist grows
+#: ~sqrt(n) or saturates in real IVF deployments, never linearly.
+#: Unchanged below n = 25,600 (m stays 50), so sf <= 1 results are
+#: identical; only sf10+ re-verifies.
+_DUCK_SEED_MOD = "GREATEST(50, (count(*) + 511) // 512)"
+
+
+def _ivf_seed_mod(n: int) -> int:
+    """Python mirror of _DUCK_SEED_MOD (same integer arithmetic)."""
+    return max(50, -(-n // 512))
+
+
+_DUCK_IVF = f"""
+    seedmod AS (SELECT {_DUCK_SEED_MOD} AS m FROM embeddings),
     centroids AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
-                  FROM embeddings WHERE vec_id % 50 = 0),
+                  FROM embeddings WHERE vec_id % (SELECT m FROM seedmod) = 0),
     scored AS (SELECT e.vec_id, c.cell,
                       list_dot_product(e.embedding::DOUBLE[], c.cvec) AS score
                FROM embeddings e CROSS JOIN centroids c),
@@ -3071,17 +3124,19 @@ _IVF_CACHE: dict[str, list] = {}
 
 
 def _ivf_centroids(spark, sf_dir):
-    """Deterministic quantizer seeds (vec_id % 50 == 0), from the
+    """Deterministic quantizer seeds (vec_id % _ivf_seed_mod(n) == 0,
+    corpus-capped at ~512 cells — see _DUCK_SEED_MOD), from the
     memoized pyarrow read — same values the collect-based form
     produced, zero Spark jobs."""
     if sf_dir not in _IVF_CACHE:
         t = _emb_table(sf_dir)
         ids = t["vec_id"].to_pylist()
         embs = t["embedding"]
+        m = _ivf_seed_mod(len(ids))
         cents = [
             (int(i), [float(x) for x in embs[pos].as_py()])
             for pos, i in enumerate(ids)
-            if i % 50 == 0
+            if i % m == 0
         ]
         cents.sort(key=lambda c: c[0])
         _IVF_CACHE[sf_dir] = cents
@@ -3099,7 +3154,7 @@ def vec_ivf_cells(spark, sf_dir):
     """IVF coarse quantization (ANN scale path #2): assign vectors to
     their max-dot centroid cell — the partitioning an IVF index scans
     selectively. Deterministic quantizer: corpus vectors at
-    vec_id % 50 = 0."""
+    vec_id % _ivf_seed_mod(n) = 0 (corpus-capped ~512 cells)."""
     e = _t(spark, sf_dir, "embeddings")
     assigned = vec_ops.ivf_assign(e, "vec_id", "embedding", _ivf_centroids(spark, sf_dir))
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
@@ -6648,8 +6703,11 @@ def incremental_theta_overlap(spark, sf_dir):
                              ELSE embedding::DOUBLE[] END AS emb,
                         CASE WHEN vec_id % 7 = 3 THEN 2 ELSE 1 END AS version
                  FROM embeddings),
+    seedmod AS (SELECT GREATEST(50, (count(*) + 511) // 512) AS m
+                FROM embeddings),
     centroids AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec
-                  FROM embeddings WHERE vec_id % 50 = 0),
+                  FROM embeddings
+                  WHERE vec_id % (SELECT m FROM seedmod) = 0),
     scored AS (SELECT i.vec_id, i.version, c.cell,
                       list_dot_product(i.emb, c.cvec) AS score
                FROM img i CROSS JOIN centroids c),
@@ -6675,8 +6733,8 @@ def incremental_ivf_cells(spark, sf_dir):
     maintained-index invariant, and the per-cell update counts prove
     the UPDATE path moved rows rather than duplicating them (a
     non-LWW merge would inflate n). Quantizer fixed across ticks
-    (vec_id % 50 seeds, ≙ vec_ivf_cells); retraining = offline
-    rebuild, the hosted-ANN contract."""
+    (corpus-capped vec_id % _ivf_seed_mod(n) seeds, ≙ vec_ivf_cells);
+    retraining = offline rebuild, the hosted-ANN contract."""
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
         delta_ivf_assign,
         merge_ivf_assignments,
@@ -7291,71 +7349,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
 # continued each round). The driver's correctness gate samples the
-# dict from the front (50 entries per round). The r12 window: slots
-# 1-33 are ALL 33 remaining r8-era rows in registration order
-# (leading with text_contamination, per the r11 plan — after this
-# window no query's latest driver row is older than r9). Slots 34-50
-# are the stalest r9-era rows in registration order. The two NEW
-# bucketed-layout entries (never driver-checked) lead the window,
-# displacing q10_returned_items / q12_priority_shipmode past slot 50;
-# those two plus the remaining 33 r9-era rows lead the r13 window
-# next (starting at q10_returned_items, then q14_promo_share).
-# vec_knn_explode_kernel (new mid-r12, never driver-checked) slots in
-# at 3, additionally displacing q6_forecast_revenue to 51.
+# dict from the front (50 entries per round). The r13 window: slots
+# 1-36 are ALL 36 remaining r9-era rows (latest driver row = r9),
+# leading with the three displaced past slot 50 in r12
+# (q10_returned_items, q12_priority_shipmode, q6_forecast_revenue)
+# then the rest in registration order — after this window NO query's
+# latest driver row is older than r10 (VERDICT r12 task 2's bar).
+# Slots 37-50 are the first 14 r10-era rows in registration order;
+# the remaining 36 r10-era rows lead the r14 window next (starting at
+# set_ops-family / cdc queries per registration order).
 _PRIORITY = [
-    "q3_bucketed_layout",
-    "q5_bucketed_layout",
-    "vec_knn_explode_kernel",
-    "text_contamination",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_top_terms",
-    "funnel_three_step_gated",
-    "funnel_signup_to_purchase",
-    "vec_knn_bruteforce",
-    "vec_lsh_bucket_histogram",
-    "incremental_minhash_rollup",
-    "vec_pca_projection",
-    "vec_ivf_trained_cells",
-    "dedup_embedding_neardup",
-    "timeseries_gap_fill",
-    "pipeline_training_data",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window_native",
-    "timeseries_multigrain_rollup",
-    "q18_large_orders_having",
-    "q19_disjunctive_predicates",
-    "agg_stats_lineitem",
-    "agg_percentile_prices",
-    "agg_minby_maxby_events",
-    "agg_cube_status_priority",
-    "subquery_above_avg_customers",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "search_hybrid_rrf",
-    "cdc_scd2_history",
-    "join_salted_outer",
-    "join_range_binned_outer",
-    "layout_zorder_key",
-    "agg_decimal_exact_pricing",
-    "cdc_time_travel",
-    "cdc_snapshot_diff",
-    "sql_frontend_having",
-    "sql_frontend_cte_exists",
-    "funnel_three_step_maximal",
-    "vec_knn_arrow_kernel",
-    "vec_lsh_arrow_kernel",
-    "vec_ann_topk",
-    "vec_ivf_cells",
-    "vec_ivf_topk",
-    "vec_banded_neardup",
-    "stream_sessionize",
-    "mm_binary_features",
-    "q6_forecast_revenue",
     "q10_returned_items",
     "q12_priority_shipmode",
+    "q6_forecast_revenue",
+    "q14_promo_share",
+    "agg_grouping_sets",
+    "cdc_late_data_rescan",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "ml_hash_split",
+    "ml_weighted_sample",
+    "text_tfidf_topk",
+    "text_chunk_token_budget",
+    "join_range_binned",
+    "join_interval_overlap",
+    "ids_dense_assign",
+    "join_bloom_prefilter",
+    "join_salted_skew",
+    "agg_corr_covar",
+    "incremental_join_delta",
+    "sql_frontend_window_gsets",
+    "sql_frontend_lateral",
+    "sql_frontend_setops",
+    "incremental_changelog_rollup",
+    "vec_ivfpq_topk",
+    "vec_pq_codes",
+    "vec_pq_topk_adc",
+    "cdc_apply_changelog",
+    "cdc_store_diff",
+    "text_source_cap",
+    "text_length_outliers",
+    "text_bigram_surprisal",
+    "text_bpe_pair_merge",
+    "text_unigram_surprisal",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_outer_customer_orders",
+    "join_semi_customers_with_open_orders",
+    "join_anti_customers_without_orders",
+    "join_full_outer_keys",
+    "join_theta_acctbal_band",
+    "agg_distinct_by_status",
+    "agg_rollup_region_nation",
+    "window_rank_orders_per_customer",
+    "window_lag_event_gaps",
+    "window_running_revenue",
+    "window_first_last_value",
 ]
 
 
