@@ -698,7 +698,6 @@ def main() -> None:
             )
             _sc_mod = _ilu.module_from_spec(_sc_spec)
             _sc_spec.loader.exec_module(_sc_mod)
-            _sc_run_arm = _sc_mod.run_arm
 
             from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
                 load_table as _sc_load,
@@ -708,19 +707,24 @@ def main() -> None:
                 "o_orderkey", "o_orderstatus", "o_totalprice"
             )
             _sc_base.count()  # warm the scan
-            sc_plain = _sc_run_arm(spark, _sc_base, 5, False, "bench_sc_plain")
-            sc_bkt = _sc_run_arm(spark, _sc_base, 5, True, "bench_sc_bkt")
+            # cycle-pair interleaved + min-of-N per arm (VERDICT r12
+            # task 3): the prior all-plain-then-all-bucketed protocol
+            # flipped sign under a load spike (official r12 artifact
+            # 1.298 vs 0.60-0.70 in quiet windows); interleaving puts
+            # both arms under the same instantaneous load, and the
+            # block records its own load averages so a noisy
+            # recording is self-labeling.
+            sc = _sc_mod.run_interleaved(spark, _sc_base, 5, "bench_sc")
             out["snapshot_cycle"] = {
                 "cycles": 5,
                 "sf_dir": sc_dir.rsplit("/", 1)[-1],
-                "plain_total_s": sc_plain["total_s"],
-                "bucketed_total_s": sc_bkt["total_s"],
-                "bucketed_over_plain": round(
-                    sc_bkt["total_s"] / sc_plain["total_s"], 3
-                ),
+                "plain_total_s": sc["plain"]["total_s"],
+                "bucketed_total_s": sc["bucketed"]["total_s"],
+                "bucketed_over_plain": sc["bucketed_over_plain_min"],
+                "bucketed_over_plain_total": sc["bucketed_over_plain_total"],
+                "load_avg_1m": [sc["load_avg_1m_start"], sc["load_avg_1m_end"]],
             }
-            detail["snapshot_cycle"] = {"sf_dir": sc_dir,
-                                        "plain": sc_plain, "bucketed": sc_bkt}
+            detail["snapshot_cycle"] = {"sf_dir": sc_dir, **sc}
         except Exception as exc:
             errors["snapshot_cycle"] = f"{type(exc).__name__}: {exc}"[:200]
     if errors:
