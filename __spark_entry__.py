@@ -3961,8 +3961,17 @@ def q14_promo_share(spark, sf_dir):
 )
 def q18_large_orders_having(spark, sf_dir):
     """TPC-H Q18 shape: grouped HAVING filter + top-k."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    li = _t(spark, sf_dir, "lineitem")
+    return _q18_compose(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+    )
+
+
+def _q18_compose(li, o):
+    """Q18 dataflow over caller-supplied fact frames — shared by the
+    plain and bucketed-layout variants so the two registry entries can
+    never drift (same pattern as _q3_compose/_q5_compose)."""
+    o = o.select("o_orderkey")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey")
@@ -3971,6 +3980,34 @@ def q18_large_orders_having(spark, sf_dir):
         .drop("_raw")
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(20)
+    )
+
+
+@_q(
+    "q18_bucketed_layout",
+    """
+    SELECT o_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    HAVING sum(l_quantity) > 55
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_bucketed_layout(spark, sf_dir):
+    """Q18 over orderkey-CO-BUCKETED lineitem/orders (ingest-once
+    managed tables, _bucketed_fact — see q3_bucketed_layout): this is
+    the purest co-bucketed shape in the registry because BOTH the
+    join key and the aggregation key are the bucket key, so the
+    li⋈o join AND the per-order sum run exchange-free — the only
+    shuffle left is the 20-row TakeOrderedAndProject. Identical
+    dataflow and oracle as q18_large_orders_having (shared
+    _q18_compose), so the driver hash-checks that the layout changes
+    nothing but the plan; the plain entry remains the contract
+    number (bench.py 'bucketed_facts' block tracks this arm)."""
+    return _q18_compose(
+        _bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey"),
+        _bucketed_fact(spark, sf_dir, "orders", "o_orderkey"),
     )
 
 
@@ -7359,6 +7396,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the remaining 36 r10-era rows lead the r14 window next (starting at
 # set_ops-family / cdc queries per registration order).
 _PRIORITY = [
+    "q18_bucketed_layout",  # NEW r13 (never driver-checked) — leads
     "q10_returned_items",
     "q12_priority_shipmode",
     "q6_forecast_revenue",
@@ -7408,7 +7446,6 @@ _PRIORITY = [
     "window_rank_orders_per_customer",
     "window_lag_event_gaps",
     "window_running_revenue",
-    "window_first_last_value",
 ]
 
 

@@ -599,6 +599,8 @@ def main() -> None:
                     "q3_bucketed": queries["q3_bucketed_layout"],
                     "q5_plain": queries["q5_region_revenue"],
                     "q5_bucketed": queries["q5_bucketed_layout"],
+                    "q18_plain": queries["q18_large_orders_having"],
+                    "q18_bucketed": queries["q18_bucketed_layout"],
                 }
                 for fn in arms10.values():
                     fn(spark, sf10_dir).toArrow()  # untimed warm exec
@@ -616,6 +618,7 @@ def main() -> None:
                     "bucketed_over_plain": {
                         "q3": round(bb["q3_bucketed"] / bb["q3_plain"], 3),
                         "q5": round(bb["q5_bucketed"] / bb["q5_plain"], 3),
+                        "q18": round(bb["q18_bucketed"] / bb["q18_plain"], 3),
                     },
                 }
         except Exception as exc:

@@ -202,6 +202,20 @@ def test_q3_bucketed_layout_zero_exchange_and_q5_single_exchange(spark):
         assert sorted(tuple(r) for r in b5.collect()) == sorted(
             tuple(r) for r in p5.collect()
         )
+
+        # q18 (r13): BOTH the join key and the aggregation key are the
+        # bucket key — the purest co-bucketed shape; zero shuffle
+        # Exchange end-to-end (the final top-20 is
+        # TakeOrderedAndProject, not an exchange)
+        b18 = entrymod.q18_bucketed_layout(spark, sf)
+        b18.collect()
+        plan18 = b18._jdf.queryExecution().executedPlan().toString()
+        final18 = plan18.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final18, final18[:1200]
+        assert "Exchange hashpartitioning" not in final18, final18[:1200]
+        assert "TakeOrderedAndProject" in final18
+        p18 = entrymod.q18_large_orders_having(spark, sf)
+        assert [tuple(r) for r in b18.collect()] == [tuple(r) for r in p18.collect()]
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
