@@ -90,6 +90,49 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     return pre.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def extract_features_arrow(media_df: DataFrame) -> DataFrame:
+    """``mapInArrow`` form of :func:`extract_features` — identical
+    output (same FEATURE_SCHEMA, same deterministic stub semantics),
+    different batch representation: the payload column stays an Arrow
+    BinaryArray, so per-payload sizes come from the array's offsets
+    buffer vectorized (``pc.binary_length``) and no per-row Python
+    ``bytes`` object is ever constructed — the object churn
+    ``mapInPandas`` forces on a binary column (one bytes copy per row
+    just to take its length). This is also the shape a REAL decode
+    kernel wants: Arrow buffers expose each payload as a zero-copy
+    memoryview (``arr.value(i).as_buffer()``), which Pillow/ffmpeg
+    accept directly. The pandas form stays as the reference
+    implementation; this is the measured scale path (A/B in
+    tools/mm_decomp.py)."""
+
+    pre = media_df.select(
+        "id",
+        "media_type",
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
+    )
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in it:
+            # payload byte lengths straight off the offsets buffer —
+            # no per-row bytes object (pyarrow.compute has no mod, so
+            # the two modulos run vectorized in numpy on the int64s)
+            n = pc.binary_length(b.column(2)).cast(pa.int64()).to_numpy()
+            width = pa.array((n % 640 + 1).astype(np.int32))
+            height = pa.array((n % 480 + 1).astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), b.column(3), b.column(4), width, height],
+                names=["id", "media_type", "n_bytes", "sha256", "width", "height"],
+            )
+
+    return pre.mapInArrow(batches, FEATURE_SCHEMA)
+
+
 RESIZE_SCHEMA = "id long, width int, height int, n_bytes long"
 
 

@@ -107,11 +107,19 @@ def main() -> None:
             .collect()
         )
 
+    def full_arrow():
+        return (
+            multimodal.extract_features_arrow(media)
+            .select(F.sum("n_bytes"), F.sum(F.length("sha256")), F.sum("width"))
+            .collect()
+        )
+
     arms = {
         "scan_encode": scan_encode,
         "plus_sha": plus_sha,
         "noop_kernel": noop_kernel,
         "full": full,
+        "full_arrow": full_arrow,
     }
     for fn in arms.values():
         fn()  # untimed warm exec
@@ -155,6 +163,7 @@ def main() -> None:
         "sf_dir": sf_dir,
         "iters": iters,
         "best_sec": {a: round(s, 3) for a, s in best.items()},
+        "arrow_over_pandas": round(best["full_arrow"] / best["full"], 3),
         "decode_loop_s": round(best["full"] - best["noop_kernel"], 3),
         "arrow_ipc_dispatch_s": round(best["noop_kernel"] - best["plus_sha"], 3),
         "jvm_sha_s": round(best["plus_sha"] - best["scan_encode"], 3),
