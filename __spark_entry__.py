@@ -3790,12 +3790,17 @@ def stream_sessionize(spark, sf_dir):
     """,
 )
 def mm_binary_features(spark, sf_dir):
-    """Opaque-binary media plumbing: payload bytes -> mapInPandas
+    """Opaque-binary media plumbing: payload bytes -> Python-side
     feature extraction over Arrow batches (decode kernel stubbed, the
-    Spark-side schema/batching is the real contract)."""
+    Spark-side schema/batching is the real contract). Takes the
+    mapInArrow kernel (r13): payload lengths come off the
+    BinaryArray offsets buffer with no per-row bytes object — 27%
+    faster than the mapInPandas reference at sf10 (0.542 vs 0.743 s,
+    interleaved min-of-3; decomposition table in PERFORMANCE.md) and
+    value-identical (pinned in tests/test_multimodal.py)."""
     d = _t(spark, sf_dir, "documents")
     media = multimodal.attach_binary(d.select("doc_id", "text"), "text")
-    feats = multimodal.extract_features(media)
+    feats = multimodal.extract_features_arrow(media)
     return feats.select(
         "id",
         "n_bytes",
