@@ -264,15 +264,24 @@ def q1_pricing_summary(spark, sf_dir):
     (r12 task 5, first -15% via dropping the third per-row round,
     then the floor rewrite above).
 
-    Headroom bound (ADVICE r11): per-row disc4 units reach ~1e9, so
-    the int64 group sum wraps around ~9e18 ≈ sf1000 (≈100 TB of
-    lineitem in ONE group). Within spec for this engine's target; at
-    or beyond that scale sum the cents as DECIMAL(38,0) or pre-split
-    the group key."""
+    Headroom bound (ADVICE r11, GUARDED r13): per-row disc4 units
+    reach ~1e9, so the int64 group sum wraps around ~9e18 ≈ sf1000
+    (≈100 TB of lineitem in ONE group). The guard makes the 100 TB
+    framing literal: past _Q1_DECIMAL_ROW_GATE footer rows (2e9 — a
+    4.6x margin below the wrap even if every row landed in one
+    group), the three cents sums switch to DECIMAL(38,0), which is
+    exact at any feasible scale; decided from plan-time parquet
+    footer stats, so tested scales pay nothing. Values are identical
+    on both branches wherever both are exact (pinned in
+    tests/test_entry.py)."""
     li = _t(spark, sf_dir, "lineitem")
     qty_c = F.floor(F.col("l_quantity") * 100 + 0.5)
     ext_c = F.floor(F.col("l_extendedprice") * 100 + 0.5)
     disc4 = ext_c * (F.lit(100) - F.floor(F.col("l_discount") * 100 + 0.5))
+    if _table_rows(sf_dir, "lineitem") > _Q1_DECIMAL_ROW_GATE:
+        qty_c = qty_c.cast("decimal(38,0)")
+        ext_c = ext_c.cast("decimal(38,0)")
+        disc4 = disc4.cast("decimal(38,0)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -285,6 +294,12 @@ def q1_pricing_summary(spark, sf_dir):
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+#: Row gate for q1's DECIMAL(38,0) fallback — see q1's docstring.
+#: int64 wraps at ~9.2e18 / ~1e9-per-row disc4 units = ~9.2e9 rows in
+#: ONE group; 2e9 total rows keeps a >4x margin below that worst case.
+_Q1_DECIMAL_ROW_GATE = 2_000_000_000
 
 
 @_q(
