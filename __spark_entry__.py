@@ -5968,6 +5968,38 @@ def text_chunk_token_budget(spark, sf_dir):
 
 
 @_q(
+    "text_pack_sequences",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum_excl
+          FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_excl // 2048 AS BIGINT) AS seq_id,
+           CAST(cum_excl % 2048 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Corpus-wide training-sequence packing (operators.text
+    .pack_sequences): each doc assigned to the 2048-token sequence
+    its first token lands in, in total doc_id order. The ORACLE's
+    formulation is the global single-partition window — exactly the
+    plan shape the operator exists to avoid: range repartition +
+    parallel per-partition running sums + broadcast per-partition
+    token offsets (assign_dense_ids' mechanism with SUM for COUNT),
+    so the engine's plan stays data-parallel at any scale while the
+    oracle pins the semantics."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.pack_sequences(d, order_col="doc_id", text_col="text", budget=2048)
+    return out.select("doc_id", "n_tokens", "seq_id", "seq_offset")
+
+
+@_q(
     "vec_centroid_per_label",
     """
     SELECT label, CAST(i AS INT) AS dim,
@@ -7417,6 +7449,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # set_ops-family / cdc queries per registration order).
 _PRIORITY = [
     "q18_bucketed_layout",  # NEW r13 (never driver-checked) — leads
+    "text_pack_sequences",  # NEW r13
     "q10_returned_items",
     "q12_priority_shipmode",
     "q6_forecast_revenue",
@@ -7465,7 +7498,6 @@ _PRIORITY = [
     "agg_rollup_region_nation",
     "window_rank_orders_per_customer",
     "window_lag_event_gaps",
-    "window_running_revenue",
 ]
 
 

@@ -193,6 +193,70 @@ def token_budget_chunks(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    text_col: str = "text",
+    budget: int = 2048,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Corpus-wide packing into fixed-token-budget TRAINING SEQUENCES
+    in total ``order_col`` order — the pack-index every pretraining
+    loader builds: concatenate docs in corpus order, cut every
+    ``budget`` tokens, record for each doc which sequence its first
+    token lands in (``seq_id``) and at what offset (``seq_offset``).
+    Docs may straddle a boundary (loaders split them at read time);
+    the assignment rule is the same pure prefix-sum as
+    :func:`token_budget_chunks` — ``seq_id = floor(tokens_before /
+    budget)`` — deterministic and SQL-expressible.
+
+    What's different from token_budget_chunks is SCALE SHAPE: that
+    operator windows per partition KEY; this one needs a running sum
+    in TOTAL corpus order, and the naive form (one window over a
+    global ORDER BY) sorts the whole corpus through ONE partition —
+    the canonical scale killer. Instead it reuses
+    relational.assign_dense_ids' mechanism with SUM in place of
+    COUNT: range-repartition on the order key, one eager
+    materialization (the offsets job and the final job must see the
+    SAME sampled range boundaries), per-partition parallel running
+    sums, then broadcast per-partition token-total offsets (one tiny
+    collect of num_partitions longs). At 100 TB that is a
+    distributed-sort-shaped plan: every stage data-parallel, driver
+    state O(partitions).
+
+    ``order_col`` must be a total order (unique) for deterministic
+    ids."""
+    from pyspark.sql import Window
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        .repartitionByRange(parts, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_t"] or 0
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in sorted(offsets.items()) for x in pid_off]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + omap[F.col("_pid")]
+    return (
+        ranged.withColumn("seq_id", F.floor(before / budget).cast("long"))
+        .withColumn("seq_offset", (before % budget).cast("long"))
+        .drop("_pid")
+    )
+
+
 PII_PATTERNS = (
     # order matters: URLs before bare domains-in-emails etc.
     (r"https?://\S+", "<URL>"),

@@ -311,3 +311,42 @@ def test_assign_dense_ids_matches_global_window_without_global_sort(spark, sf_di
     }
     assert got == want
     assert sorted(got.values()) == list(range(len(got)))
+
+
+def test_pack_sequences_matches_global_window_without_global_sort(spark, sf_dir):
+    """Corpus-wide sequence packing (r13): values must equal the
+    naive global-window prefix-sum form exactly, while the plan
+    contains NO single-partition exchange (the operator's reason to
+    exist — same mechanism as assign_dense_ids, SUM for COUNT). Also
+    pins straddle semantics: a doc belongs to the sequence its FIRST
+    token lands in, offsets are cum_tokens_before % budget, and every
+    sequence id from 0..max is populated (contiguous packing can skip
+    none)."""
+    from pyspark.sql import Window
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        pack_sequences,
+        token_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pack_sequences(d, order_col="doc_id", budget=256, num_partitions=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in out.collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = (
+        d.withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+        .withColumn("cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    )
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["cum"] // 256, r["cum"] % 256)
+        for r in naive.collect()
+    }
+    assert got == want
+    seqs = sorted({v[1] for v in got.values()})
+    assert seqs == list(range(seqs[-1] + 1))  # no skipped sequence ids
