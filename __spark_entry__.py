@@ -41,7 +41,11 @@ from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators imp
 from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.plans.partitioning import (
     ensure_parallelism,
 )
-from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+    bucketed_fact_name,
+    load_fact,
+    load_table,
+)
 from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
     cdc_tick,
 )
@@ -464,7 +468,6 @@ def _bucketed_fact(spark, sf_dir, table: str, key: str, n_buckets: int = _BKT_FA
     base = _t(spark, sf_dir, table)
     try:
         import os as _os
-        import re as _re
         import shutil as _shutil
         from urllib.parse import urlparse as _urlparse
 
@@ -473,8 +476,9 @@ def _bucketed_fact(spark, sf_dir, table: str, key: str, n_buckets: int = _BKT_FA
             write_bucketed,
         )
 
-        token = _re.sub(r"[^0-9A-Za-z]+", "_", _os.path.basename(sf_dir.rstrip("/")))
-        name = f"bktfact.{table}_{token}_ok{n_buckets}"
+        # naming convention shared with sources.tables.load_fact (the
+        # layout='auto' read gate) so ingest and gate can never drift
+        name = bucketed_fact_name(sf_dir, table, n_buckets)
         expected = _table_rows(sf_dir, table)
         spark.sql("CREATE DATABASE IF NOT EXISTS bktfact")
         if not (
@@ -3920,9 +3924,20 @@ def q10_returned_items(spark, sf_dir):
     """,
 )
 def q12_priority_shipmode(spark, sf_dir):
-    """TPC-H Q12 shape: join + conditional CASE aggregation."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    li = _t(spark, sf_dir, "lineitem").filter(
+    """TPC-H Q12 shape: join + conditional CASE aggregation.
+
+    r14: reads both facts through the ``layout='auto'`` gate
+    (sources.tables.load_fact — VERDICT r13 task 4): when the
+    ingest-once co-bucketed managed tables exist for this sf_dir (built
+    by any prior bucketed-arm run), the o⋈li orderkey join runs
+    zero-Exchange for free; when they don't, the gate falls back to the
+    plain parquet scan. Result is layout-independent (driver
+    hash-checks it either way); q3/q5/q18's plain entries stay
+    explicitly plain as the tracked contract numbers."""
+    o = load_fact(spark, sf_dir, "orders", layout="auto").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_fact(spark, sf_dir, "lineitem", layout="auto").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )

@@ -723,7 +723,12 @@ def main() -> None:
                 "sf_dir": sc_dir.rsplit("/", 1)[-1],
                 "plain_total_s": sc["plain"]["total_s"],
                 "bucketed_total_s": sc["bucketed"]["total_s"],
-                "bucketed_over_plain": sc["bucketed_over_plain_min"],
+                # key semantics (ADVICE r13): `bucketed_over_plain` is the
+                # TOTAL-based ratio (r12-and-earlier protocol, artifact
+                # continuity); the min-of-cycle spike-robust headline gets
+                # its own explicit key.
+                "bucketed_over_plain": sc["bucketed_over_plain_total"],
+                "bucketed_over_plain_min": sc["bucketed_over_plain_min"],
                 "bucketed_over_plain_total": sc["bucketed_over_plain_total"],
                 "load_avg_1m": [sc["load_avg_1m_start"], sc["load_avg_1m_end"]],
             }

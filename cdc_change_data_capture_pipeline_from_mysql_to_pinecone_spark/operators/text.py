@@ -250,10 +250,14 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + omap[F.col("_pid")]
+    # Integer `div`, not `/`: Spark's `/` is double division, exact only
+    # below 2^53 cumulative tokens; `div` on longs matches the oracle's
+    # integer `//` at any corpus size (ADVICE r13).
     return (
-        ranged.withColumn("seq_id", F.floor(before / budget).cast("long"))
-        .withColumn("seq_offset", (before % budget).cast("long"))
-        .drop("_pid")
+        ranged.withColumn("_before", before.cast("long"))
+        .withColumn("seq_id", F.expr(f"_before div {int(budget)}"))
+        .withColumn("seq_offset", F.expr(f"_before % {int(budget)}"))
+        .drop("_pid", "_before")
     )
 
 

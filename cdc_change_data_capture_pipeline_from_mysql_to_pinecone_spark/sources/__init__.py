@@ -7,10 +7,13 @@ from .sinks import (
 )
 from .tables import (
     TABLES,
+    bucketed_fact_name,
     jdbc_reader_options,
+    load_fact,
     load_table,
     read_bucketed,
     register_views,
+    table_rows,
     write_bucketed,
 )
 from .vector_sink import foreach_batch_vector_upsert, iter_batches, send_with_retry
@@ -24,6 +27,9 @@ __all__ = [
     "upsert_parquet_partitioned",
     "read_bucketed",
     "write_bucketed",
+    "load_fact",
+    "bucketed_fact_name",
+    "table_rows",
     "write_partitioned",
     "compact_parquet",
     "recover_table",

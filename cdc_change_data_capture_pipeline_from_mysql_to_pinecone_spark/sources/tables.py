@@ -120,6 +120,83 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+_FOOTER_ROWS_CACHE: dict[str, int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet footer (no Spark job). Fixtures are
+    immutable, so the count is memoized per path — used both to size
+    corpus-dependent parameters and as the currency check for the
+    auto layout gate below."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if path not in _FOOTER_ROWS_CACHE:
+        import pyarrow.parquet as pq
+
+        _FOOTER_ROWS_CACHE[path] = pq.ParquetFile(path).metadata.num_rows
+    return _FOOTER_ROWS_CACHE[path]
+
+
+def bucketed_fact_name(sf_dir: str, table: str, n_buckets: int = 128) -> str:
+    """Catalog name of the ingest-once co-bucketed copy of a fixture
+    fact table. ONE naming convention shared by the ingest path
+    (``_bucketed_fact`` in the entry module) and the read gate
+    (:func:`load_fact`) so the two can never drift."""
+    import re
+
+    token = re.sub(r"[^0-9A-Za-z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    return f"bktfact.{table}_{token}_ok{int(n_buckets)}"
+
+
+def load_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    layout: str = "auto",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Fact-table scan with an automatic storage-layout gate (VERDICT
+    r13 task 4). ``layout='auto'``: if a CURRENT co-bucketed managed
+    table exists for this fact (catalog entry present AND its row count
+    matches the parquet footer — fixtures are immutable, so a count
+    match means the layout is the same data), return it; otherwise
+    return the plain parquet scan. The gate NEVER ingests — paying the
+    one-time partitioning shuffle stays an explicit choice
+    (``_bucketed_fact``); this is purely "use the better layout when
+    someone already built it".
+
+    Correctness is layout-independent (same rows either way — the
+    bucketed arm queries share oracles with their plain twins); what
+    changes is the plan: equi-joins and aggregations on the bucket key
+    between co-bucketed tables run with zero Exchange. At 100 TB this
+    is the table-format pattern (a catalog that records clustering and
+    lets every reader benefit) in miniature.
+
+    ``layout='plain'`` forces the parquet scan — contract/baseline
+    numbers keep an explicit opt-out.
+    """
+    if layout not in ("auto", "plain"):
+        raise ValueError(f"layout must be 'auto' or 'plain', got {layout!r}")
+    base = load_table(spark, sf_dir, table)
+    if layout == "plain":
+        return base
+    per_session = _session_cache(spark, "load_fact_auto")
+    ck = (sf_dir, table, int(n_buckets))
+    got = per_session.get(ck)
+    if got is not None:
+        return got
+    df = base
+    try:
+        name = bucketed_fact_name(sf_dir, table, n_buckets)
+        if spark.catalog.tableExists(name):
+            t = spark.table(name)
+            if t.count() == table_rows(sf_dir, table):
+                df = t
+    except Exception:
+        df = base
+    per_session[ck] = df
+    return df
+
+
 def jdbc_reader_options(
     url: str,
     table: str,

@@ -307,6 +307,128 @@ def test_bucketed_fact_reattach_rewrite_and_fallback(spark):
     assert not os.path.exists(os.path.join(loc, "garbage.parquet"))
 
 
+def test_load_fact_auto_gate(spark):
+    """sources.tables.load_fact layout='auto' (VERDICT r13 task 4):
+    (1) no bucketed copy in the catalog -> the plain parquet frame
+    (identity with load_table's memo — the gate adds nothing);
+    (2) a current co-bucketed managed table exists -> the gate returns
+    it (catalog relation in the plan) and a bucket-key join+agg runs
+    zero-Exchange, rows identical to plain;
+    (3) a STALE catalog entry (row count != parquet footer) is never
+    served — plain fallback;
+    (4) layout='plain' is an explicit opt-out even when the bucketed
+    copy exists."""
+    import __spark_entry__ as entrymod
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources.tables import (
+        bucketed_fact_name,
+        load_fact,
+    )
+
+    def bust():
+        spark.__dict__.get("_cdc_graft_session_caches", {}).pop("load_fact_auto", None)
+
+    # (1) customer has no bucketed copy anywhere in the suite
+    bust()
+    c = load_fact(spark, SF_DIR, "customer", layout="auto")
+    assert c is load_table(spark, SF_DIR, "customer")
+
+    # (2) ensure the ingest-once copies exist, then gate picks them up
+    entrymod._bucketed_fact(spark, SF_DIR, "orders", "o_orderkey")
+    entrymod._bucketed_fact(spark, SF_DIR, "lineitem", "l_orderkey")
+    bust()
+    o = load_fact(spark, SF_DIR, "orders", layout="auto")
+    li = load_fact(spark, SF_DIR, "lineitem", layout="auto")
+    assert "bktfact" in o._jdf.queryExecution().logical().toString()
+    _force_smj(spark)
+    try:
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        rows = j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "Bucketed: true" in final, final[:800]
+        assert "Exchange" not in final, final[:800]
+    finally:
+        _restore(spark)
+    plain_j = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(
+            load_table(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, plain_j))
+
+    # (3) stale catalog entry: wrong row count -> plain fallback
+    stale = bucketed_fact_name(SF_DIR, "customer")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktfact")
+    spark.sql(f"DROP TABLE IF EXISTS {stale}")
+    try:
+        load_table(spark, SF_DIR, "customer").limit(3).write.mode(
+            "overwrite"
+        ).bucketBy(128, "c_custkey").saveAsTable(stale)
+        bust()
+        c2 = load_fact(spark, SF_DIR, "customer", layout="auto")
+        assert "bktfact" not in c2._jdf.queryExecution().logical().toString()
+        assert c2.count() == load_table(spark, SF_DIR, "customer").count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stale}")
+
+    # (4) explicit plain opt-out ignores the existing bucketed copy
+    bust()
+    op = load_fact(spark, SF_DIR, "orders", layout="plain")
+    assert op is load_table(spark, SF_DIR, "orders")
+
+
+def test_q12_auto_layout_join_rides_buckets_when_available(spark):
+    """The flipped registry query (q12_priority_shipmode reads through
+    layout='auto'): with the co-bucketed facts present and the
+    broadcast threshold pinned below fact sizes, the o⋈li join plans
+    bucket-local — the only hashpartitioning Exchange left is the
+    3-row l_returnflag aggregate (NOT the bucket key, so it must
+    shuffle). Values must equal the same dataflow forced plain."""
+    import __spark_entry__ as entrymod
+
+    entrymod._bucketed_fact(spark, SF_DIR, "orders", "o_orderkey")
+    entrymod._bucketed_fact(spark, SF_DIR, "lineitem", "l_orderkey")
+    spark.__dict__.get("_cdc_graft_session_caches", {}).pop("load_fact_auto", None)
+    _force_smj(spark)
+    try:
+        q = entrymod.q12_priority_shipmode(spark, SF_DIR)
+        rows = q.collect()
+        final = q._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "Bucketed: true" in final, final[:1200]
+        # one exchange total: the final l_returnflag agg
+        assert final.count("Exchange hashpartitioning") <= 1, final[:1200]
+    finally:
+        _restore(spark)
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, plain))
+
+
 def test_bucketed_point_lookup_prunes_to_one_bucket(spark):
     """Bucket PRUNING (r12): an equality filter on the bucket key
     scans 1 of n_buckets — the O(data/n_buckets) key fetch the layout
