@@ -277,12 +277,24 @@ def q1_pricing_summary(spark, sf_dir):
     exact at any feasible scale; decided from plan-time parquet
     footer stats, so tested scales pay nothing. Values are identical
     on both branches wherever both are exact (pinned in
-    tests/test_entry.py)."""
+    tests/test_entry.py, DRIVER-checked via q1_decimal_branch)."""
+    return _q1_compose(
+        spark,
+        sf_dir,
+        force_decimal=_table_rows(sf_dir, "lineitem") > _Q1_DECIMAL_ROW_GATE,
+    )
+
+
+def _q1_compose(spark, sf_dir, force_decimal: bool):
+    """Q1 dataflow with the cents-sum type as a parameter — shared by
+    the gated contract entry (q1_pricing_summary) and the
+    forced-DECIMAL arm (q1_decimal_branch) so the two can never
+    drift."""
     li = _t(spark, sf_dir, "lineitem")
     qty_c = F.floor(F.col("l_quantity") * 100 + 0.5)
     ext_c = F.floor(F.col("l_extendedprice") * 100 + 0.5)
     disc4 = ext_c * (F.lit(100) - F.floor(F.col("l_discount") * 100 + 0.5))
-    if _table_rows(sf_dir, "lineitem") > _Q1_DECIMAL_ROW_GATE:
+    if force_decimal:
         qty_c = qty_c.cast("decimal(38,0)")
         ext_c = ext_c.cast("decimal(38,0)")
         disc4 = disc4.cast("decimal(38,0)")
@@ -304,6 +316,40 @@ def q1_pricing_summary(spark, sf_dir):
 #: int64 wraps at ~9.2e18 / ~1e9-per-row disc4 units = ~9.2e9 rows in
 #: ONE group; 2e9 total rows keeps a >4x margin below that worst case.
 _Q1_DECIMAL_ROW_GATE = 2_000_000_000
+
+
+@_q(
+    "q1_decimal_branch",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 10000.0, 2)
+               AS sum_disc_price,
+           round(avg(l_quantity), 4)                              AS avg_qty,
+           round(avg(l_extendedprice), 4)                         AS avg_price,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_decimal_branch(spark, sf_dir):
+    """Q1's DECIMAL(38,0) wrap-guard branch FORCED at gate scale
+    (VERDICT r13 task 7, the vec_knn_explode_kernel forced-kernel
+    pattern): the >2e9-footer-row fallback in q1_pricing_summary never
+    executes on any fixture, so before this entry the DuckDB oracle
+    had only ever checked the int64-cents branch. Same dataflow
+    (_q1_compose) and same oracle SQL as q1 — the driver now
+    hash-checks the DECIMAL aggregation path itself at every sweep
+    scale. Values are identical on both branches wherever both are
+    exact; the branch exists because per-row disc4 units (~1e9) wrap
+    int64 around sf1000 in a single group, where DECIMAL(38,0) stays
+    exact."""
+    return _q1_compose(spark, sf_dir, force_decimal=True)
 
 
 @_q(
@@ -7453,66 +7499,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
 # continued each round). The driver's correctness gate samples the
-# dict from the front (50 entries per round). The r13 window: slots
-# 1-36 are ALL 36 remaining r9-era rows (latest driver row = r9),
-# leading with the three displaced past slot 50 in r12
-# (q10_returned_items, q12_priority_shipmode, q6_forecast_revenue)
-# then the rest in registration order — after this window NO query's
-# latest driver row is older than r10 (VERDICT r12 task 2's bar).
-# Slots 37-50 are the first 14 r10-era rows in registration order;
-# the remaining 36 r10-era rows lead the r14 window next (starting at
-# set_ops-family / cdc queries per registration order).
+# dict from the front (50 entries per round). The r14 window (VERDICT
+# r13 task 2 — note the r13 comment's bookkeeping was off by two,
+# ADVICE r13: 12, not 14, r10-era rows fit the r13 window's slots
+# 39-50, leaving 38 r10-era rows): slot 1 is the NEW r14 entry
+# (q1_decimal_branch, never driver-checked — the forced DECIMAL(38,0)
+# wrap-guard branch); slot 2 is q12_priority_shipmode, re-checked
+# because r14 flipped it to the layout='auto' read gate (task 4's
+# driver-checked proof); slots 3-40 are ALL 38 remaining r10-era rows
+# in registration order — after this window NO query's latest driver
+# row is older than r11; slots 41-50 begin the r11-era rotation
+# (50 rows, registration order — the remaining 40 lead r15, starting
+# at cdc_incremental_scan).
 _PRIORITY = [
-    "q18_bucketed_layout",  # NEW r13 (never driver-checked) — leads
-    "text_pack_sequences",  # NEW r13
-    "q10_returned_items",
-    "q12_priority_shipmode",
-    "q6_forecast_revenue",
-    "q14_promo_share",
-    "agg_grouping_sets",
-    "cdc_late_data_rescan",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "ml_hash_split",
-    "ml_weighted_sample",
-    "text_tfidf_topk",
-    "text_chunk_token_budget",
-    "join_range_binned",
-    "join_interval_overlap",
-    "ids_dense_assign",
-    "join_bloom_prefilter",
-    "join_salted_skew",
-    "agg_corr_covar",
-    "incremental_join_delta",
-    "sql_frontend_window_gsets",
-    "sql_frontend_lateral",
-    "sql_frontend_setops",
-    "incremental_changelog_rollup",
-    "vec_ivfpq_topk",
-    "vec_pq_codes",
-    "vec_pq_topk_adc",
-    "cdc_apply_changelog",
-    "cdc_store_diff",
-    "text_source_cap",
-    "text_length_outliers",
-    "text_bigram_surprisal",
-    "text_bpe_pair_merge",
-    "text_unigram_surprisal",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "join_outer_customer_orders",
-    "join_semi_customers_with_open_orders",
-    "join_anti_customers_without_orders",
-    "join_full_outer_keys",
-    "join_theta_acctbal_band",
-    "agg_distinct_by_status",
-    "agg_rollup_region_nation",
-    "window_rank_orders_per_customer",
-    "window_lag_event_gaps",
+    "q1_decimal_branch",  # NEW r14 (never driver-checked) — leads
+    "q12_priority_shipmode",  # flipped to layout='auto' in r14
+    "window_running_revenue",
+    "window_first_last_value",
+    "window_share_of_total",
+    "sort_topk_lineitem",
+    "sort_nulls_ordering",
+    "set_ops_all_variants",
+    "agg_approx_sketches",
+    "join_cross_region_nation",
+    "window_range_frame_spend",
+    "agg_collect_nations",
+    "unpivot_customer_metrics",
+    "subquery_correlated_order_above_cust_avg",
+    "scalar_math_lineitem",
+    "agg_bitwise_events",
+    "scalar_datetime_parse_roundtrip",
+    "scalar_try_cast_safe",
+    "agg_boolean_lineitem",
+    "scalar_regexp_advanced",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    "q15_top_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_part_promo_suppliers",
+    "ml_stratified_sample",
+    "ml_kfold_assign",
+    "profile_documents",
+    "text_bm25_rank",
+    "search_rrf_fusion",
+    "vec_centroid_per_label",
+    "window_moving_avg_nth",
+    "incremental_distinct_rollup",
+    "incremental_theta_overlap",
+    "incremental_topk_rollup",
+    "text_mad_outliers",
+    "window_time_range_moving_sum",
+    "set_ops_customer_years",
+    "scalar_string_part",
+    "scalar_string_extended",
+    "scalar_datetime_orders",
+    "scalar_encoding_misc",
+    "scalar_json_events",
+    "case_pred_orders",
+    "agg_price_histogram",
+    "scalar_conditional_lineitem",
+    "pivot_priority_status",
 ]
 
 
