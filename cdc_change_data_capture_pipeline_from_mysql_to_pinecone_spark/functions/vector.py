@@ -358,13 +358,26 @@ def lsh_bucket_arrow(vec_col: Column, planes) -> Column:
     """LSH bucket id from sign bits against a FIXED plane matrix — the
     Arrow kernel form of the ``_bucket_sql`` HOF expression (bit b =
     1 iff vec . plane_b >= 0). ``planes`` is a list of plane vectors
-    (bit order = list order); NULL vectors map to NULL buckets. One
-    (n x dim) @ (dim x n_planes) matmul per batch."""
+    (bit order = list order); NULL vectors map to NULL buckets.
+
+    r14 (tools/lsh_decomp.py): all plane dots in ONE fused sequential
+    fold — one transposed batch copy + one dim-loop updating an
+    (n x n_planes) accumulator, instead of a ``_fold_dot`` call (each
+    with its own full-batch transpose copy) per plane. Column b's
+    additions happen in the same ascending-dimension order as
+    ``_fold_dot(mat, P[b])``, so the signs are bit-identical to the
+    HOF/oracle fold (gated on the full corpus in the decomposition
+    tool and by the shared vec_lsh_arrow_kernel oracle). Measured a
+    tie-to-modest win (0.85-1.07x across four sf10 windows — the
+    kernel is only ~11% of the query; see PERFORMANCE.md r14), landed
+    because it is strictly less work: 13x fewer numpy passes and one
+    batch-sized copy instead of n_planes of them."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     P = np.asarray([[float(x) for x in p] for p in planes], dtype=np.float64)
     W = (1 << np.arange(P.shape[0])).astype(np.int64)
+    PT = np.ascontiguousarray(P.T)  # (dim, n_planes)
 
     @pandas_udf("int")
     def _bucket(v):
@@ -375,10 +388,11 @@ def lsh_bucket_arrow(vec_col: Column, planes) -> Column:
 
             return pd.Series(np.empty(0, dtype=np.int32))
         mat, mask = _stack(v)
-        # one sequential-fold dot per plane (see _fold_dot: sign
-        # decisions must match the HOF/oracle fold order exactly)
-        signs = np.stack([_fold_dot(mat, P[i]) >= 0 for i in range(P.shape[0])], axis=1)
-        b = (signs @ W).astype(np.float64)
+        matT = np.ascontiguousarray(mat.T)  # ONE copy, not one per plane
+        acc = np.zeros((mat.shape[0], P.shape[0]), dtype=np.float64)
+        for j in range(matT.shape[0]):
+            acc += matT[j][:, None] * PT[j][None, :]
+        b = ((acc >= 0) @ W).astype(np.float64)
         out = _masked_series(b, mask)
         return out.astype("Int32" if mask.any() else "int32")
 
