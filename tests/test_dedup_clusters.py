@@ -146,6 +146,50 @@ def test_set_similarity_join_exact_on_sparse_corpus(spark):
     assert strict == {(3, 4)}
 
 
+def test_set_similarity_join_lossless_vs_bruteforce_on_fixture(spark, sf_dir):
+    """ADVICE r13: since the r13 oracle rewrite, the DuckDB oracle
+    generates candidates with the SAME prefix-filtering theorem as the
+    engine, so a shared misapplication (threshold or prefix-length
+    formula changed on both sides) could lose pairs undetectably. This
+    test keeps candidate-generation losslessness INDEPENDENTLY gated:
+    brute-force all-pairs Jaccard over the full sf0.001 documents
+    fixture (driver-side python sets — 500 docs, ~125k pairs), compared
+    EXACTLY (pairs and scores) against the engine's prefix-filtered
+    join at the registry's threshold. Re-runs automatically if the
+    fixtures ever change."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.dedup import (
+        set_similarity_join,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import load_table
+
+    thr = 0.9  # the dedup_setsim_exact registry threshold
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in set_similarity_join(docs, "text", "doc_id", threshold=thr).collect()
+    }
+
+    rows = docs.collect()
+    toks = {r["doc_id"]: set((r["text"] or "").strip().split()) for r in rows}
+    ids = sorted(toks)
+    want = {}
+    for i, a in enumerate(ids):
+        ta = toks[a]
+        for b in ids[i + 1:]:
+            tb = toks[b]
+            inter = len(ta & tb)
+            if inter == 0:
+                continue
+            j = inter / (len(ta) + len(tb) - inter)
+            if j >= thr:
+                want[(a, b)] = round(j, 9)
+    assert got == want, (
+        f"engine {len(got)} pairs vs brute force {len(want)}; "
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+    )
+    assert want, "fixture produced zero qualifying pairs — test is vacuous"
+
+
 def test_winnow_textless_docs_have_no_fingerprints(spark):
     """ADVICE r5: NULL/empty text must yield ZERO fingerprint rows —
     before the fix a single NULL fingerprint row per textless doc made
