@@ -171,6 +171,17 @@ def load_fact(
     is the table-format pattern (a catalog that records clustering and
     lets every reader benefit) in miniature.
 
+    Cross-process: the default in-memory catalog dies with each
+    process while the bucketed FILES survive in the warehouse, so a
+    catalog-only check would miss the layout in exactly the realistic
+    deployment (ingest job builds it once, readers are other
+    processes). If the catalog misses but the expected warehouse
+    location exists, the gate RE-ATTACHES it as an external
+    ``CLUSTERED BY`` table and count-verifies — attach-only: it never
+    writes data and never deletes files (a failed or stale attach is
+    dropped from the catalog — external drops leave files — and falls
+    back to plain; rewrites stay ``_bucketed_fact``'s job).
+
     ``layout='plain'`` forces the parquet scan — contract/baseline
     numbers keep an explicit opt-out.
     """
@@ -187,14 +198,64 @@ def load_fact(
     df = base
     try:
         name = bucketed_fact_name(sf_dir, table, n_buckets)
+        expected = table_rows(sf_dir, table)
         if spark.catalog.tableExists(name):
             t = spark.table(name)
-            if t.count() == table_rows(sf_dir, table):
+            if t.count() == expected:
                 df = t
+        else:
+            df = _attach_bucketed(spark, base, name, table, expected, n_buckets) or base
     except Exception:
         df = base
     per_session[ck] = df
     return df
+
+
+#: Bucket key per fixture fact table (the ingest-once layout is always
+#: keyed on the order key — the repeated fact-fact join column).
+_FACT_BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def _attach_bucketed(
+    spark: SparkSession, base: DataFrame, name: str, table: str, expected: int, n_buckets: int
+) -> DataFrame | None:
+    """Catalog-lost-but-files-intact recovery for :func:`load_fact`:
+    re-attach the warehouse directory written by a prior process's
+    ``_bucketed_fact`` as an EXTERNAL bucketed table (bucketing is a
+    catalog property; the files carry Spark's own bucket hashing).
+    Returns the attached frame, or None if the location is missing,
+    foreign, or fails the row-count verify (catalog entry dropped
+    again — external drop leaves files untouched)."""
+    key = _FACT_BUCKET_KEYS.get(table)
+    if key is None:
+        return None
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = os.path.join(
+        urlparse(wh).path or wh, "bktfact.db", name.split(".", 1)[1]
+    )
+    if not os.path.isdir(loc):
+        return None
+    try:
+        spark.sql("CREATE DATABASE IF NOT EXISTS bktfact")
+        ddl = spark.createDataFrame([], base.schema)._jdf.schema().toDDL()
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({key}) INTO {int(n_buckets)} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        t = spark.table(name)
+        if t.count() == expected:
+            return t
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        return None
+    except Exception:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass
+        return None
 
 
 def jdbc_reader_options(

@@ -366,6 +366,40 @@ def test_load_fact_auto_gate(spark):
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, plain_j))
 
+    # (2b) cross-process: catalog lost, files intact -> the gate
+    # re-attaches as an EXTERNAL bucketed table (attach-only — files
+    # untouched) instead of silently degrading to plain. Emulate
+    # process loss like test_bucketed_fact_reattach does: stash the
+    # files, drop the (managed) catalog entry, restore the files.
+    import shutil
+    import tempfile
+    from urllib.parse import urlparse
+
+    name_o = bucketed_fact_name(SF_DIR, "orders")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = os.path.join(
+        urlparse(wh).path or wh, "bktfact.db", name_o.split(".", 1)[1]
+    )
+    stash = os.path.join(tempfile.mkdtemp(prefix="bktgate_stash_"), "t")
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE IF EXISTS {name_o}")
+    if not os.path.isdir(loc):
+        shutil.move(stash, loc)
+    shutil.rmtree(os.path.dirname(stash), ignore_errors=True)
+    before_mtime = max(
+        os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)
+    )
+    bust()
+    o2 = load_fact(spark, SF_DIR, "orders", layout="auto")
+    assert "bktfact" in o2._jdf.queryExecution().logical().toString(), (
+        "gate must re-attach catalog-lost intact files"
+    )
+    assert o2.count() == load_table(spark, SF_DIR, "orders").count()
+    after_mtime = max(
+        os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)
+    )
+    assert after_mtime == before_mtime, "attach must not rewrite files"
+
     # (3) stale catalog entry: wrong row count -> plain fallback
     stale = bucketed_fact_name(SF_DIR, "customer")
     spark.sql("CREATE DATABASE IF NOT EXISTS bktfact")
