@@ -2398,6 +2398,32 @@ def text_contamination(spark, sf_dir):
 
 
 @_q(
+    "text_dup_passages",
+    f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id, {_duck_shingles(8)} AS s FROM toks),
+    g AS (SELECT doc_id, unnest(s) AS passage FROM sh)
+    SELECT passage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM g GROUP BY passage HAVING count(*) >= 2
+    """,
+)
+def text_dup_passages(spark, sf_dir):
+    """Cross-document duplicated-passage detection (NEW r14 — the
+    exact-substring-dedup blocklist builder, Lee et al. 2022): word
+    8-gram passages carried by >= 2 distinct documents, with carrier
+    count and the lowest carrying doc id. Doc-level dedup misses
+    embedded boilerplate; this is the passage-level complement, and
+    the join-free shape (explode distinct grams -> ONE map-side
+    combined hash agg) keeps it linear at 100 TB — a billion-copy
+    boilerplate line crosses the shuffle once per map partition, not
+    once per occurrence."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.duplicated_passages(d, "doc_id", "text", n=8, min_docs=2)
+
+
+@_q(
     "cdc_time_travel",
     """
     WITH h AS (
@@ -7504,15 +7530,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # ADVICE r13: 12, not 14, r10-era rows fit the r13 window's slots
 # 39-50, leaving 38 r10-era rows): slot 1 is the NEW r14 entry
 # (q1_decimal_branch, never driver-checked — the forced DECIMAL(38,0)
-# wrap-guard branch); slot 2 is q12_priority_shipmode, re-checked
-# because r14 flipped it to the layout='auto' read gate (task 4's
-# driver-checked proof); slots 3-40 are ALL 38 remaining r10-era rows
-# in registration order — after this window NO query's latest driver
-# row is older than r11; slots 41-50 begin the r11-era rotation
-# (50 rows, registration order — the remaining 40 lead r15, starting
-# at cdc_incremental_scan).
+# wrap-guard branch); slot 2 the other NEW r14 entry
+# (text_dup_passages, the duplicated-passage blocklist); slot 3 is
+# q12_priority_shipmode, re-checked because r14 flipped it to the
+# layout='auto' read gate (task 4's driver-checked proof); slots 4-41
+# are ALL 38 remaining r10-era rows in registration order — after
+# this window NO query's latest driver row is older than r11; slots
+# 42-50 begin the r11-era rotation (50 rows, registration order — the
+# remaining 41 lead r15, starting at pivot_priority_status then
+# cdc_incremental_scan).
 _PRIORITY = [
     "q1_decimal_branch",  # NEW r14 (never driver-checked) — leads
+    "text_dup_passages",  # NEW r14 (duplicated-passage blocklist)
     "q12_priority_shipmode",  # flipped to layout='auto' in r14
     "window_running_revenue",
     "window_first_last_value",
@@ -7561,7 +7590,6 @@ _PRIORITY = [
     "case_pred_orders",
     "agg_price_histogram",
     "scalar_conditional_lineitem",
-    "pivot_priority_status",
 ]
 
 

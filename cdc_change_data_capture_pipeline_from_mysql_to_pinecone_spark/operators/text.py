@@ -342,6 +342,55 @@ def ngram_contamination(
     )
 
 
+def duplicated_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-PASSAGE detection — the corpus
+    blocklist builder of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    word ``n``-gram passages appearing in at least ``min_docs``
+    DISTINCT documents, with how many documents carry each and the
+    lowest carrying id as a deterministic exemplar. Doc-level dedup
+    (exact/MinHash/SimHash, operators.dedup) misses exactly this —
+    boilerplate headers, license blocks, quoted chunks embedded in
+    otherwise-unique documents; the output passage list is what a
+    training loader filters or down-weights at read time.
+
+    Output: (passage, n_docs, first_doc).
+
+    Shape for 100 TB: no join at all — one explode of per-doc DISTINCT
+    n-grams (array_distinct makes each doc vote once, so COUNT is the
+    distinct-doc count without a count-distinct buffer), then ONE
+    hash aggregation keyed on the passage with map-side partial
+    (count, min) combine. Shuffle volume is the distinct-gram stream —
+    linear in corpus tokens; Zipf passage skew is absorbed by the
+    partial agg (a billion-copy boilerplate line crosses the wire once
+    per map partition, not once per occurrence). The full suffix-array
+    construction of the paper is the offline-index alternative; this
+    n-gram formulation is the streaming-friendly one and is exactly
+    SQL-expressible for the oracle."""
+    from ..functions.hashing import word_shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
+            "passage"
+        ),
+    )
+    return (
+        grams.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def unigram_surprisal(
     df: DataFrame, id_col: str, text_col: str, smoothing: float = 1.0
 ) -> DataFrame:

@@ -190,6 +190,40 @@ def test_set_similarity_join_lossless_vs_bruteforce_on_fixture(spark, sf_dir):
     assert want, "fixture produced zero qualifying pairs — test is vacuous"
 
 
+def test_duplicated_passages_planted(spark):
+    """duplicated_passages (NEW r14 — the exact-substring-dedup
+    blocklist, passage level): a boilerplate n-gram embedded in three
+    otherwise-unique docs is reported with its carrier count and
+    lowest carrier id; within-doc repetition alone never qualifies
+    (array_distinct makes each doc vote once); unique docs contribute
+    nothing."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        duplicated_passages,
+    )
+
+    boiler = "all rights reserved by the example corp"  # 7 tokens
+    docs = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta iota"),
+        (7, f"kappa lam mu nu xi {boiler}"),
+        # within-doc repetition only — must NOT qualify
+        (9, "rep tok rep tok rep tok rep tok rep tok rep tok rep tok"),
+        (11, "totally unique words here nothing shared with anything"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["passage"]: (r["n_docs"], r["first_doc"])
+        for r in duplicated_passages(df, "doc_id", "text", n=7, min_docs=2).collect()
+    }
+    assert out.get(boiler) == (3, 1), out
+    # every reported passage is carried by >= 2 DISTINCT docs; doc 9's
+    # self-repetition and doc 11's unique text produce nothing
+    for passage, (n_docs, first) in out.items():
+        assert n_docs >= 2
+        assert "rep tok" not in passage
+        assert "unique" not in passage
+
+
 def test_winnow_textless_docs_have_no_fingerprints(spark):
     """ADVICE r5: NULL/empty text must yield ZERO fingerprint rows —
     before the fix a single NULL fingerprint row per textless doc made
