@@ -5681,6 +5681,44 @@ def ml_hash_split(spark, sf_dir):
 
 
 @_q(
+    "ml_mixture_sample",
+    """
+    WITH tgt(lang, t) AS (VALUES ('en', 0.4), ('fr', 0.2), ('es', 0.2),
+                                 ('zh', 0.1), ('de', 0.1)),
+    n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+    j AS (SELECT n.lang, n.n, CAST(tgt.t AS DOUBLE) AS t FROM n JOIN tgt USING (lang)),
+    cap AS (SELECT min(n / t) AS c FROM j),
+    r AS (SELECT lang, (t * (SELECT c FROM cap)) / n AS rate FROM j)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR || '#seed42'), 1, 15))::BIGINT
+               % 10000 AS DOUBLE) < rate * 10000
+    """,
+)
+def ml_mixture_sample(spark, sf_dir):
+    """Corpus MIXTURE sampling (NEW r14 — the data-mixing step of a
+    pretraining recipe): down-sample each language so the output hits
+    target proportions en 40 / fr 20 / es 20 / zh 10 / de 10 at the
+    largest size the corpus allows without replication — output
+    N = min_lang(n/t), keep-rate t*N/n per language (exactly 1.0 at
+    the binding language). Rates are DERIVED from the corpus's own
+    counts in-plan (count agg -> 1-row min -> broadcast rate join ->
+    narrow hash filter; no collect, no RNG). Integer weights normalize
+    to exact float literals so both engines compute bit-identical
+    rates; membership is the md5 hash-bucket draw shared with
+    ml_hash_split."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, "lang", "doc_id", {"en": 4, "fr": 2, "es": 2, "zh": 1, "de": 1}, seed=42
+    )
+    return out.select("doc_id", "lang")
+
+
+@_q(
     "ml_weighted_sample",
     """
     WITH pri AS (
@@ -7530,18 +7568,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # ADVICE r13: 12, not 14, r10-era rows fit the r13 window's slots
 # 39-50, leaving 38 r10-era rows): slot 1 is the NEW r14 entry
 # (q1_decimal_branch, never driver-checked — the forced DECIMAL(38,0)
-# wrap-guard branch); slot 2 the other NEW r14 entry
-# (text_dup_passages, the duplicated-passage blocklist); slot 3 is
+# wrap-guard branch); slots 2-3 the other NEW r14 entries
+# (text_dup_passages, the duplicated-passage blocklist;
+# ml_mixture_sample, the corpus mixture sampler); slot 4 is
 # q12_priority_shipmode, re-checked because r14 flipped it to the
-# layout='auto' read gate (task 4's driver-checked proof); slots 4-41
+# layout='auto' read gate (task 4's driver-checked proof); slots 5-42
 # are ALL 38 remaining r10-era rows in registration order — after
 # this window NO query's latest driver row is older than r11; slots
-# 42-50 begin the r11-era rotation (50 rows, registration order — the
-# remaining 41 lead r15, starting at pivot_priority_status then
-# cdc_incremental_scan).
+# 43-50 begin the r11-era rotation (50 rows, registration order — the
+# remaining 42 lead r15, starting at scalar_conditional_lineitem /
+# pivot_priority_status then cdc_incremental_scan).
 _PRIORITY = [
     "q1_decimal_branch",  # NEW r14 (never driver-checked) — leads
     "text_dup_passages",  # NEW r14 (duplicated-passage blocklist)
+    "ml_mixture_sample",  # NEW r14 (corpus mixture sampler)
     "q12_priority_shipmode",  # flipped to layout='auto' in r14
     "window_running_revenue",
     "window_first_last_value",
@@ -7589,7 +7629,6 @@ _PRIORITY = [
     "scalar_json_events",
     "case_pred_orders",
     "agg_price_histogram",
-    "scalar_conditional_lineitem",
 ]
 
 

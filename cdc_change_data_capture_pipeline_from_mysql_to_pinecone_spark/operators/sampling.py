@@ -172,6 +172,60 @@ def leakage_safe_split(
     return hash_split(labeled, label_col, fractions, seed, split_col)
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    targets: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus MIXTURE sampler — the data-mixing step of a pretraining
+    pipeline: given target output PROPORTIONS per source (e.g. web
+    0.6 / code 0.2 / books 0.2), down-sample each source so the output
+    matches the mixture at the LARGEST size the corpus allows without
+    replication. The binding source is the one with the worst
+    availability-to-target ratio: output size N = min_s(n_s / t_s)
+    (its keep-rate is exactly 1.0), every other source keeps
+    t_s * N / n_s of its rows. This differs from
+    :func:`stratified_sample` (caller supplies per-stratum RATES) in
+    that the rates are DERIVED from the corpus's own counts and the
+    target mixture — the knob a data-recipe owner actually holds.
+
+    Sources absent from ``targets`` are dropped (weight 0). Rows keep
+    or drop by hashed key like every operator here — deterministic
+    under repartition/retry, oracle-reproducible.
+
+    Shape for 100 TB: one map-side-combined count per source (output =
+    #sources rows), a 1-row min aggregate, a broadcast join of the
+    per-source rate back onto the corpus, then the narrow hash filter
+    — no collect, no RNG, and the scan pipelines into the filter."""
+    total = sum(targets.values())
+    if total <= 0:
+        raise ValueError("targets must have positive total weight")
+    norm = {s: t / total for s, t in targets.items()}
+    tmap = F.create_map(*[F.lit(x) for st in norm.items() for x in st])
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_t", tmap[F.col(source_col)])
+        .filter(F.col("_t").isNotNull())
+    )
+    # N = min over sources of n/t; rate_s = (t_s * N) / n_s  (<= 1,
+    # == 1 at the binding source). Same expression shape as the SQL
+    # oracle so both engines compute identical doubles.
+    lim = counts.agg(F.min(F.col("_n") / F.col("_t")).alias("_cap"))
+    rates = counts.crossJoin(F.broadcast(lim)).select(
+        F.col(source_col),
+        ((F.col("_t") * F.col("_cap")) / F.col("_n")).alias("_rate"),
+    )
+    b = _bucket(F.col(key_col), seed)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(b.cast("double") < F.col("_rate") * BUCKETS)
+        .drop("_rate")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

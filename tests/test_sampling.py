@@ -205,3 +205,41 @@ def test_weighted_sample_tracks_weights_and_is_repartition_stable(spark):
     # should take well over a third of the 300 sampled slots (expected
     # ~half); a uniform draw would give them ~10%
     assert heavy > 100, (heavy, light)
+
+
+def test_mixture_sample_hits_targets_and_binding_source_keeps_all(spark):
+    """mixture_sample (NEW r14): the binding source (worst n/t ratio)
+    keeps ALL its rows (rate exactly 1.0); every other source
+    down-samples toward t_s * N / n_s; absent-from-targets sources are
+    dropped; the draw is repartition-stable."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = (
+        [(i, "web") for i in range(600)]
+        + [(1000 + i, "code") for i in range(80)]
+        + [(2000 + i, "books") for i in range(300)]
+        + [(3000 + i, "junk") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # targets web .5 / code .2 / books .3 -> N = min(600/.5=1200,
+    # 80/.2=400, 300/.3=1000) = 400: code binds and keeps all 80.
+    out = mixture_sample(
+        df, "source", "doc_id", {"web": 5, "code": 2, "books": 3}, seed=7
+    )
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert "junk" not in counts  # weight-0 source dropped
+    assert counts["code"] == 80  # binding source: rate exactly 1.0
+    # web expects .5*400=200 of 600, books .3*400=120 of 300 — hash
+    # draw is approximate; a generous band still separates the rates
+    assert 150 <= counts["web"] <= 250, counts
+    assert 90 <= counts["books"] <= 150, counts
+    # repartition-stable: same membership regardless of layout
+    again = mixture_sample(
+        df.repartition(13), "source", "doc_id", {"web": 5, "code": 2, "books": 3}, seed=7
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
