@@ -2424,6 +2424,42 @@ def text_dup_passages(spark, sf_dir):
 
 
 @_q(
+    "text_dup_apply",
+    f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id, {_duck_shingles(8)} AS s FROM toks),
+    g AS (SELECT doc_id, unnest(s) AS passage FROM sh),
+    bl AS (SELECT passage FROM g GROUP BY passage HAVING count(*) >= 2),
+    j AS (SELECT g.doc_id, g.passage, (bl.passage IS NOT NULL) AS dup
+          FROM g LEFT JOIN bl USING (passage))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(count(CASE WHEN dup THEN 1 END) AS BIGINT) AS n_dup_passages,
+           CAST(count(CASE WHEN dup THEN 1 END) AS DOUBLE) / count(*)
+             AS dup_coverage,
+           (CAST(count(CASE WHEN dup THEN 1 END) AS DOUBLE) / count(*))
+             <= 0.2 AS keep
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_dup_apply(spark, sf_dir):
+    """APPLY the duplicated-passage blocklist (NEW r15 — the second
+    half of exact-substring dedup, Lee et al. 2022; completes the
+    text_dup_passages pair per VERDICT r14 task 1): build the
+    blocklist in-plan from the corpus, then score every document by
+    blocklisted-passage coverage and flag keep/drop at coverage 0.2.
+    Join-on-gram + per-doc agg, no collect — the blocklist side
+    broadcasts when it fits (AQE), shuffles on the gram hash when
+    not."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bl = text_ops.duplicated_passages(d, "doc_id", "text", n=8, min_docs=2)
+    return text_ops.apply_passage_blocklist(
+        d, bl, "doc_id", "text", n=8, max_coverage=0.2
+    )
+
+
+@_q(
     "cdc_time_travel",
     """
     WITH h AS (
@@ -5016,12 +5052,22 @@ def search_end_to_end(spark, sf_dir):
 def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: correlated EXISTS -> left-semi join with a
     compound (equi + theta) condition; the equi key still drives the
-    shuffle so it stays a hash/sort-merge semi, not a BNL (J5)."""
-    o = _t(spark, sf_dir, "orders").filter(
+    shuffle so it stays a hash/sort-merge semi, not a BNL (J5).
+
+    r15: second ``layout='auto'`` consumer (VERDICT r14 task 7,
+    joining q12): the semi-join's equi key IS the bucket key on BOTH
+    sides, so with the co-bucketed layout present the semi runs
+    zero-Exchange (theta residual evaluated per bucket) and only the
+    5-row o_orderpriority agg shuffles; without it, plain scans.
+    Result is layout-independent (driver hash-checks either way);
+    q3/q5/q18 plain entries stay the tracked contract numbers."""
+    o = load_fact(spark, sf_dir, "orders", layout="auto").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = load_fact(spark, sf_dir, "lineitem", layout="auto").select(
+        "l_orderkey", "l_shipdate"
+    )
     return (
         o.join(
             li,
@@ -7563,72 +7609,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
 # continued each round). The driver's correctness gate samples the
-# dict from the front (50 entries per round). The r14 window (VERDICT
-# r13 task 2 — note the r13 comment's bookkeeping was off by two,
-# ADVICE r13: 12, not 14, r10-era rows fit the r13 window's slots
-# 39-50, leaving 38 r10-era rows): slot 1 is the NEW r14 entry
-# (q1_decimal_branch, never driver-checked — the forced DECIMAL(38,0)
-# wrap-guard branch); slots 2-3 the other NEW r14 entries
-# (text_dup_passages, the duplicated-passage blocklist;
-# ml_mixture_sample, the corpus mixture sampler); slot 4 is
-# q12_priority_shipmode, re-checked because r14 flipped it to the
-# layout='auto' read gate (task 4's driver-checked proof); slots 5-42
-# are ALL 38 remaining r10-era rows in registration order — after
-# this window NO query's latest driver row is older than r11; slots
-# 43-50 begin the r11-era rotation (50 rows, registration order — the
-# remaining 42 lead r15, starting at scalar_conditional_lineitem /
-# pivot_priority_status then cdc_incremental_scan).
+# dict from the front (50 entries per round). The r15 window (VERDICT
+# r14 task 2): slot 1 is the NEW r15 entry (text_dup_apply, the
+# APPLY half of exact-substring dedup — never driver-checked); slot 2
+# is q4_order_priority, re-checked because r15 flipped it to the
+# layout='auto' read gate (task 7's second driver-checked consumer,
+# same treatment q12 got in r14); slots 3-44 are ALL 42 remaining
+# rows whose latest driver check was r11, in registration order —
+# after this window NO query's latest driver row is older than r12;
+# slots 45-50 begin the r12-era rotation (50 rows minus
+# q4_order_priority which slot 2 already re-checks = 49; the 6 here
+# leave exactly 43 r12-era rows to lead r16, starting at
+# sql_frontend_having / sql_frontend_cte_exists then text_stats).
 _PRIORITY = [
-    "q1_decimal_branch",  # NEW r14 (never driver-checked) — leads
-    "text_dup_passages",  # NEW r14 (duplicated-passage blocklist)
-    "ml_mixture_sample",  # NEW r14 (corpus mixture sampler)
-    "q12_priority_shipmode",  # flipped to layout='auto' in r14
-    "window_running_revenue",
-    "window_first_last_value",
-    "window_share_of_total",
-    "sort_topk_lineitem",
-    "sort_nulls_ordering",
-    "set_ops_all_variants",
-    "agg_approx_sketches",
-    "join_cross_region_nation",
-    "window_range_frame_spend",
-    "agg_collect_nations",
-    "unpivot_customer_metrics",
-    "subquery_correlated_order_above_cust_avg",
-    "scalar_math_lineitem",
-    "agg_bitwise_events",
-    "scalar_datetime_parse_roundtrip",
-    "scalar_try_cast_safe",
-    "agg_boolean_lineitem",
-    "scalar_regexp_advanced",
-    "mm_resize_plan",
-    "mm_frame_sample",
-    "q15_top_supplier",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_count",
-    "q20_part_promo_suppliers",
-    "ml_stratified_sample",
-    "ml_kfold_assign",
-    "profile_documents",
-    "text_bm25_rank",
-    "search_rrf_fusion",
-    "vec_centroid_per_label",
-    "window_moving_avg_nth",
-    "incremental_distinct_rollup",
-    "incremental_theta_overlap",
-    "incremental_topk_rollup",
-    "text_mad_outliers",
-    "window_time_range_moving_sum",
-    "set_ops_customer_years",
-    "scalar_string_part",
-    "scalar_string_extended",
-    "scalar_datetime_orders",
-    "scalar_encoding_misc",
-    "scalar_json_events",
-    "case_pred_orders",
-    "agg_price_histogram",
+    "text_dup_apply",  # NEW r15 (apply the duplicated-passage blocklist)
+    "q4_order_priority",  # flipped to layout='auto' in r15
+    "scalar_conditional_lineitem",
+    "pivot_priority_status",
+    "cdc_incremental_scan",
+    "cdc_watermark_next",
+    "cdc_watermark_upsert",
+    "cdc_serialize_rows",
+    "cdc_chunk_documents",
+    "cdc_snapshot_latest",
+    "asof_join_purchase_click",
+    "cdc_catalog_watermark_join",
+    "window_ranking_suite",
+    "string_similarity_parts",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_lsh_candidates_capped",
+    "dedup_winnow_fingerprints",
+    "dedup_winnow_candidates",
+    "dedup_setsim_exact",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "ml_split_leakage_safe",
+    "dedup_cluster_survivors",
+    "dedup_cluster_best_survivors",
+    "dedup_jaccard_consecutive",
+    "dedup_minhash_est_jaccard",
+    "text_scrub_pii",
+    "text_repetition_ratio",
+    "cohort_retention_orders",
+    "text_normalize_stopwords",
+    "text_top_bigram_per_lang",
+    "vec_l2_normalize",
+    "text_fingerprint",
+    "vec_label_norms",
+    "array_ops_documents",
+    "map_ops_events",
+    "array_hof_documents",
+    "array_posexplode_tokens",
+    "text_bpe_regex_tokens",
+    "embed_documents",
+    "search_end_to_end",
+    "incremental_ivf_cells",
+    "agg_decimal_exact_pricing",
+    "q3_bucketed_layout",
+    "q5_bucketed_layout",
+    "text_contamination",
+    "cdc_time_travel",
+    "cdc_snapshot_diff",
 ]
 
 

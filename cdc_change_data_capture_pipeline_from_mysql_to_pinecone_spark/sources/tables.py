@@ -140,11 +140,22 @@ def bucketed_fact_name(sf_dir: str, table: str, n_buckets: int = 128) -> str:
     """Catalog name of the ingest-once co-bucketed copy of a fixture
     fact table. ONE naming convention shared by the ingest path
     (``_bucketed_fact`` in the entry module) and the read gate
-    (:func:`load_fact`) so the two can never drift."""
+    (:func:`load_fact`) so the two can never drift.
+
+    The name encodes the bucket COUNT and the bucket KEY (ADVICE r14):
+    attach trusts the warehouse files to carry the declared spec, so a
+    future revision that changed the key (or the hash layout) while
+    sharing an old warehouse dir would otherwise re-attach those files
+    under wrong bucket metadata — Spark would elide the join Exchange
+    on a distribution the files don't have, producing wrong join rows
+    that the row-count verify cannot catch. Keying the NAME on the
+    spec makes a spec change miss the old dir entirely (worst case: a
+    re-ingest, never a wrong plan)."""
     import re
 
+    key = _FACT_BUCKET_KEYS.get(table, "nokey")
     token = re.sub(r"[^0-9A-Za-z]+", "_", os.path.basename(sf_dir.rstrip("/")))
-    return f"bktfact.{table}_{token}_ok{int(n_buckets)}"
+    return f"bktfact.{table}_{token}_{key}_ok{int(n_buckets)}"
 
 
 def load_fact(
@@ -207,7 +218,14 @@ def load_fact(
             df = _attach_bucketed(spark, base, name, table, expected, n_buckets) or base
     except Exception:
         df = base
-    per_session[ck] = df
+    # Cache POSITIVE (bucketed) hits only (ADVICE r14): a cached plain
+    # fallback would pin the whole session to the plain scan even after
+    # _bucketed_fact ingests the layout later in the same session
+    # (performance-only miss, results identical — but a silent one).
+    # The re-probe on the plain path is a catalog lookup + parquet
+    # footer count, negligible next to any query that reads the fact.
+    if df is not base:
+        per_session[ck] = df
     return df
 
 

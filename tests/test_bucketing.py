@@ -463,6 +463,50 @@ def test_q12_auto_layout_join_rides_buckets_when_available(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, plain))
 
 
+def test_q4_auto_layout_semi_join_rides_buckets_when_available(spark):
+    """The second layout='auto' consumer (r15, VERDICT r14 task 7):
+    q4_order_priority's left-SEMI join equi key is the bucket key on
+    BOTH sides, so with the co-bucketed facts present the semi plans
+    bucket-local (the theta residual l_shipdate > o_orderdate+30d is
+    evaluated inside the per-bucket join) and the only
+    hashpartitioning Exchange left is the 5-row o_orderpriority agg.
+    Values must equal the same dataflow forced plain."""
+    import __spark_entry__ as entrymod
+
+    entrymod._bucketed_fact(spark, SF_DIR, "orders", "o_orderkey")
+    entrymod._bucketed_fact(spark, SF_DIR, "lineitem", "l_orderkey")
+    spark.__dict__.get("_cdc_graft_session_caches", {}).pop("load_fact_auto", None)
+    _force_smj(spark)
+    try:
+        q = entrymod.q4_order_priority(spark, SF_DIR)
+        rows = q.collect()
+        final = q._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "Bucketed: true" in final, final[:1200]
+        # one exchange total: the final o_orderpriority agg
+        assert final.count("Exchange hashpartitioning") <= 1, final[:1200]
+    finally:
+        _restore(spark)
+    o = load_table(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate")
+    plain = (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, plain))
+
+
 def test_bucketed_point_lookup_prunes_to_one_bucket(spark):
     """Bucket PRUNING (r12): an equality filter on the bucket key
     scans 1 of n_buckets — the O(data/n_buckets) key fetch the layout

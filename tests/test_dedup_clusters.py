@@ -224,6 +224,64 @@ def test_duplicated_passages_planted(spark):
         assert "unique" not in passage
 
 
+def test_apply_passage_blocklist_planted(spark):
+    """apply_passage_blocklist (NEW r15 — the APPLY half of
+    exact-substring dedup, VERDICT r14 task 1): per-doc distinct-gram
+    totals, blocklist hit counts, exact coverage ratio, and the
+    keep-at-threshold verdict — verified against a brute-force Python
+    recount of the planted fixture. A doc made mostly of boilerplate
+    drops; lightly-contaminated and clean docs keep."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        apply_passage_blocklist,
+        duplicated_passages,
+    )
+
+    boiler = "all rights reserved by the example corp"  # 7 tokens
+    docs = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta iota"),
+        # nothing BUT the boilerplate -> coverage 1.0 -> drop
+        (7, boiler),
+        (11, "totally unique words here nothing shared with anything"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bl = duplicated_passages(df, "doc_id", "text", n=7, min_docs=2)
+    out = {
+        r["doc_id"]: (
+            r["n_passages"],
+            r["n_dup_passages"],
+            r["dup_coverage"],
+            r["keep"],
+        )
+        for r in apply_passage_blocklist(
+            df, bl, "doc_id", "text", n=7, max_coverage=0.5
+        ).collect()
+    }
+    # brute force: per-doc distinct 7-gram sets, blocklist = grams in
+    # >= 2 docs
+    def grams(t, n=7):
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    per_doc = {i: grams(t) for i, t in docs}
+    from collections import Counter
+
+    carrier = Counter(g for gs in per_doc.values() for g in gs)
+    blocked = {g for g, c in carrier.items() if c >= 2}
+    want = {}
+    for i, gs in per_doc.items():
+        dup = len(gs & blocked)
+        cov = dup / len(gs)
+        want[i] = (len(gs), dup, cov, cov <= 0.5)
+    assert out == want, f"{out} != {want}"
+    assert out[7][3] is False, "mostly-boilerplate doc must drop"
+    assert out[11] == (len(per_doc[11]), 0, 0.0, True)
+    # the pipeline is self-consistent: every doc appears exactly once
+    assert set(out) == {i for i, _ in docs}
+
+
 def test_winnow_textless_docs_have_no_fingerprints(spark):
     """ADVICE r5: NULL/empty text must yield ZERO fingerprint rows —
     before the fix a single NULL fingerprint row per textless doc made
