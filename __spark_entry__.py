@@ -7580,6 +7580,48 @@ def text_unigram_surprisal(spark, sf_dir):
     )
 
 
+@_q(
+    "ml_importance_weights",
+    """
+    WITH ctoks AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                   FROM documents),
+    ttoks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents WHERE doc_id % 37 = 0),
+    cv AS (SELECT tok, count(*) AS cc FROM ctoks GROUP BY tok),
+    tv AS (SELECT tok, count(*) AS tc FROM ttoks GROUP BY tok),
+    vocab AS (SELECT COALESCE(cv.tok, tv.tok) AS tok,
+                     COALESCE(cc, 0) AS cc, COALESCE(tc, 0) AS tc
+              FROM cv FULL OUTER JOIN tv ON cv.tok = tv.tok),
+    consts AS (SELECT sum(cc) AS nc, sum(tc) AS nt, count(*) AS v FROM vocab),
+    lr AS (SELECT tok, ln((tc + 1.0) / (nt + 1.0 * v))
+                     - ln((cc + 1.0) / (nc + 1.0 * v)) AS lr
+           FROM vocab CROSS JOIN consts),
+    scored AS (SELECT doc_id, lr FROM ctoks JOIN lr USING (tok))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lr), 6) AS weight
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ml_importance_weights(spark, sf_dir):
+    """DSIR-style data-selection importance weights (NEW r15, Xie et
+    al. 2023): per-doc sum of unigram log importance ratios between a
+    target exemplar set (here doc_id % 37 == 0 — the domain to
+    up-sample) and the corpus's own distribution, add-one smoothed
+    over the union vocab. Two vocab counts, one vocab-sized
+    full-outer align, 1-row constants broadcast, token-keyed join
+    back, per-doc sum — no collect; the weights feed
+    weighted_sample for the resampling step. Rounded to 6 dp: the
+    per-token log-ratio is IEEE-identical cross-engine; only the
+    per-doc summation order differs (~1e-13)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = d.filter(F.col("doc_id") % 37 == 0)
+    out = text_ops.importance_weights(d, probe, "doc_id", "text", smoothing=1.0)
+    return out.select(
+        "doc_id", "n_tokens", F.round("weight", 6).alias("weight")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7612,17 +7654,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # dict from the front (50 entries per round). The r15 window (VERDICT
 # r14 task 2): slot 1 is the NEW r15 entry (text_dup_apply, the
 # APPLY half of exact-substring dedup — never driver-checked); slot 2
-# is q4_order_priority, re-checked because r15 flipped it to the
-# layout='auto' read gate (task 7's second driver-checked consumer,
-# same treatment q12 got in r14); slots 3-44 are ALL 42 remaining
+# is the other NEW r15 entry (ml_importance_weights, DSIR unigram
+# data-selection weights); slot 3 is q4_order_priority, re-checked
+# because r15 flipped it to the layout='auto' read gate (task 7's
+# second driver-checked consumer, same treatment q12 got in r14);
+# slots 4-45 are ALL 42 remaining
 # rows whose latest driver check was r11, in registration order —
 # after this window NO query's latest driver row is older than r12;
-# slots 45-50 begin the r12-era rotation (50 rows minus
-# q4_order_priority which slot 2 already re-checks = 49; the 6 here
-# leave exactly 43 r12-era rows to lead r16, starting at
-# sql_frontend_having / sql_frontend_cte_exists then text_stats).
+# slots 46-50 begin the r12-era rotation (50 rows minus
+# q4_order_priority which slot 3 already re-checks = 49; the 5 here
+# leave exactly 44 r12-era rows to lead r16, starting at
+# cdc_snapshot_diff / sql_frontend_having then sql_frontend_cte_exists).
 _PRIORITY = [
     "text_dup_apply",  # NEW r15 (apply the duplicated-passage blocklist)
+    "ml_importance_weights",  # NEW r15 (DSIR data-selection weights)
     "q4_order_priority",  # flipped to layout='auto' in r15
     "scalar_conditional_lineitem",
     "pivot_priority_status",
@@ -7671,7 +7716,6 @@ _PRIORITY = [
     "q5_bucketed_layout",
     "text_contamination",
     "cdc_time_travel",
-    "cdc_snapshot_diff",
 ]
 
 

@@ -466,6 +466,68 @@ def apply_passage_blocklist(
     ).withColumn("keep", F.col("dup_coverage") <= F.lit(float(max_coverage)))
 
 
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_text_col: str | None = None,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    unigram feature space): score every corpus document by
+    sum over its tokens of ln(p_target(tok) / p_corpus(tok)) — the
+    log importance ratio between the TARGET distribution (a small
+    exemplar set of the domain to up-sample) and the corpus's own
+    unigram distribution, both add-``smoothing`` smoothed over the
+    UNION vocabulary. High weight = looks like the target; the
+    resampling step that consumes these weights is
+    :func:`operators.sampling.weighted_sample`.
+
+    Output: (id_col, n_tokens, weight).
+
+    Shape for 100 TB: two token explodes, two token-keyed counts
+    (map-side combining hash aggs — vocab is Zipf-bounded, orders
+    smaller than the corpus), ONE vocab-sized full-outer join to
+    align the two distributions, 1-row constants on a broadcast cross
+    join, then a token-keyed join back over the corpus stream (AQE
+    broadcasts the log-ratio table when it fits) and a per-doc sum.
+    No collect, no RNG, no driver state beyond the plan."""
+    s = float(smoothing)
+    tcol = target_text_col or text_col
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+    ttoks = target.select(F.explode(tokens(F.col(tcol))).alias("_tok"))
+    cv = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cc"))
+    tv = ttoks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tc"))
+    vocab = cv.join(tv, "_tok", "full_outer").select(
+        "_tok",
+        F.coalesce("_cc", F.lit(0)).alias("_cc"),
+        F.coalesce("_tc", F.lit(0)).alias("_tc"),
+    )
+    consts = vocab.agg(
+        F.sum("_cc").alias("_nc"),
+        F.sum("_tc").alias("_nt"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    log_ratio = F.log(
+        (F.col("_tc") + F.lit(s)) / (F.col("_nt") + F.lit(s) * F.col("_v"))
+    ) - F.log(
+        (F.col("_cc") + F.lit(s)) / (F.col("_nc") + F.lit(s) * F.col("_v"))
+    )
+    lr = vocab.crossJoin(F.broadcast(consts)).select(
+        "_tok", log_ratio.alias("_lr")
+    )
+    return (
+        toks.join(lr, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_lr").alias("weight"),
+        )
+    )
+
+
 def unigram_surprisal(
     df: DataFrame, id_col: str, text_col: str, smoothing: float = 1.0
 ) -> DataFrame:

@@ -245,7 +245,13 @@ def test_bucketed_fact_reattach_rewrite_and_fallback(spark):
 
     sf = SF_DIR
     n = entrymod._BKT_FACT_BUCKETS
-    name = f"bktfact.orders_sf0_001_ok{n}"
+    # derive the name from the shared convention (r15: it encodes the
+    # bucket KEY too — a hand-built name here would drift)
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.sources import (
+        bucketed_fact_name,
+    )
+
+    name = bucketed_fact_name(sf, "orders", n)
     loc = os.path.join(
         urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         or spark.conf.get("spark.sql.warehouse.dir"),

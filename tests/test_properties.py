@@ -162,6 +162,52 @@ def test_unigram_surprisal_orders_rare_above_common(spark):
     assert n_toks[1] == n_toks[2] == 20
 
 
+def test_importance_weights_match_brute_force_and_rank_target_alike(spark):
+    """importance_weights (NEW r15 — DSIR unigram log-ratio scoring):
+    exact match against a pure-Python recount of the planted fixture,
+    and the ordering property that motivates the operator — a corpus
+    doc written in the target's vocabulary outweighs one written in
+    off-target vocabulary."""
+    import math
+    from collections import Counter
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        importance_weights,
+    )
+
+    corpus = [
+        (1, "physics maths proofs theorems lemmas"),
+        (2, "celebrity gossip fashion scandal rumor"),
+        (3, "physics gossip maths fashion proofs"),
+        (4, "theorems theorems proofs maths physics"),
+    ]
+    target = [(100, "physics proofs theorems maths lemmas physics")]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    tdf = spark.createDataFrame(target, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["weight"])
+        for r in importance_weights(df, tdf, "doc_id", "text").collect()
+    }
+    # brute force
+    ctoks = [t for _, x in corpus for t in x.split()]
+    ttoks = [t for _, x in target for t in x.split()]
+    cc, tc = Counter(ctoks), Counter(ttoks)
+    vocab = set(cc) | set(tc)
+    nc, nt, v = len(ctoks), len(ttoks), len(vocab)
+    lr = {
+        w: math.log((tc[w] + 1.0) / (nt + v)) - math.log((cc[w] + 1.0) / (nc + v))
+        for w in vocab
+    }
+    for i, x in corpus:
+        toks = x.split()
+        want = sum(lr[t] for t in toks)
+        n, w = got[i]
+        assert n == len(toks)
+        assert abs(w - want) < 1e-9, (i, w, want)
+    # target-alike ranks above off-target; mixed sits between
+    assert got[1][1] > got[3][1] > got[2][1]
+
+
 def test_bigram_surprisal_backoff_flags_scrambled_text(spark):
     """Under a held-out bigram LM, a scrambled permutation of training
     vocabulary (normal unigram stats, unattested bigrams) must score
