@@ -34,7 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from bench import HEADLINE, sized_session, warm_up  # noqa: E402
+from bench import HEADLINE, query_conf, sized_session, warm_up  # noqa: E402
 from tests.oracle_harness import duck_con  # noqa: E402
 
 
@@ -58,18 +58,19 @@ def main() -> None:
         # machinery). Symmetric — DuckDB's first run warms its caches
         # the same way; what the window then measures is steady-state
         # per-query cost, the quantity that extrapolates.
-        fn(spark, sf_dir).toArrow()
-        if sql is not None:
-            con.sql(sql).arrow()
         s_best = d_best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+        with query_conf(spark, name):  # per-query landed confs (bench.PER_QUERY_CONF)
             fn(spark, sf_dir).toArrow()
-            s_best = min(s_best, time.perf_counter() - t0)
             if sql is not None:
-                t0 = time.perf_counter()
                 con.sql(sql).arrow()
-                d_best = min(d_best, time.perf_counter() - t0)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).toArrow()
+                s_best = min(s_best, time.perf_counter() - t0)
+                if sql is not None:
+                    t0 = time.perf_counter()
+                    con.sql(sql).arrow()
+                    d_best = min(d_best, time.perf_counter() - t0)
         rows.append((name, s_best, d_best if sql else float("nan")))
         ratio = s_best / d_best if sql else float("nan")
         print(f"{name:40s} spark {s_best:7.3f}  duck {d_best:7.3f}  ratio {ratio:6.2f}x",
