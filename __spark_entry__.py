@@ -6735,6 +6735,40 @@ def incremental_distinct_rollup(spark, sf_dir):
     )
 
 
+def incremental_dup_passages(spark, sf_dir):
+    """Incrementally-maintained exact-substring-dedup blocklist (NEW
+    r15 — completes the passage family: r14 built it, r15 slot 1
+    applies it, this maintains it): three CDC ticks of documents
+    folded by delta_passage_rollup + merge_passage_rollups, read
+    through passage_blocklist(min_docs=2). The state retains
+    singleton passages so cross-tick duplicate pairs are found —
+    the oracle is the ONE-SHOT duplicated-passages SQL over the whole
+    corpus, so the driver hash-pins the merge-order-free invariant:
+    chained tick merges == single build. Refresh cost is O(delta
+    grams) + a state-sized merge shuffle; old documents never
+    re-read."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_passage_rollup,
+        merge_passage_rollups,
+        passage_blocklist,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ticks = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    state = delta_passage_rollup(ticks[0], "doc_id", "text", n=8)
+    for t in ticks[1:]:
+        state = merge_passage_rollups(
+            state, delta_passage_rollup(t, "doc_id", "text", n=8)
+        )
+    return passage_blocklist(state, min_docs=2)
+
+
+_REG["incremental_dup_passages"] = (
+    incremental_dup_passages,
+    _REG["text_dup_passages"][1],  # the ONE-SHOT oracle — the invariant
+)
+
+
 @_q(
     "incremental_changelog_rollup",
     """
@@ -7654,20 +7688,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # dict from the front (50 entries per round). The r15 window (VERDICT
 # r14 task 2): slot 1 is the NEW r15 entry (text_dup_apply, the
 # APPLY half of exact-substring dedup — never driver-checked); slot 2
-# is the other NEW r15 entry (ml_importance_weights, DSIR unigram
-# data-selection weights); slot 3 is q4_order_priority, re-checked
-# because r15 flipped it to the layout='auto' read gate (task 7's
-# second driver-checked consumer, same treatment q12 got in r14);
-# slots 4-45 are ALL 42 remaining
+# is the second NEW r15 entry (ml_importance_weights, DSIR unigram
+# data-selection weights); slot 3 the third (incremental_dup_passages,
+# the maintained blocklist whose oracle IS the one-shot SQL — the
+# merge invariant); slot 4 is q4_order_priority, re-checked because
+# r15 flipped it to the layout='auto' read gate (task 7's second
+# driver-checked consumer, same treatment q12 got in r14);
+# slots 5-46 are ALL 42 remaining
 # rows whose latest driver check was r11, in registration order —
 # after this window NO query's latest driver row is older than r12;
-# slots 46-50 begin the r12-era rotation (50 rows minus
-# q4_order_priority which slot 3 already re-checks = 49; the 5 here
-# leave exactly 44 r12-era rows to lead r16, starting at
-# cdc_snapshot_diff / sql_frontend_having then sql_frontend_cte_exists).
+# slots 47-50 begin the r12-era rotation (50 rows minus
+# q4_order_priority which slot 4 already re-checks = 49; the 4 here
+# leave exactly 45 r12-era rows to lead r16, starting at
+# cdc_time_travel / cdc_snapshot_diff then sql_frontend_having).
 _PRIORITY = [
     "text_dup_apply",  # NEW r15 (apply the duplicated-passage blocklist)
     "ml_importance_weights",  # NEW r15 (DSIR data-selection weights)
+    "incremental_dup_passages",  # NEW r15 (maintained blocklist, invariant oracle)
     "q4_order_priority",  # flipped to layout='auto' in r15
     "scalar_conditional_lineitem",
     "pivot_priority_status",
@@ -7715,7 +7752,6 @@ _PRIORITY = [
     "q3_bucketed_layout",
     "q5_bucketed_layout",
     "text_contamination",
-    "cdc_time_travel",
 ]
 
 

@@ -85,6 +85,54 @@ def delta_join(
     return delta_a.join(b_new, on).unionByName(a_old.join(delta_b, on))
 
 
+def delta_passage_rollup(
+    delta: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Incremental maintenance for the exact-substring-dedup blocklist
+    (the r14/r15 pair text.duplicated_passages / text.
+    apply_passage_blocklist): fold one CDC delta of NEW documents into
+    passage state (passage, n_docs, first_doc). The state keeps
+    SINGLETON passages on purpose — a passage seen once is not yet
+    blocklisted, but a later delta may bring its second carrier, and a
+    state that pre-filtered at min_docs would lose exactly the
+    cross-tick duplicates the blocklist exists to catch (unit-tested:
+    a pair straddling two ticks).
+
+    Contract: deltas PARTITION the corpus (append-only CDC — each doc
+    id arrives in exactly one delta). n_docs sums across merges under
+    that contract; min(first_doc) merges unconditionally.
+
+    Scale shape: identical to the one-shot builder per delta (explode
+    per-doc DISTINCT grams -> ONE map-side-combined hash agg). State
+    is the corpus's distinct-gram table — inherently linear in corpus
+    size (exact passage dedup cannot be sub-linear; the paper's
+    suffix array is too), but refreshing it costs O(delta grams) +
+    one state-sized merge shuffle, never a corpus re-read."""
+    from .text import duplicated_passages
+
+    return duplicated_passages(delta, id_col, text_col, n=n, min_docs=1)
+
+
+def merge_passage_rollups(stored: DataFrame, update: DataFrame) -> DataFrame:
+    """Merge passage-blocklist states: union + re-reduce (sum of
+    carrier counts — exact under the partitioned-delta contract —
+    and min of exemplar ids). One state-sized shuffle on the passage
+    hash; base documents never touched."""
+    merged = stored.unionByName(update)
+    return merged.groupBy("passage").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.min("first_doc").cast("long").alias("first_doc"),
+    )
+
+
+def passage_blocklist(state: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Read-time view of the maintained state: the passages currently
+    carried by >= ``min_docs`` documents — byte-identical to running
+    text.duplicated_passages one-shot over everything folded so far
+    (the merge-order-free invariant the registry oracle pins)."""
+    return state.filter(F.col("n_docs") >= min_docs)
+
+
 def delta_distinct_rollup(
     delta: DataFrame, keys: list[str], distinct_cols: list[str], lg_k: int = 12
 ) -> DataFrame:

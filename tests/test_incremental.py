@@ -641,3 +641,52 @@ def test_sweep_ivf_assign_ticks_update_and_replay(spark, tmp_path):
     assert sweep_ivf_assign(*args) == 5
     s3 = {r["vid"]: r["cell"] for r in spark.read.parquet(state_path).collect()}
     assert s3 == s2
+
+
+def test_passage_rollup_straddling_pair_and_invariant(spark):
+    """delta_passage_rollup / merge_passage_rollups (NEW r15 — the
+    maintained exact-substring-dedup blocklist): (a) the property the
+    state design exists for — a duplicate pair whose two carriers
+    arrive in DIFFERENT ticks is found because singleton passages are
+    retained in state (a min_docs-prefiltered state would lose it);
+    (b) the merge invariant — chained tick merges == one-shot
+    duplicated_passages over everything, exactly; (c) within-tick
+    self-repetition alone never qualifies."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.incremental import (
+        delta_passage_rollup,
+        merge_passage_rollups,
+        passage_blocklist,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        duplicated_passages,
+    )
+
+    boiler = "all rights reserved by the example corp"  # 7 tokens
+    tick1 = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (3, "rep tok rep tok rep tok rep tok rep tok rep tok rep tok"),
+    ]
+    tick2 = [
+        (2, f"{boiler} epsilon zeta eta theta iota"),  # second carrier
+        (4, "totally unique words here nothing shared with anything"),
+    ]
+    d1 = spark.createDataFrame(tick1, ["doc_id", "text"])
+    d2 = spark.createDataFrame(tick2, ["doc_id", "text"])
+    state = merge_passage_rollups(
+        delta_passage_rollup(d1, "doc_id", "text", n=7),
+        delta_passage_rollup(d2, "doc_id", "text", n=7),
+    )
+    got = {
+        r["passage"]: (r["n_docs"], r["first_doc"])
+        for r in passage_blocklist(state, min_docs=2).collect()
+    }
+    assert got.get(boiler) == (2, 1), got  # straddling pair FOUND
+    assert all("rep tok" not in p for p in got)
+    # invariant: chained merge == one-shot over the union
+    oneshot = {
+        r["passage"]: (r["n_docs"], r["first_doc"])
+        for r in duplicated_passages(
+            d1.unionByName(d2), "doc_id", "text", n=7, min_docs=2
+        ).collect()
+    }
+    assert got == oneshot
