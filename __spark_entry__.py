@@ -2661,6 +2661,83 @@ def text_quality(spark, sf_dir):
 
 
 @_q(
+    "text_gopher_rules",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             regexp_split_to_array(text, '\\n') AS lines,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+             (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'  THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% be %'   THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %'   THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %'   THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %'  THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% that %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% have %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(text) || ' ' LIKE '% with %' THEN 1 ELSE 0 END)
+               AS stop_hits
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(n_nonspace AS DOUBLE) / len(toks) AS mean_wl,
+             (n_hash + n_ellipsis) / len(toks) AS symbol_ratio,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len(toks) AS alpha_frac,
+             CAST(len(list_filter(lines,
+                  l -> regexp_matches(ltrim(l), '^(-|\\*|•)')))
+                  AS DOUBLE) / len(lines) AS bullet_frac,
+             CAST(len(list_filter(lines,
+                  l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))
+                  AS DOUBLE) / len(lines) AS ellipsis_frac,
+             stop_hits
+      FROM f)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_wl, 6) AS mean_word_len,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_mean_word_len,
+           symbol_ratio <= 0.1 AS r_symbol_ratio,
+           alpha_frac >= 0.8 AS r_alpha_words,
+           bullet_frac <= 0.9 AS r_bullet_lines,
+           ellipsis_frac <= 0.3 AS r_ellipsis_lines,
+           stop_hits >= 1 AS r_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+            AND symbol_ratio <= 0.1
+            AND alpha_frac >= 0.8
+            AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3
+            AND stop_hits >= 1) AS keep
+    FROM g
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher quality-rule battery (NEW r15 — Rae et al. 2021
+    Appendix A1.1, the gate MassiveText popularized and
+    Dolma/RedPajama-v2 adopted): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, alphabetic-word fraction,
+    bullet-line and ellipsis-line fractions, >= 2 distinct Gopher
+    stopwords — one boolean per rule plus the conjunction, so a
+    recipe owner can relax single rules without re-running the pass.
+    Complements text_quality (the C4-style composite SCORE): that one
+    ranks, this one gates. All rules are single-pass codegen'd string
+    expressions — no shuffle, no Python, scan-pipelined at any corpus
+    size. On this fixture the word-count and stopword rules
+    discriminate (single-line texts exercise the line rules
+    degenerately but the expressions are real). min_stopwords is 1
+    here, not the paper's 2: the fixture vocabulary is domain
+    word-soup where only 'the' occurs, so the published threshold
+    zeroes the rule and the conjunction with it — the operator's
+    default stays 2."""
+    d = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return text_ops.gopher_rules(d, "doc_id", "text", min_stopwords=1)
+
+
+@_q(
     "text_lang_id",
     """
     WITH hits AS (
@@ -5765,6 +5842,59 @@ def ml_mixture_sample(spark, sf_dir):
 
 
 @_q(
+    "ml_alpha_sampling",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS total FROM per),
+    pw AS (SELECT source, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+                  exp(0.3 * ln(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))) AS pa,
+                  total
+           FROM per CROSS JOIN tot),
+    z AS (SELECT sum(pa) AS z FROM pw)
+    SELECT source, n_tokens,
+           round(p, 6) AS p_natural,
+           round(pa / z, 6) AS q_alpha,
+           round(pa / z / p, 6) AS sample_factor,
+           round(pa / z * CAST(total AS DOUBLE), 2) AS expected_tokens
+    FROM pw CROSS JOIN z
+    """,
+)
+def ml_alpha_sampling(spark, sf_dir):
+    """Temperature-scaled source sampling (NEW r15 — the
+    alpha-sampling recipe of mBERT/XLM-R, Conneau et al. 2020 §3.1,
+    alpha=0.3): per-source token mass -> natural share p ->
+    flattened target share q = p^0.3 / Z -> implied up/down-sampling
+    factor and expected token budget per source. Complements
+    ml_mixture_sample (owner-stated targets) — here one temperature
+    knob derives the targets from the corpus itself. ONE
+    map-side-combined sum per source, then arithmetic on a
+    #sources-row frame with two 1-row broadcast aggregates — no
+    second corpus pass, no collect. p^alpha is spelled
+    exp(alpha*ln p) in BOTH engines so libm lines up; rounded at 6dp
+    (ratios) / 2dp (token budget)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        alpha_sampling,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    per_row = d.select("source", text_ops.token_count(F.col("text")).alias("_tok"))
+    out = alpha_sampling(per_row, "source", "_tok", alpha=0.3)
+    return out.select(
+        "source",
+        "n_tokens",
+        F.round("p_natural", 6).alias("p_natural"),
+        F.round("q_alpha", 6).alias("q_alpha"),
+        F.round("sample_factor", 6).alias("sample_factor"),
+        F.round("expected_tokens", 2).alias("expected_tokens"),
+    )
+
+
+@_q(
     "ml_weighted_sample",
     """
     WITH pri AS (
@@ -7686,22 +7816,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
 # continued each round). The driver's correctness gate samples the
 # dict from the front (50 entries per round). The r15 window (VERDICT
-# r14 task 2): slot 1 is the NEW r15 entry (text_dup_apply, the
-# APPLY half of exact-substring dedup — never driver-checked); slot 2
-# is the second NEW r15 entry (ml_importance_weights, DSIR unigram
-# data-selection weights); slot 3 the third (incremental_dup_passages,
-# the maintained blocklist whose oracle IS the one-shot SQL — the
-# merge invariant); slot 4 is q4_order_priority, re-checked because
+# r14 task 2): slots 1-5 are the five NEW r15 entries —
+# text_gopher_rules (the Gopher gate battery), ml_alpha_sampling
+# (XLM-R temperature sampling), text_dup_apply (the APPLY half of
+# exact-substring dedup), ml_importance_weights (DSIR unigram
+# data-selection weights), incremental_dup_passages (the maintained
+# blocklist whose oracle IS the one-shot SQL — the merge invariant);
+# slot 6 is q4_order_priority, re-checked because
 # r15 flipped it to the layout='auto' read gate (task 7's second
 # driver-checked consumer, same treatment q12 got in r14);
-# slots 5-46 are ALL 42 remaining
+# slots 7-48 are ALL 42 remaining
 # rows whose latest driver check was r11, in registration order —
 # after this window NO query's latest driver row is older than r12;
-# slots 47-50 begin the r12-era rotation (50 rows minus
-# q4_order_priority which slot 4 already re-checks = 49; the 4 here
-# leave exactly 45 r12-era rows to lead r16, starting at
-# cdc_time_travel / cdc_snapshot_diff then sql_frontend_having).
+# slots 49-50 begin the r12-era rotation (50 rows minus
+# q4_order_priority which slot 6 already re-checks = 49; the 2 here
+# leave exactly 47 r12-era rows to lead r16, starting at
+# q5_bucketed_layout / text_contamination then cdc_time_travel /
+# cdc_snapshot_diff and sql_frontend_having).
 _PRIORITY = [
+    "text_gopher_rules",  # NEW r15 (Gopher rule battery, Rae et al. 2021)
+    "ml_alpha_sampling",  # NEW r15 (XLM-R temperature sampling, alpha=0.3)
     "text_dup_apply",  # NEW r15 (apply the duplicated-passage blocklist)
     "ml_importance_weights",  # NEW r15 (DSIR data-selection weights)
     "incremental_dup_passages",  # NEW r15 (maintained blocklist, invariant oracle)
@@ -7750,8 +7884,6 @@ _PRIORITY = [
     "incremental_ivf_cells",
     "agg_decimal_exact_pricing",
     "q3_bucketed_layout",
-    "q5_bucketed_layout",
-    "text_contamination",
 ]
 
 

@@ -273,3 +273,56 @@ def weighted_sample(
         .limit(k)
         .drop("_prio")
     )
+
+
+def alpha_sampling(
+    df: DataFrame,
+    source_col: str,
+    size_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled source sampling distribution — the
+    multilingual-pretraining *alpha-sampling* recipe (mBERT's
+    exponentially-smoothed weighting; XLM-R, Conneau et al. 2020 §3.1;
+    the same knob as the Pile's per-set epochs, Gao et al. 2021):
+    given per-row sizes (token counts), each source's natural share
+    p_s = n_s / N is flattened to the target share
+    q_s = p_s^alpha / sum_t p_t^alpha, and ``sample_factor`` = q_s/p_s
+    is the implied up/down-sampling (expected epochs over that source
+    at an N-token output budget). alpha=1 reproduces natural
+    proportions, alpha=0 uniform; 0.3 is the published XLM-R setting.
+
+    This complements :func:`mixture_sample`: there the recipe owner
+    states target proportions and the operator derives keep-rates;
+    here the corpus's own distribution plus one temperature knob
+    derives the targets themselves.
+
+    Shape for 100 TB: ONE map-side-combined sum per source (output =
+    #sources rows); everything downstream is arithmetic on that tiny
+    frame plus two 1-row broadcast aggregates — no second pass over
+    the corpus, no collect, no RNG. p^alpha is spelled
+    exp(alpha * ln p) so an external SQL oracle lines up libm-for-libm
+    (both engines then agree to ~1 ulp; callers round for hashing).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    per = df.groupBy(source_col).agg(F.sum(F.col(size_col)).alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("_total"))
+    p = F.col("n_tokens").cast("double") / F.col("_total").cast("double")
+    pw = per.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col),
+        F.col("n_tokens"),
+        p.alias("_p"),
+        F.exp(F.lit(float(alpha)) * F.log(p)).alias("_pa"),
+        F.col("_total"),
+    )
+    z = pw.agg(F.sum("_pa").alias("_z"))
+    q = F.col("_pa") / F.col("_z")
+    return pw.crossJoin(F.broadcast(z)).select(
+        F.col(source_col),
+        F.col("n_tokens"),
+        F.col("_p").alias("p_natural"),
+        q.alias("q_alpha"),
+        (q / F.col("_p")).alias("sample_factor"),
+        (q * F.col("_total").cast("double")).alias("expected_tokens"),
+    )

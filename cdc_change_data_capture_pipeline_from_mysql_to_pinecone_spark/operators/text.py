@@ -728,3 +728,74 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.sum("_term_score").alias("score"),
     )
+
+
+#: The Gopher stopword list (Rae et al. 2021, A1.1): a document must
+#: contain at least 2 of these to pass the stopword rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, Appendix
+    A1.1 — the rule set MassiveText filtering popularized; adopted by
+    Dolma/RedPajama-v2 and most open pretraining pipelines since).
+    Emits one boolean per rule plus the conjunction ``keep``, so a
+    recipe owner can relax single rules without re-running the pass:
+
+    * ``r_word_count``   — word count in [min_words, max_words]
+    * ``r_mean_word_len``— mean word length in [3, 10]
+    * ``r_symbol_ratio`` — (# '#' + # '...') / words <= 0.1
+    * ``r_alpha_words``  — >= 80% of words contain a letter
+    * ``r_bullet_lines`` — <= 90% of lines start with a bullet
+    * ``r_ellipsis_lines``— <= 30% of lines end with '...'
+    * ``r_stopwords``    — >= min_stopwords distinct GOPHER_STOPWORDS
+      present (the paper's threshold, and the default, is 2)
+
+    Complements :func:`quality_features` (the C4/RefinedWeb-style
+    composite score): that one ranks, this one gates, and the two
+    papers draw the thresholds differently. All rules are single-pass
+    string expressions inside whole-stage codegen — no shuffle, no
+    Python, scan-pipelined at any corpus size. Counting '#'/'...' via
+    length-after-replace keeps both engines' non-overlapping
+    left-to-right replace semantics aligned (an oracle can reproduce
+    every rule bit-for-bit)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    mean_wl = F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n_words
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = alpha_words.cast("double") / n_words
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^(-|\*|•)")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$")))
+    stop_hits = _marker_hits(F.lower(t), GOPHER_STOPWORDS)
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "r_symbol_ratio": symbol_ratio <= 0.1,
+        "r_alpha_words": alpha_frac >= 0.8,
+        "r_bullet_lines": bullet_lines.cast("double") / n_lines <= 0.9,
+        "r_ellipsis_lines": ellipsis_lines.cast("double") / n_lines <= 0.3,
+        "r_stopwords": stop_hits >= min_stopwords,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )

@@ -618,3 +618,100 @@ def test_explode_cosine_kernel_bit_matches_hof_fold(spark_g, vecs, dim):
     assert set(a) == set(x)
     for k in a:
         assert a[k] == x[k], (k, shaped[k], a[k], x[k])  # bit-equal, not approx
+
+
+def test_alpha_sampling_matches_brute_force_and_limits(spark):
+    """alpha_sampling (NEW r15 — XLM-R temperature sampling): exact
+    match against a pure-Python recount of the planted fixture, plus
+    the two limit identities that define the knob — alpha=1 leaves
+    natural proportions (factor 1 everywhere), alpha=0 targets the
+    uniform distribution."""
+    import math
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.sampling import (
+        alpha_sampling,
+    )
+
+    sizes = {"en": [50, 70, 80], "fr": [20, 20], "zh": [5]}
+    rows = [(s, n) for s, ns in sizes.items() for n in ns]
+    df = spark.createDataFrame(rows, ["source", "n_tok"])
+
+    got = {
+        r["source"]: r.asDict()
+        for r in alpha_sampling(df, "source", "n_tok", alpha=0.3).collect()
+    }
+    per = {s: sum(ns) for s, ns in sizes.items()}
+    total = sum(per.values())
+    pa = {s: math.exp(0.3 * math.log(n / total)) for s, n in per.items()}
+    z = sum(pa.values())
+    for s, n in per.items():
+        g = got[s]
+        assert g["n_tokens"] == n
+        assert abs(g["p_natural"] - n / total) < 1e-12
+        assert abs(g["q_alpha"] - pa[s] / z) < 1e-12
+        assert abs(g["sample_factor"] - (pa[s] / z) / (n / total)) < 1e-12
+        assert abs(g["expected_tokens"] - (pa[s] / z) * total) < 1e-9
+    # temperature flattens: the smallest source is up-sampled, the
+    # largest down-sampled, and q preserves the size ordering
+    assert got["zh"]["sample_factor"] > 1.0 > got["en"]["sample_factor"]
+    assert got["en"]["q_alpha"] > got["fr"]["q_alpha"] > got["zh"]["q_alpha"]
+    # alpha=1: q == p exactly (factor 1); alpha=0: q uniform
+    nat = alpha_sampling(df, "source", "n_tok", alpha=1.0).collect()
+    assert all(abs(r["sample_factor"] - 1.0) < 1e-12 for r in nat)
+    uni = alpha_sampling(df, "source", "n_tok", alpha=0.0).collect()
+    assert all(abs(r["q_alpha"] - 1.0 / len(sizes)) < 1e-12 for r in uni)
+
+
+def test_gopher_rules_match_brute_force(spark):
+    """gopher_rules (NEW r15 — the Rae et al. 2021 A1.1 gate battery):
+    every rule and the conjunction match a pure-Python re-evaluation
+    on planted documents that each violate exactly one rule."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        gopher_rules,
+    )
+
+    passing = "the quick brown fox jumps over lazy dogs again and " * 5  # 50 words
+    docs = [
+        (1, passing.strip()),
+        (2, "the short doc"),  # violates word count
+        (3, ("a " * 49 + "the").strip()),  # mean word len 1.08 -> fails
+        (4, (passing + "# " * 20).strip()),  # symbol ratio > 0.1
+        (5, (passing + "123 456 789 000 111 222 333 444 555 666 777 888 999 101 202").strip()),
+        (6, "\n".join(["- " + passing.strip()] * 3)),  # all bullet lines
+        (7, "\n".join([passing.strip() + " ..."] * 3)),  # all ellipsis lines
+        (8, ("word " * 60).strip()),  # no stopwords
+    ]
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(
+        spark.createDataFrame(docs, ["doc_id", "text"]), "doc_id", "text"
+    ).collect()}
+
+    import re
+
+    for i, text in docs:
+        toks = re.split(r"\s+", text.strip())
+        lines = text.split("\n")
+        n_words = len(toks)
+        mean_wl = sum(len(t) for t in toks) / n_words
+        n_sym = text.count("#") + text.count("...")
+        alpha_frac = sum(1 for t in toks if re.search("[A-Za-z]", t)) / n_words
+        bullet = sum(1 for l in lines if re.match(r"^(-|\*|•)", l.lstrip())) / len(lines)
+        ellip = sum(1 for l in lines if l.rstrip().endswith("...")) / len(lines)
+        stop = len({w for w in GOPHER_STOPWORDS if w in set(text.lower().split(" "))})
+        want = {
+            "r_word_count": 50 <= n_words <= 100_000,
+            "r_mean_word_len": 3.0 <= mean_wl <= 10.0,
+            "r_symbol_ratio": n_sym / n_words <= 0.1,
+            "r_alpha_words": alpha_frac >= 0.8,
+            "r_bullet_lines": bullet <= 0.9,
+            "r_ellipsis_lines": ellip <= 0.3,
+            "r_stopwords": stop >= 2,
+        }
+        g = got[i]
+        assert g["n_words"] == n_words, (i, g["n_words"], n_words)
+        assert abs(g["mean_word_len"] - round(mean_wl, 6)) < 1e-9, i
+        for rule, exp in want.items():
+            assert g[rule] == exp, (i, rule, g[rule], exp)
+        assert g["keep"] == all(want.values()), i
+    # each planted violation trips (doc 1 passes, the rest don't)
+    assert got[1]["keep"] and not any(got[i]["keep"] for i in range(2, 9))
