@@ -3388,6 +3388,59 @@ def vec_ivf_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "vec_ann_recall",
+    f"""
+    WITH exact AS ({_REG["vec_knn_bruteforce"][1]}),
+    lshq AS ({_REG["vec_ann_topk"][1]}),
+    ivfq AS ({_REG["vec_ivf_topk"][1]})
+    SELECT 'lsh' AS method, CAST(10 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS hits,
+           CAST(count(*) AS DOUBLE) / 10 AS recall
+    FROM exact JOIN lshq USING (vec_id)
+    UNION ALL
+    SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS hits,
+           CAST(count(*) AS DOUBLE) / 10 AS recall
+    FROM exact JOIN ivfq USING (vec_id)
+    """,
+)
+def vec_ann_recall(spark, sf_dir):
+    """In-plan ANN quality evaluation (NEW r15): recall@10 of BOTH
+    approximate search paths (hyperplane-LSH bucket probe and
+    IVF-flat 2-probe) against the exact brute-force top-10 — the
+    standard index-quality metric, computed as one job so a recipe
+    owner can gate an index rollout on measured recall, not vibes.
+    Composes the three EXISTING registered queries (the oracle nests
+    their registered SQL verbatim, so the eval can never drift from
+    the production paths); each branch is a proven scale shape
+    (TakeOrderedAndProject), the semi joins run on <= k-row frames.
+    No collect, no new kernels."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vector(sf_dir)
+    planes = vec_ops.planes_for_corpus(_table_rows(sf_dir, "embeddings"))
+    exact = vec_ops.cosine_topk(e, "vec_id", "embedding", qvec, k=10).select("vec_id")
+    lsh = vec_ops.ann_topk(
+        e, "vec_id", "embedding", qvec, dim=64, k=10, n_planes=planes
+    ).select("vec_id")
+    ivf = vec_ops.ivf_topk(
+        e, "vec_id", "embedding", qvec, _ivf_centroids(spark, sf_dir), k=10, n_probe=2
+    ).select("vec_id")
+
+    def _recall(approx, method: str):
+        hits = exact.join(approx, "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("_h")
+        )
+        return hits.select(
+            F.lit(method).alias("method"),
+            F.lit(10).cast("bigint").alias("k"),
+            F.col("_h").cast("bigint").alias("hits"),
+            (F.col("_h") / F.lit(10.0)).alias("recall"),
+        )
+
+    return _recall(lsh, "lsh").unionByName(_recall(ivf, "ivf"))
+
+
 def _duck_ivf_trained_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """DuckDB oracle for deterministic Lloyd's k-means (seeds = first k
     vectors by id, argmax-dot assignment with larger-cell tie-break,
@@ -7816,24 +7869,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # Registry surfacing order (freshness rotation, VERDICT r7 task 3 —
 # continued each round). The driver's correctness gate samples the
 # dict from the front (50 entries per round). The r15 window (VERDICT
-# r14 task 2): slots 1-5 are the five NEW r15 entries —
-# text_gopher_rules (the Gopher gate battery), ml_alpha_sampling
-# (XLM-R temperature sampling), text_dup_apply (the APPLY half of
-# exact-substring dedup), ml_importance_weights (DSIR unigram
-# data-selection weights), incremental_dup_passages (the maintained
-# blocklist whose oracle IS the one-shot SQL — the merge invariant);
-# slot 6 is q4_order_priority, re-checked because
+# r14 task 2): slots 1-6 are the six NEW r15 entries —
+# vec_ann_recall (in-plan ANN quality eval composing three
+# registered queries), text_gopher_rules (the Gopher gate battery),
+# ml_alpha_sampling (XLM-R temperature sampling), text_dup_apply
+# (the APPLY half of exact-substring dedup), ml_importance_weights
+# (DSIR unigram data-selection weights), incremental_dup_passages
+# (the maintained blocklist whose oracle IS the one-shot SQL — the
+# merge invariant); slot 7 is q4_order_priority, re-checked because
 # r15 flipped it to the layout='auto' read gate (task 7's second
 # driver-checked consumer, same treatment q12 got in r14);
-# slots 7-48 are ALL 42 remaining
+# slots 8-49 are ALL 42 remaining
 # rows whose latest driver check was r11, in registration order —
 # after this window NO query's latest driver row is older than r12;
-# slots 49-50 begin the r12-era rotation (50 rows minus
-# q4_order_priority which slot 6 already re-checks = 49; the 2 here
-# leave exactly 47 r12-era rows to lead r16, starting at
-# q5_bucketed_layout / text_contamination then cdc_time_travel /
-# cdc_snapshot_diff and sql_frontend_having).
+# slot 50 begins the r12-era rotation (50 rows minus
+# q4_order_priority which slot 7 already re-checks = 49; the 1 here
+# leaves exactly 48 r12-era rows to lead r16, starting at
+# q3_bucketed_layout / q5_bucketed_layout / text_contamination then
+# cdc_time_travel / cdc_snapshot_diff and sql_frontend_having).
 _PRIORITY = [
+    "vec_ann_recall",  # NEW r15 (recall@10 of LSH+IVF vs exact, in-plan)
     "text_gopher_rules",  # NEW r15 (Gopher rule battery, Rae et al. 2021)
     "ml_alpha_sampling",  # NEW r15 (XLM-R temperature sampling, alpha=0.3)
     "text_dup_apply",  # NEW r15 (apply the duplicated-passage blocklist)
@@ -7883,7 +7938,6 @@ _PRIORITY = [
     "search_end_to_end",
     "incremental_ivf_cells",
     "agg_decimal_exact_pricing",
-    "q3_bucketed_layout",
 ]
 
 

@@ -527,3 +527,23 @@ def test_explode_kernel_truncates_ragged_rows(spark):
     assert abs(rows[1] - 0.6) < 1e-12
     assert abs(rows[2] - 1.0) < 1e-12
     assert rows[3] is None
+
+
+def test_ann_recall_matches_component_set_intersection(spark, sf_dir):
+    """vec_ann_recall (NEW r15): the in-plan recall@10 numbers must
+    equal a Python recount of the intersection between the exact
+    top-10 and each approximate path's top-10 — the eval composes the
+    three registered queries, so this pins the composition itself."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    exact = {r["vec_id"] for r in qs["vec_knn_bruteforce"](spark, sf_dir).collect()}
+    lsh = {r["vec_id"] for r in qs["vec_ann_topk"](spark, sf_dir).collect()}
+    ivf = {r["vec_id"] for r in qs["vec_ivf_topk"](spark, sf_dir).collect()}
+    got = {r["method"]: r for r in qs["vec_ann_recall"](spark, sf_dir).collect()}
+    assert set(got) == {"lsh", "ivf"}
+    for method, approx in (("lsh", lsh), ("ivf", ivf)):
+        want = len(exact & approx)
+        assert got[method]["k"] == 10
+        assert got[method]["hits"] == want, (method, got[method], want)
+        assert abs(got[method]["recall"] - want / 10) < 1e-12
