@@ -2449,13 +2449,19 @@ def text_dup_apply(spark, sf_dir):
     text_dup_passages pair per VERDICT r14 task 1): build the
     blocklist in-plan from the corpus, then score every document by
     blocklisted-passage coverage and flag keep/drop at coverage 0.2.
-    Join-on-gram + per-doc agg, no collect — the blocklist side
-    broadcasts when it fits (AQE), shuffles on the gram hash when
-    not."""
+    Served by the FUSED single-scan form (passage_coverage): a COUNT
+    window on the gram replaces both the blocklist aggregate and the
+    join, because the blocklist derives from the same corpus it is
+    applied to — 1 scan / 2 exchanges vs the two-operator
+    composition's 2 scans / 3 exchanges (no subtree is reusable
+    across its agg and join arms), measured 0.70x at sf10 and
+    bit-identical (pinned by test). The join-form operator
+    (apply_passage_blocklist) remains the path for EXTERNAL
+    blocklists — the incrementally-maintained CDC state — where the
+    second scan is inherent."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    bl = text_ops.duplicated_passages(d, "doc_id", "text", n=8, min_docs=2)
-    return text_ops.apply_passage_blocklist(
-        d, bl, "doc_id", "text", n=8, max_coverage=0.2
+    return text_ops.passage_coverage(
+        d, "doc_id", "text", n=8, min_docs=2, max_coverage=0.2
     )
 
 

@@ -799,3 +799,63 @@ def gopher_rules(
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),
     )
+
+
+def passage_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    max_coverage: float = 0.2,
+) -> DataFrame:
+    """Build-and-apply exact-substring dedup in ONE corpus pass — the
+    fused form of :func:`duplicated_passages` +
+    :func:`apply_passage_blocklist` for the self-contained case where
+    the blocklist is derived from the same corpus it is applied to.
+
+    The two-operator composition scans and shingles the corpus TWICE
+    (the blocklist aggregate and the join probe have different
+    subtrees, so Spark cannot reuse the exchange); here a COUNT window
+    partitioned on the gram replaces both the blocklist aggregation
+    and the join — each gram's partition already holds every carrier
+    row, so ``carriers >= min_docs`` is the blocklist-membership test
+    computed in place. One scan, one shuffle on the gram (the same
+    key and volume the join form shuffles anyway), one per-doc agg.
+    Use the two-operator form when the blocklist is EXTERNAL state
+    (the incrementally-maintained CDC blocklist) — there the second
+    scan is inherent.
+
+    Output and semantics are identical to apply_passage_blocklist
+    over duplicated_passages of the same frame (pinned by unit test):
+    (id_col, n_passages, n_dup_passages, dup_coverage, keep)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import word_shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("_g"),
+    )
+    # count("_g") (non-null) keeps the NULL-text partition at 0
+    # carriers, matching the join form's unmatched-left semantics.
+    carriers = F.count("_g").over(Window.partitionBy("_g"))
+    per_doc = (
+        grams.withColumn("_carriers", carriers)
+        .groupBy(id_col)
+        .agg(
+            F.count("_g").cast("long").alias("n_passages"),
+            F.count(F.when(F.col("_carriers") >= min_docs, F.lit(1)))
+            .cast("long")
+            .alias("n_dup_passages"),
+        )
+    )
+    coverage = F.when(
+        F.col("n_passages") > 0,
+        F.col("n_dup_passages") / F.col("n_passages"),
+    ).otherwise(F.lit(0.0))
+    return per_doc.withColumn(
+        "dup_coverage", coverage.cast("double")
+    ).withColumn("keep", F.col("dup_coverage") <= F.lit(float(max_coverage)))

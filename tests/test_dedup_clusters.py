@@ -280,6 +280,25 @@ def test_apply_passage_blocklist_planted(spark):
     assert out[11] == (len(per_doc[11]), 0, 0.0, True)
     # the pipeline is self-consistent: every doc appears exactly once
     assert set(out) == {i for i, _ in docs}
+    # the FUSED single-scan form (passage_coverage, what the registry
+    # query serves) is bit-identical to the two-operator composition —
+    # the window's carriers >= min_docs test IS blocklist membership
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        passage_coverage,
+    )
+
+    fused = {
+        r["doc_id"]: (
+            r["n_passages"],
+            r["n_dup_passages"],
+            r["dup_coverage"],
+            r["keep"],
+        )
+        for r in passage_coverage(
+            df, "doc_id", "text", n=7, min_docs=2, max_coverage=0.5
+        ).collect()
+    }
+    assert fused == out, f"fused {fused} != join-form {out}"
 
 
 def test_winnow_textless_docs_have_no_fingerprints(spark):
