@@ -1607,11 +1607,32 @@ def string_similarity_parts(spark, sf_dir):
 def dedup_exact(spark, sf_dir):
     """Exact-content dedup, lowest-id winner (A9). Input is the corpus
     unioned with a shifted copy of itself so every text has exactly one
-    duplicate — the op must keep the original ids only."""
+    duplicate — the op must keep the original ids only.
+
+    Narrow-shuffle form (r15 optimization, guide §2.3 "shuffle keys
+    and metadata instead of payloads"): this query's output is only
+    (doc_id, fp) and fp IS the dedup group key, so the general
+    ``dedup.exact_dedup`` composition — whose min_by(struct(*cols))
+    ships the full TEXT through the exchange inside the survivor
+    struct, then re-derives md5 from the surviving text — does
+    strictly unnecessary byte movement here. Grouping by md5(text)
+    and aggregating min(doc_id) is value-identical (every member of
+    a group shares the text, hence the md5; the oracle is literally
+    min-doc_id-per-md5) and the exchange carries one (32-char fp,
+    long) pair per distinct text per map partition instead of one
+    full-text struct. Interleaved min-of-3, results asserted
+    identical (tools/r15_form_ab.py): sf10 0.794→0.302 s (0.38x),
+    sf1 0.084→0.048 s (0.57x), sf0.1 1.04x (floor-dominated) — the
+    win grows with scale because the removed bytes are the payload.
+    ``dedup.exact_dedup`` keeps its general keep-all-columns contract
+    for consumers that need the surviving rows themselves."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
-    out = dedup.exact_dedup(doubled, "text", "doc_id")
-    return out.select("doc_id", F.md5("text").alias("fp"))
+    return (
+        doubled.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+    )
 
 
 def _duck_shingles(n: int = 3) -> str:

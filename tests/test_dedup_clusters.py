@@ -440,3 +440,28 @@ def test_minlabel_cte_convergence_guard_fires():
         _duck_labels(con, nodes, edges, rounds=1, jumps=0)
     # and the default budget converges the same graph cleanly
     assert set(_duck_labels(con, nodes, edges).values()) == {0}
+
+
+def test_dedup_exact_narrow_form_matches_operator(spark, sf_dir):
+    """The r15 narrow-shuffle rewrite of the dedup_exact ENTRY query
+    (group by md5 key + min(doc_id) — no full-text survivor struct
+    crossing the exchange) must stay row-identical to the general
+    exact_dedup operator composition it replaced, on the live fixture
+    including the doubled-corpus shift."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    d = em._t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    via_operator = sorted(
+        (r["doc_id"], r["fp"])
+        for r in exact_dedup(doubled, "text", "doc_id")
+        .select("doc_id", F.md5("text").alias("fp"))
+        .collect()
+    )
+    via_entry = sorted(
+        (r["doc_id"], r["fp"])
+        for r in em.queries()["dedup_exact"](spark, sf_dir).collect()
+    )
+    assert via_entry == via_operator
+    assert via_entry, "fixture produced zero rows — test is vacuous"

@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Interleaved old-vs-new plan-form A/B for the r15 optimization round.
+
+For each candidate rewrite, builds BOTH DataFrame forms in one
+bench-policy session, asserts the results are identical (sorted Arrow
+bytes), then times [new, old] alternations and reports each form's
+min — the repo's standard same-window protocol (tools/ab.py lineage).
+
+Usage: python tools/r15_form_ab.py <candidate> [reps]
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+
+Candidates: dedup_exact_narrow | tumbling_longkey | ann_recall_fused
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as em  # noqa: E402
+from bench import sized_session, warm_up  # noqa: E402
+
+
+def _dedup_exact_pair(spark, sf_dir):
+    d = em._t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import dedup
+
+    old = dedup.exact_dedup(doubled, "text", "doc_id").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    # narrow form: fp IS the group key; only min(doc_id) crosses the wire
+    new = (
+        doubled.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+    )
+    return old, new
+
+
+def _tumbling_pair(spark, sf_dir):
+    e = em._t(spark, sf_dir, "events")
+    old = (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    us = F.unix_micros(F.col("ts"))
+    new = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(
+            (us - us % F.lit(600000000)).alias("win_start_us"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+    )
+    return old, new
+
+
+def _ann_recall_pair(spark, sf_dir):
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (
+        vectors as vec_ops,
+    )
+
+    e = em._t(spark, sf_dir, "embeddings")
+    qvec = em._query_vector(sf_dir)
+    planes = vec_ops.planes_for_corpus(em._table_rows(sf_dir, "embeddings"))
+    exact = vec_ops.cosine_topk(e, "vec_id", "embedding", qvec, k=10).select("vec_id")
+    lsh = vec_ops.ann_topk(
+        e, "vec_id", "embedding", qvec, dim=64, k=10, n_planes=planes
+    ).select("vec_id")
+    ivf = vec_ops.ivf_topk(
+        e, "vec_id", "embedding", qvec, em._ivf_centroids(spark, sf_dir), k=10, n_probe=2
+    ).select("vec_id")
+
+    def _recall(approx, method):
+        hits = exact.join(approx, "vec_id", "left_semi").agg(F.count(F.lit(1)).alias("_h"))
+        return hits.select(
+            F.lit(method).alias("method"), F.lit(10).cast("bigint").alias("k"),
+            F.col("_h").cast("bigint").alias("hits"),
+            (F.col("_h") / F.lit(10.0)).alias("recall"),
+        )
+
+    old = _recall(lsh, "lsh").unionByName(_recall(ivf, "ivf"))
+
+    # fused form: tag + union the approx branches FIRST, one semi join
+    # against ONE exact subtree, re-attach zero-hit methods from a
+    # 2-row local frame so the output is two rows at any recall
+    tagged = lsh.select("vec_id", F.lit("lsh").alias("method")).unionByName(
+        ivf.select("vec_id", F.lit("ivf").alias("method"))
+    )
+    counts = (
+        tagged.join(F.broadcast(exact), "vec_id", "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], ["method"])
+    new = (
+        F.broadcast(methods)
+        .join(counts, "method", "left")
+        .select(
+            "method", F.lit(10).cast("bigint").alias("k"),
+            F.coalesce(F.col("_h"), F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce(F.col("_h"), F.lit(0)) / F.lit(10.0)).alias("recall"),
+        )
+    )
+    return old, new
+
+
+PAIRS = {
+    "dedup_exact_narrow": _dedup_exact_pair,
+    "tumbling_longkey": _tumbling_pair,
+    "ann_recall_fused": _ann_recall_pair,
+}
+
+
+def _canon(df):
+    tbl = df.toArrow()
+    import pyarrow.compute as pc
+
+    order = [(n, "ascending") for n in tbl.column_names]
+    return tbl.take(pc.sort_indices(tbl, sort_keys=order))
+
+
+def main() -> None:
+    cand = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = sized_session(sf_dir, app_name=f"r15ab_{cand}")
+    warm_up(spark, sf_dir)
+    old_df, new_df = PAIRS[cand](spark, sf_dir)
+
+    a, b = _canon(old_df), _canon(new_df)
+    # names + types must match; Arrow nullability flags are not part of
+    # the oracle contract (the harness compares names + values only)
+    assert [(f.name, f.type) for f in a.schema] == [
+        (f.name, f.type) for f in b.schema
+    ], (a.schema, b.schema)
+    b = b.cast(a.schema)
+    assert a.equals(b), "RESULTS DIFFER"
+    print(f"results identical: {a.num_rows} rows")
+
+    t_old = t_new = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter(); new_df.toArrow(); t_new = min(t_new, time.perf_counter() - t0)
+        t0 = time.perf_counter(); old_df.toArrow(); t_old = min(t_old, time.perf_counter() - t0)
+    print(f"{cand}: old {t_old:.3f}s  new {t_new:.3f}s  new/old {t_new / t_old:.3f}  "
+          f"load {os.getloadavg()[0]:.2f}")
+
+
+if __name__ == "__main__":
+    main()
