@@ -115,10 +115,58 @@ def _ann_recall_pair(spark, sf_dir):
     return old, new
 
 
+def _dup_apply_pair(spark, sf_dir):
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (
+        text as text_ops,
+    )
+
+    d = em._t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = text_ops.passage_coverage(
+        d, "doc_id", "text", n=8, min_docs=2, max_coverage=0.2
+    )
+
+    # hashed-gram form: window/count over xxhash64 of the token-array
+    # slice — no gram-string materialization, long shuffle key/sort
+    from pyspark.sql import Window
+
+    n, min_docs, max_coverage = 8, 2, 0.2
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    k = F.size(toks)
+    gram_hashes = F.when(k < n, F.array(F.xxhash64(toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.xxhash64(F.slice(toks, i, n)),
+        )
+    )
+    grams = d.select(
+        F.col("doc_id"),
+        F.explode_outer(F.array_distinct(gram_hashes)).alias("_g"),
+    )
+    carriers = F.count("_g").over(Window.partitionBy("_g"))
+    per_doc = (
+        grams.withColumn("_carriers", carriers)
+        .groupBy("doc_id")
+        .agg(
+            F.count("_g").cast("long").alias("n_passages"),
+            F.count(F.when(F.col("_carriers") >= min_docs, F.lit(1)))
+            .cast("long")
+            .alias("n_dup_passages"),
+        )
+    )
+    coverage = F.when(
+        F.col("n_passages") > 0, F.col("n_dup_passages") / F.col("n_passages")
+    ).otherwise(F.lit(0.0))
+    new = per_doc.withColumn("dup_coverage", coverage.cast("double")).withColumn(
+        "keep", F.col("dup_coverage") <= F.lit(float(max_coverage))
+    )
+    return old, new
+
+
 PAIRS = {
     "dedup_exact_narrow": _dedup_exact_pair,
     "tumbling_longkey": _tumbling_pair,
     "ann_recall_fused": _ann_recall_pair,
+    "dup_apply_hashed": _dup_apply_pair,
 }
 
 
