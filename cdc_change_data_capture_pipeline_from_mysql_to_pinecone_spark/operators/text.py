@@ -828,41 +828,16 @@ def passage_coverage(
 
     Output and semantics are identical to apply_passage_blocklist
     over duplicated_passages of the same frame (pinned by unit test):
-    (id_col, n_passages, n_dup_passages, dup_coverage, keep).
-
-    Hashed-gram form (r15 optimization, guide §2.3): nothing in this
-    operator's OUTPUT contains the passage text, so the gram that
-    rides the window exchange is ``xxhash64`` of the token-array
-    slice instead of the concat_ws-built n-gram string — no gram
-    string is ever materialized, the exchange carries one long per
-    (doc, distinct gram) instead of a ~50-byte string, and the window
-    sort compares longs. Token-array equality is bijective with the
-    joined-string equality (tokens carry no whitespace), and the
-    short-doc rule hashes the whole token array exactly as the string
-    form joined it. Interleaved min-of-3, results asserted identical:
-    sf10 0.487→0.302 s (0.62x, tools/r15_form_ab.py), sf1 neutral
-    (floor). Collision posture: within the gated fixtures the slice
-    hash is verified INJECTIVE over the gram set (countDistinct
-    string == hash == pairs at sf1; the equality tests and parity
-    sweeps re-verify end-to-end at every scale), so outputs are
-    bit-identical there; at true 100 TB scale a 64-bit birthday
-    collision merges two gram classes with probability ~n²/2^65 —
-    the standard trade of hash-based exact-substring dedup (the
-    string-exact form remains available via apply_passage_blocklist
-    over duplicated_passages, whose output IS the passage text)."""
+    (id_col, n_passages, n_dup_passages, dup_coverage, keep)."""
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    k = F.size(toks)
-    gram_hashes = F.when(k < n, F.array(F.xxhash64(toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k - n + 1),
-            lambda i: F.xxhash64(F.slice(toks, i, n)),
-        )
-    )
+    from ..functions.hashing import word_shingles
+
     grams = df.select(
         F.col(id_col),
-        F.explode_outer(F.array_distinct(gram_hashes)).alias("_g"),
+        F.explode_outer(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("_g"),
     )
     # count("_g") (non-null) keeps the NULL-text partition at 0
     # carriers, matching the join form's unmatched-left semantics.

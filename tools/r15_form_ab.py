@@ -116,6 +116,14 @@ def _ann_recall_pair(spark, sf_dir):
 
 
 def _dup_apply_pair(spark, sf_dir):
+    # OLD = the landed string-gram passage_coverage; NEW = the hashed
+    # xxhash64(token-slice) gram variant. MEASURED AND REJECTED at
+    # sf10: honest per-rep-rebuilt timing read 1.108x (39.7 old vs
+    # 44.0 new) — the per-position array-slice hash costs more than
+    # the concat_ws string build it avoids. (An earlier 0.62x reading
+    # was the AQE stage-reuse artifact this tool now guards against.)
+    from pyspark.sql import Window as _W
+
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (
         text as text_ops,
     )
@@ -125,11 +133,7 @@ def _dup_apply_pair(spark, sf_dir):
         d, "doc_id", "text", n=8, min_docs=2, max_coverage=0.2
     )
 
-    # hashed-gram form: window/count over xxhash64 of the token-array
-    # slice — no gram-string materialization, long shuffle key/sort
-    from pyspark.sql import Window
-
-    n, min_docs, max_coverage = 8, 2, 0.2
+    n, min_docs = 8, 2
     toks = F.split(F.trim(F.col("text")), r"\s+")
     k = F.size(toks)
     gram_hashes = F.when(k < n, F.array(F.xxhash64(toks))).otherwise(
@@ -139,10 +143,9 @@ def _dup_apply_pair(spark, sf_dir):
         )
     )
     grams = d.select(
-        F.col("doc_id"),
-        F.explode_outer(F.array_distinct(gram_hashes)).alias("_g"),
+        F.col("doc_id"), F.explode_outer(F.array_distinct(gram_hashes)).alias("_g")
     )
-    carriers = F.count("_g").over(Window.partitionBy("_g"))
+    carriers = F.count("_g").over(_W.partitionBy("_g"))
     per_doc = (
         grams.withColumn("_carriers", carriers)
         .groupBy("doc_id")
@@ -157,7 +160,38 @@ def _dup_apply_pair(spark, sf_dir):
         F.col("n_passages") > 0, F.col("n_dup_passages") / F.col("n_passages")
     ).otherwise(F.lit(0.0))
     new = per_doc.withColumn("dup_coverage", coverage.cast("double")).withColumn(
-        "keep", F.col("dup_coverage") <= F.lit(float(max_coverage))
+        "keep", F.col("dup_coverage") <= F.lit(0.2)
+    )
+    return old, new
+
+
+def _contamination_pair(spark, sf_dir):
+    old = em.queries()["text_contamination"](spark, sf_dir)
+
+    n, min_shared = 3, 2
+
+    def _hgrams(frame, id_col, text_col):
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        k = F.size(toks)
+        gh = F.when(k < n, F.array(F.xxhash64(toks))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k - n + 1),
+                lambda i: F.xxhash64(F.slice(toks, i, n)),
+            )
+        )
+        return frame.select(F.col(id_col), F.explode(F.array_distinct(gh)).alias("_g"))
+
+    d = em._t(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("ptext")
+    )
+    new = (
+        _hgrams(d, "doc_id", "text")
+        .join(_hgrams(probe, "probe_id", "ptext"), "_g")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+        .select("doc_id", "probe_id", "shared_ngrams")
     )
     return old, new
 
@@ -167,6 +201,7 @@ PAIRS = {
     "tumbling_longkey": _tumbling_pair,
     "ann_recall_fused": _ann_recall_pair,
     "dup_apply_hashed": _dup_apply_pair,
+    "contamination_hashed": _contamination_pair,
 }
 
 
@@ -196,10 +231,18 @@ def main() -> None:
     assert a.equals(b), "RESULTS DIFFER"
     print(f"results identical: {a.num_rows} rows")
 
+    # REBUILD both frames for every timed execution: under AQE a
+    # re-executed action on the SAME DataFrame object reuses its
+    # already-materialized query stages (shuffles), so timing repeated
+    # toArrow() calls on one object measures only the post-shuffle
+    # tail (caught r15: a 25 s sf10 query "timed" 0.3 s). bench.py and
+    # ab.py rebuild per call via queries()[name](...); mirror that.
     t_old = t_new = float("inf")
     for _ in range(reps):
-        t0 = time.perf_counter(); new_df.toArrow(); t_new = min(t_new, time.perf_counter() - t0)
-        t0 = time.perf_counter(); old_df.toArrow(); t_old = min(t_old, time.perf_counter() - t0)
+        o_df, n_df = PAIRS[cand](spark, sf_dir)
+        t0 = time.perf_counter(); n_df.toArrow(); t_new = min(t_new, time.perf_counter() - t0)
+        o_df, n_df = PAIRS[cand](spark, sf_dir)
+        t0 = time.perf_counter(); o_df.toArrow(); t_old = min(t_old, time.perf_counter() - t0)
     print(f"{cand}: old {t_old:.3f}s  new {t_new:.3f}s  new/old {t_new / t_old:.3f}  "
           f"load {os.getloadavg()[0]:.2f}")
 
