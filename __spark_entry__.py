@@ -1620,10 +1620,14 @@ def dedup_exact(spark, sf_dir):
     a group shares the text, hence the md5; the oracle is literally
     min-doc_id-per-md5) and the exchange carries one (32-char fp,
     long) pair per distinct text per map partition instead of one
-    full-text struct. Interleaved min-of-3, results asserted
-    identical (tools/r15_form_ab.py): sf10 0.794→0.302 s (0.38x),
-    sf1 0.084→0.048 s (0.57x), sf0.1 1.04x (floor-dominated) — the
-    win grows with scale because the removed bytes are the payload.
+    full-text struct. Interleaved min-of-3 with BOTH plans rebuilt
+    per repetition (tools/r15_form_ab.py — rebuilt per rep because
+    under AQE a re-executed action on one DataFrame object reuses its
+    materialized stages and times only the tail): sf10 0.605→0.400 s
+    (0.66x), sf1 0.084→0.048 s (0.57x), sf0.1 1.04x (floor-dominated)
+    — the removed bytes are the payload, and the plan drops from
+    SortAggregate + two Sorts (struct min_by is not hash-aggregable)
+    to a codegen HashAggregate pair (plans/r15/dedup_exact_*.txt).
     ``dedup.exact_dedup`` keeps its general keep-all-columns contract
     for consumers that need the surviving rows themselves."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
