@@ -314,6 +314,104 @@ def banded_embedding_neardup(
 #: k=65k centroids would blow up driver planning; VERDICT r2/r3).
 IVF_LITERAL_MAX_K = 32
 
+#: Above this (estimated rows x centroids) volume, ivf_assign routes
+#: the argmax through the Arrow/numpy kernel instead of the broadcast
+#: HOF expression (r15 optimization). The HOF `transform(cents, c ->
+#: aggregate(zip_with(...)))` allocates a zip array per (row, cell)
+#: pair in interpreted eval — measured ~1 µs/pair, i.e. 110 s for the
+#: sf10 coarse quantization (200k rows x 512 cells); the kernel does
+#: the same multiply-adds vectorized (~45x faster there) at a fixed
+#: ~0.4 s Python-dispatch cost. Threshold sits where the saved
+#: interpreted work clearly exceeds the hop (measured: 8M pairs =
+#: ~8 s HOF vs ~1 s kernel; 80k pairs favors HOF).
+IVF_ARROW_MIN_PAIRS = 2_000_000
+
+
+def _ivf_assign_arrow(
+    emb_df: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """mapInArrow argmax kernel for ivf_assign — BIT-IDENTICAL to the
+    HOF paths by construction:
+
+    - dot products accumulate dimension-sequentially (one IEEE mult +
+      one IEEE add per dimension, ascending index — the exact fold
+      order of ``aggregate(zip_with(...))``; numpy elementwise ops do
+      not reassociate, so every intermediate equals the fold's);
+    - centroids are pre-sorted by cell DESCENDING, so numpy's
+      first-occurrence argmax picks the LARGEST cell among exact
+      score ties — exactly ``array_max``'s lexicographic
+      (score, cell) max;
+    - irregular rows (NULL vector, ragged length, NULL element, empty)
+      get the MAX cell id: under the HOF every such row's scores are
+      all NULL and array_max's struct comparison then reduces to the
+      cell field (pinned by test against both expression paths)."""
+    import numpy as np
+    import pyarrow as pa
+
+    order = sorted(range(len(centroids)), key=lambda i: -centroids[i][0])
+    cells_desc = np.array([int(centroids[i][0]) for i in order], dtype=np.int32)
+    cmat = np.array([centroids[i][1] for i in order], dtype=np.float64)  # (k, dim)
+    dim = cmat.shape[1]
+    max_cell = int(max(cid for cid, _ in centroids))
+
+    def _fold_row(vec) -> int:
+        # exact per-row mirror of the HOF for irregular batches: the
+        # fold over zip_with null-propagates, so any None / ragged
+        # length leaves every score NULL and array_max reduces to the
+        # max cell; a clean row folds acc + x*y in ascending dim order
+        # (Python floats ARE IEEE doubles — identical op sequence).
+        if vec is None or len(vec) != dim or any(x is None for x in vec):
+            return max_cell
+        best_score, best_cell = None, None
+        for ci in range(len(cells_desc)):
+            acc = 0.0
+            crow = cmat[ci]
+            for j in range(dim):
+                acc = acc + vec[j] * crow[j]
+            if best_score is None or acc > best_score:
+                best_score, best_cell = acc, int(cells_desc[ci])
+        return best_cell
+
+    def assign(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            arr = batch.column(vec_col)
+            lengths = pa.compute.list_value_length(arr)
+            clean = (
+                arr.null_count == 0
+                and arr.flatten().null_count == 0
+                and pa.compute.min(lengths).as_py() == dim
+                and pa.compute.max(lengths).as_py() == dim
+            )
+            if clean:
+                emat = np.asarray(arr.flatten(), dtype=np.float64).reshape(n, dim)
+                # dimension-sequential accumulation == the fold's FP
+                # order (one IEEE mult + one IEEE add per dim, no
+                # reassociation), chunked to bound the temp matrices
+                out_cell = np.empty(n, dtype=np.int32)
+                for lo in range(0, n, 8192):
+                    sub = emat[lo : lo + 8192]
+                    scores = np.zeros((sub.shape[0], len(cells_desc)), dtype=np.float64)
+                    for j in range(dim):
+                        scores += sub[:, j : j + 1] * cmat[:, j][None, :]
+                    out_cell[lo : lo + 8192] = cells_desc[np.argmax(scores, axis=1)]
+            else:  # irregular batch: exact slow path, never hit by clean data
+                out_cell = np.array(
+                    [_fold_row(v) for v in arr.to_pylist()], dtype=np.int32
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(out_cell, type=pa.int32())],
+                schema=pa.schema(list(batch.schema) + [pa.field("cell", pa.int32())]),
+            )
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in emb_df.schema.fields
+    ) + ", cell int"
+    return emb_df.mapInArrow(assign, out_schema)
+
 
 def ivf_assign(
     emb_df: DataFrame,
@@ -338,7 +436,19 @@ def ivf_assign(
     Both paths evaluate the identical (score, cell) struct-max, so
     results are bit-equal. A production IVF trains centroids with
     k-means; the operator takes them as input so the quantizer is
-    pluggable (and deterministic in tests: sampled corpus vectors)."""
+    pluggable (and deterministic in tests: sampled corpus vectors).
+
+    r15 scale path: when the estimated (rows x centroids) pair volume
+    clears ``IVF_ARROW_MIN_PAIRS``, the argmax runs in the
+    Arrow/numpy kernel (:func:`_ivf_assign_arrow`) — bit-identical by
+    construction (dimension-sequential accumulation, desc-cell
+    argmax, HOF-matching irregular-row semantics) and ~45x faster at
+    the sf10 coarse quantization, where the interpreted HOF allocates
+    a zip array per (row, cell) pair. Row estimate comes from the
+    optimizer's plan stats (parquet footer/file sizes, no job) — the
+    same gate style as plans.partitioning.ensure_parallelism; unknown
+    stats estimate huge, which lands on the kernel side (the right
+    direction at scale, where the fixed Python hop amortizes)."""
     if len(centroids) <= literal_max_k:
         scored = "array(" + ",".join(
             f"struct(aggregate(zip_with(`{vec_col}`, "
@@ -348,6 +458,18 @@ def ivf_assign(
             for cid, cvec in centroids
         ) + ")"
         return emb_df.withColumn("cell", F.expr(f"array_max({scored}).cell"))
+    # scale gate: estimated rows from plan stats (no job); the row
+    # width estimate is the on-disk bytes per embedding row, so the
+    # pair count is right within a small factor — plenty for a
+    # threshold two orders of magnitude wide
+    try:
+        size = int(emb_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        dim_guess = max(1, len(centroids[0][1]))
+        est_rows = size // max(1, dim_guess * 8)
+    except Exception:  # non-JVM-backed frame: assume big
+        est_rows = 1 << 62
+    if est_rows * len(centroids) >= IVF_ARROW_MIN_PAIRS:
+        return _ivf_assign_arrow(emb_df, vec_col, centroids)
     spark = emb_df.sparkSession
     cdf = spark.createDataFrame(
         [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],

@@ -547,3 +547,67 @@ def test_ann_recall_matches_component_set_intersection(spark, sf_dir):
         assert got[method]["k"] == 10
         assert got[method]["hits"] == want, (method, got[method], want)
         assert abs(got[method]["recall"] - want / 10) < 1e-12
+
+
+def test_ivf_assign_arrow_kernel_matches_hof_paths(spark):
+    """The r15 Arrow/numpy argmax kernel must be row-identical to BOTH
+    expression paths on every semantic corner: clean rows, exact score
+    ties (duplicate centroids -> array_max's max-cell tie-break), and
+    irregular rows (NULL vector / ragged / NULL element / empty all
+    null-propagate to all-NULL scores, where the struct max reduces to
+    the MAX cell id)."""
+    rows = [
+        (1, [1.0, 0.5]),
+        (2, None),
+        (3, [1.0]),
+        (4, [1.0, 0.0, 5.0]),
+        (5, [None, 1.0]),
+        (6, []),
+        (7, [0.3, -0.9]),
+        (8, [1.0, 1.0]),  # every centroid ties -> max cell everywhere
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [
+        (10, [1.0, 0.0]),
+        (20, [0.0, 1.0]),
+        (30, [0.5, 0.5]),
+        (40, [0.5, 0.5]),  # exact duplicate of 30: forced ties
+    ]
+    hof = {
+        r["vec_id"]: r["cell"]
+        for r in vec_ops.ivf_assign(
+            df, "vec_id", "embedding", cents, literal_max_k=0
+        ).collect()
+    }
+    lit = {
+        r["vec_id"]: r["cell"]
+        for r in vec_ops.ivf_assign(
+            df, "vec_id", "embedding", cents, literal_max_k=99
+        ).collect()
+    }
+    kern = {
+        r["vec_id"]: r["cell"]
+        for r in vec_ops._ivf_assign_arrow(df, "embedding", cents).collect()
+    }
+    assert hof == lit == kern
+    assert kern[8] == 40  # all-tie row picks the largest cell
+    assert all(kern[i] == 40 for i in (2, 3, 4, 5, 6))  # irregulars
+
+
+def test_ivf_assign_arrow_gate_fires_on_estimated_volume(spark, sf_dir):
+    """ivf_assign routes through the Arrow kernel only when estimated
+    (rows x centroids) clears IVF_ARROW_MIN_PAIRS; a small frame keeps
+    the broadcast HOF plan (no Python node)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = vec_ops.train_ivf_centroids(e, "vec_id", "embedding", k=40, iters=0)
+    small = vec_ops.ivf_assign(e, "vec_id", "embedding", seeds)
+    assert "MapInArrow" not in small._jdf.queryExecution().executedPlan().toString()
+    try:
+        vec_ops.IVF_ARROW_MIN_PAIRS, saved = 1, vec_ops.IVF_ARROW_MIN_PAIRS
+        big = vec_ops.ivf_assign(e, "vec_id", "embedding", seeds)
+        assert "MapInArrow" in big._jdf.queryExecution().executedPlan().toString()
+        a = {r["vec_id"]: r["cell"] for r in small.select("vec_id", "cell").collect()}
+        b = {r["vec_id"]: r["cell"] for r in big.select("vec_id", "cell").collect()}
+        assert a == b
+    finally:
+        vec_ops.IVF_ARROW_MIN_PAIRS = saved
