@@ -114,8 +114,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     Whitespace-tokenizes, then slides a window of ``n`` tokens. A text
     with fewer than ``n`` tokens yields its full token join as the one
     shingle (so short docs still participate in dedup).
-    """
+
+    ``n=1`` short-circuits to the token array itself (r15): the
+    generic window construction degenerates to
+    ``concat_ws(" ", slice(toks, i, 1))`` — one array allocation and
+    one string copy PER TOKEN just to rebuild each token verbatim.
+    The values are identical by construction (a 1-window's join IS
+    the token; the k<n branch can only fire for k=0, which the
+    whitespace split never produces — empty text tokenizes to [""],
+    NULL stays NULL on both forms)."""
     toks = F.split(F.trim(text), r"\s+")
+    if n == 1:
+        return toks
     k = F.size(toks)
     full = F.array(F.concat_ws(" ", toks))
     windows = F.transform(

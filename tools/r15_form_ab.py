@@ -196,12 +196,52 @@ def _contamination_pair(spark, sf_dir):
     return old, new
 
 
+def _jaccard_pair(spark, sf_dir):
+    # OLD = the pre-r15 single-projection form (re-evaluates the
+    # shingle chain per reference); NEW = the landed registered query
+    # (barriered operator + word_shingles n=1 short-circuit).
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (
+        relational,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        word_shingles,
+    )
+
+    d = em._t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = relational.consecutive_pairs(d, "doc_id", "text", 100, "next_text").filter(
+        F.col("next_text").isNotNull()
+    )
+
+    def _old_shingles(c):
+        # pre-r15 word_shingles(n=1): per-token slice+concat_ws
+        toks = F.split(F.trim(F.col(c)), r"\s+")
+        k = F.size(toks)
+        full = F.array(F.concat_ws(" ", toks))
+        windows = F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, 1))
+        )
+        return F.when(k < 1, full).otherwise(windows)
+
+    sa = F.array_distinct(_old_shingles("text"))
+    sb = F.array_distinct(_old_shingles("next_text"))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    old = pairs.withColumn(
+        "jaccard",
+        F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0)),
+    ).select("doc_id", F.round("jaccard", 4).alias("jaccard"))
+
+    new = em.queries()["dedup_jaccard_consecutive"](spark, sf_dir)
+    return old, new
+
+
 PAIRS = {
     "dedup_exact_narrow": _dedup_exact_pair,
     "tumbling_longkey": _tumbling_pair,
     "ann_recall_fused": _ann_recall_pair,
     "dup_apply_hashed": _dup_apply_pair,
     "contamination_hashed": _contamination_pair,
+    "jaccard_fast": _jaccard_pair,
 }
 
 
