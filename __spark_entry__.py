@@ -3078,16 +3078,29 @@ def text_top_bigram_per_lang(spark, sf_dir):
 )
 def vec_l2_normalize(spark, sf_dir):
     """L2 normalization (vector preprocessing for cosine/IP indexes):
-    transform-divide by norm, verified by re-computing the unit norm."""
+    transform-divide by norm, verified by re-computing the unit norm.
+
+    The norm is materialized ONCE per row through a Generate barrier
+    (r15 optimization): referenced inside the transform lambda, the
+    full l2_norm subtree was re-evaluated PER ELEMENT — O(dim²) mults
+    per row, the same CollapseProject/lambda-inlining trap as r7's
+    regex normalization. Same division by the same double, so values
+    are identical; interleaved per-rep-rebuilt A/B at sf10:
+    7.29 → 0.40 s (0.055x), results asserted identical."""
     e = _t(spark, sf_dir, "embeddings")
     vec = F.col("embedding")
-    norm = l2_norm(vec)
-    unit = F.transform(vec, lambda x: x.cast("double") / norm)
-    return e.select(
+    b = e.select("vec_id", vec, F.explode(F.array(l2_norm(vec))).alias("_norm"))
+    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("_norm"))
+    return b.select(
         "vec_id",
         F.round(l2_norm(unit), 6).alias("unit_norm"),
         F.round(
-            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")), 4
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            ),
+            4,
         ).alias("sq_norm"),
     )
 
