@@ -5027,7 +5027,19 @@ def text_bpe_regex_tokens(spark, sf_dir):
 )
 def mm_resize_plan(spark, sf_dir):
     """Image resize plumbing (mapInPandas over Arrow batches; resample
-    kernel stubbed): aspect-preserving clamp to 256px max side."""
+    kernel stubbed): aspect-preserving clamp to 256px max side.
+
+    Executes under PER_QUERY_CONF's Arrow batch size via a conf-pinned
+    child session (r16): the 10000-row mapInPandas batches that the r15
+    mrb sweep measured 10.9-17.9% faster at sf10 now apply to EVERY
+    caller of this query, not only a harness that wraps the timed
+    region (VERDICT r15 #1)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.session import (
+        PER_QUERY_CONF,
+        conf_pinned_session,
+    )
+
+    spark = conf_pinned_session(spark, PER_QUERY_CONF["mm_resize_plan"])
     d = _t(spark, sf_dir, "documents")
     media = multimodal.attach_binary(d.select("doc_id", "text"), "text")
     resized = multimodal.resize_images(media, max_side=256)
@@ -5110,10 +5122,17 @@ def embed_documents(spark, sf_dir):
     hash-checks the actual embedding values, not just their shape
     (VERDICT r10 task 2). Fixed doc_id < 200 slice on both sides
     (the old .limit(200) picked a nondeterministic subset)."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.session import (
+        PER_QUERY_CONF,
+        conf_pinned_session,
+    )
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.streaming.pipeline import (
         embed_text,
     )
 
+    # conf-pinned child session (r16): the pandas_udf batch size the
+    # r15 mrb sweep landed (5.2-15.8% at sf10) rides the query itself
+    spark = conf_pinned_session(spark, PER_QUERY_CONF["embed_documents"])
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     emb = d.select("doc_id", embed_text(F.col("text")).alias("vec"))
     nz = F.size(F.filter(F.col("vec"), lambda x: x != 0)).cast("long")

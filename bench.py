@@ -29,7 +29,6 @@ import json
 import os
 import sys
 import time
-from contextlib import contextmanager
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -265,53 +264,13 @@ def warm_up(spark, sf_dir: str) -> None:
         .count()
     )
 
-#: Per-query runtime-conf overrides (r15, VERDICT r14 task 3 — the
-#: maxRecordsPerBatch land-or-close decision). The session default
-#: 131072 was tuned in r11 for the FETCH-heavy headline queries
-#: (large toArrow results ride fewer, bigger batches, -5% on that
-#: subset); the mapInPandas-family queries prefer Spark's default
-#: 10000 (smaller batches pipeline the Python worker with the scan).
-#: Landed only where the win was >=10% in EVERY window of the r15
-#: three-window fresh-process A/B at sf10 (tools/mrb_sweep.py;
-#: close-out table in PERFORMANCE.md): mm_resize_plan 10.9-17.9%,
-#: embed_documents 5.2-15.8% (all-window win, mean ~10.5%). The r14
-#: side-find that 2000 helped vec_lsh under load did NOT replicate on
-#: quiet windows (2000 never stably beat 10000) — closed as
-#: load-regime noise. Applied symmetrically by bench and tools/ab.py.
-PER_QUERY_CONF: dict[str, dict[str, str]] = {
-    "mm_resize_plan": {
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000"
-    },
-    "embed_documents": {
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000"
-    },
-}
-
-
-@contextmanager
-def query_conf(spark, name: str):
-    """Apply PER_QUERY_CONF for ``name`` around an execution and
-    restore the prior values after — runtime confs only, safe on a
-    live session, and a query without overrides costs nothing."""
-    overrides = PER_QUERY_CONF.get(name)
-    if not overrides:
-        yield
-        return
-    saved: dict[str, str | None] = {}
-    for k, v in overrides.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
-        spark.conf.set(k, v)
-    try:
-        yield
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+# Per-query runtime-conf overrides moved INTO THE ENGINE in r16
+# (VERDICT r15 "What's wrong" #1): session.PER_QUERY_CONF +
+# session.conf_pinned_session — the two mapInPandas-family queries now
+# build on a conf-pinned child session, so the Arrow batch size the
+# r15 mrb sweep landed applies identically to the bench, the driver's
+# correctness runs, the sweep tools and a real deployment. bench.py
+# holds no per-query conf table anymore.
 
 
 def _measure_pair(spark, sf_dir, con, oracles, queries, names, iters, errors, tag=""):
@@ -328,18 +287,17 @@ def _measure_pair(spark, sf_dir, con, oracles, queries, names, iters, errors, ta
         sql = oracles.get(name) if con is not None else None
         best = d_best = float("inf")
         try:
-            with query_conf(spark, name):
-                fn(spark, sf_dir).toArrow()  # untimed: codegen/JIT settle
+            fn(spark, sf_dir).toArrow()  # untimed: codegen/JIT settle
+            if sql is not None:
+                con.sql(sql).arrow()
+            for _ in range(iters):
+                start = time.perf_counter()
+                fn(spark, sf_dir).toArrow()
+                best = min(best, time.perf_counter() - start)
                 if sql is not None:
-                    con.sql(sql).arrow()
-                for _ in range(iters):
                     start = time.perf_counter()
-                    fn(spark, sf_dir).toArrow()
-                    best = min(best, time.perf_counter() - start)
-                    if sql is not None:
-                        start = time.perf_counter()
-                        con.sql(sql).arrow()
-                        d_best = min(d_best, time.perf_counter() - start)
+                    con.sql(sql).arrow()
+                    d_best = min(d_best, time.perf_counter() - start)
             t[name] = round(best, 3)
             if d_best < float("inf"):
                 d[name] = round(d_best, 3)

@@ -57,6 +57,29 @@ def cosine_sim(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_sim_precomputed_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine_sim` with the two l2 norms supplied as columns —
+    for pairwise shapes where each vector participates in MANY pairs.
+    Inlined, ``cosine_sim`` evaluates five interpreted HOF folds per
+    pair (dot once, each norm twice: condition + division); computing
+    the norms once per VECTOR row (e.g. in the projection that feeds a
+    pair join) leaves one fold per pair. Measured on
+    vec_banded_neardup's 25M candidate pairs at sf10: 108 -> 35 s,
+    identical rows (r16).
+
+    Callers must pass ``na``/``nb`` = ``l2_norm`` of the same ``a``/
+    ``b`` columns; NULL/zero-norm semantics then match ``cosine_sim``
+    exactly (NULL vector -> NULL via the explicit first branch — the
+    norm of a NULL vector is NULL, which would otherwise fall through
+    to 0.0; zero norm -> 0.0; ragged pair -> NULL dot / positive norms
+    -> NULL, same as the inline fold)."""
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+        .when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+        .otherwise(F.lit(0.0))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Arrow-batched numpy kernels (r9). The HOF forms above are pure
 # Catalyst expressions, but Spark evaluates higher-order-function

@@ -643,21 +643,79 @@ def sequence_funnel_maximal(
     with an empty feasible set (F_i nonempty requires F_{i-1}
     nonempty, so NULLs are prefix-closed).
 
-    Per-user DP over time-sorted events (one Arrow-batched
-    applyInPandas pass, O(events * steps) per user): scanning
-    ascending, an event t of type step_i extends a feasible prefix iff
-    some t' in F_{i-1} has t' < t <= t' + gap; the best witness is the
-    LARGEST feasible t' strictly below t (its upper bound t'+gap is
-    loosest), so per step only the max feasible time — plus the min
-    for reporting — is carried, never the full set. Events sharing a
-    timestamp are batched so same-instant chaining (t' < t is strict)
-    cannot occur through intra-batch state updates.
+    Implementation (r16, guide §4 — the registry's last Python
+    boundary): chained RANGE-frame windows, no ``applyInPandas``. An
+    event t of type step_i is feasible iff some t' in F_{i-1} has
+    t' < t <= t' + gap, i.e. iff F_{i-1} intersects the half-open
+    interval [t - gap, t). Event times are integer microseconds, so
+    that interval is exactly the window frame
+    ``rangeBetween(-gap_us, -1)`` over the user partition ordered by
+    time: feasibility of step i = ``max(when(feasible_{i-1}, t_us))``
+    over that frame being non-NULL. The frame end at -1 enforces the
+    strict t' < t (same-instant events never chain — the DP batched
+    equal timestamps for the same reason), and the frame start at
+    -gap_us enforces the inclusive t <= t' + gap. k steps chain k-1
+    windows over ONE partition+sort (same spec, so one Exchange and
+    one Sort), and the per-user minima ride the same partitioning into
+    a final hash aggregate — zero Python, zero extra shuffles. The
+    pandas DP this replaces is kept as
+    ``_sequence_funnel_maximal_dp`` below, the reference
+    implementation the equivalence tests pin the window form against.
 
     Scale shape: one shuffle on the user key, per-user work linear in
-    that user's events — the same partitioning a sessionizer uses. The
-    streaming cousin is the applyInPandasWithState automaton
-    (streaming.pipeline.funnel_state_update), which tracks the greedy
-    chain; this batch DP is the exact-existence backstop."""
+    that user's events (the range frame advances monotonically; it
+    never rescans the partition)."""
+    gap_us = None if max_gap_seconds is None else int(max_gap_seconds) * 1_000_000
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    # map the step type to its index once; NULL timestamps are dropped
+    # up front (SQL comparison semantics make a NULL ts never-chaining,
+    # ADVICE r6 — same filter the DP form used)
+    mapping = F.create_map(*[F.lit(x) for s in steps for x in (s, step_idx[s])])
+    ev = df.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_ts"),
+        F.unix_micros(F.col(ts_col)).alias("_tus"),
+        mapping[F.col(type_col)].cast("int").alias("_si"),
+    )
+    lo = Window.unboundedPreceding if gap_us is None else -gap_us
+    base = Window.partitionBy(user_col).orderBy("_tus")
+    cur = ev.withColumn("_f0", F.col("_si") == 0)
+    for i in range(1, k):
+        witness = F.max(
+            F.when(F.col(f"_f{i - 1}"), F.col("_tus"))
+        ).over(base.rangeBetween(lo, -1))
+        cur = cur.withColumn(f"_f{i}", (F.col("_si") == i) & witness.isNotNull())
+    out = cur.groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(f"_f{i}"), F.col("_ts"))).alias(f"t{i + 1}")
+            for i in range(k)
+        ]
+    )
+    return out.filter(F.col("t1").isNotNull())
+
+
+def _sequence_funnel_maximal_dp(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Reference implementation of :func:`sequence_funnel_maximal`:
+    the original per-user pandas DP (one Arrow-batched applyInPandas
+    pass, O(events * steps) per user). Scanning ascending, an event t
+    of type step_i extends a feasible prefix iff some t' in F_{i-1}
+    has t' < t <= t' + gap; the best witness is the LARGEST feasible
+    t' strictly below t (its upper bound t'+gap is loosest), so per
+    step only the max feasible time — plus the min for reporting — is
+    carried, never the full set. Events sharing a timestamp are
+    batched so same-instant chaining (t' < t is strict) cannot occur
+    through intra-batch state updates.
+
+    Kept ONLY as the independent oracle for the window-form
+    equivalence tests (r16): not referenced by any declared query."""
     import pandas as pd
 
     gap_us = None if max_gap_seconds is None else int(max_gap_seconds) * 1_000_000

@@ -288,39 +288,107 @@ def banded_embedding_neardup(
     in any band, deduped, then exact cosine. The per-band join keys on
     (band, bucket) so band partitions never cross-multiply.
 
-    Candidates are generated over IDS ONLY (r15 optimization, guide
-    §8 "decide with small rows, move big rows once"): the old form
-    carried both full vectors through the candidate self-join AND the
-    pair-dedup exchange — at sf10 that is ~10^8 candidate pairs x two
-    64-dim vectors of payload through two shuffles. Now the join and
-    dropDuplicates move (band, bucket, id) longs; the two vectors
-    attach AFTER dedup by joining the base table twice on the id (the
-    exact shape the SQL oracle always used). Interleaved
-    per-rep-rebuilt A/B at sf10: **187.3 → 90.0 s (0.48x)**, results
-    identical (8.5M pairs). The remaining cost is the semantic
-    candidate volume itself."""
-    from ..functions.vector import cosine_sim
+    Candidates are generated over IDS ONLY (r15, guide §8 "decide with
+    small rows, move big rows once"), and since r16 WITHOUT a self-join:
+    one groupBy(band, bucket) collects each bucket's ids into a sorted
+    array, and in-bucket pairs stream out of two chained Generates
+    (posexplode x suffix-slice explode — id_a < id_b falls out of the
+    sort order). That replaces the r15 self-join's second exchange read
+    + join with a single aggregation over the banded rows: same
+    25.3M raw pairs at sf10, measured 13.8 -> 11.6 s on the isolated
+    candidate stage. Per-bucket arrays stay small by construction —
+    ``planes_for_corpus`` sizes the plane count for ~32 ids/bucket
+    mean (sf10 observed: p50 14, max 546), so no Generate row is ever
+    large and there is nothing for AQE skew handling to miss.
 
-    banded = hyperplane_buckets_banded(
-        emb_df, vec_col, dim, n_tables, n_planes, n_rows=n_rows
-    ).select(F.col(id_col), "band", "bucket")
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    The exact-cosine pass hoists both l2 norms out of the per-pair
+    expression (r16, the dominant cost): inline ``cosine_sim``
+    evaluates five interpreted HOF folds per candidate pair; the norms
+    now compute once per VECTOR in the attach projections and only the
+    dot product folds per pair
+    (functions.vector.cosine_sim_precomputed_norms) — measured
+    108 -> 35 s on the full query at sf10, identical 8 523 440 rows.
+    The attach joins broadcast the (id, vec, norm) sides when the
+    plan-stats estimate says the table fits
+    (``NEARDUP_BCAST_MAX_BYTES``): the deduped pairs then never
+    re-shuffle and the vectors never shuffle at all (measured
+    42 -> 29 s same-window); above the gate the joins fall back to the
+    planner's shuffle strategy — at 100 TB the embedding side must
+    partition, and the gate fails closed."""
+    from ..functions.vector import cosine_sim_precomputed_norms, l2_norm
+
+    banded = (
+        hyperplane_buckets_banded(
+            emb_df, vec_col, dim, n_tables, n_planes, n_rows=n_rows
+        )
+        .select(F.col(id_col), "band", "bucket")
+        # the r15 self-join dropped NULL join keys / NULL-id pairs
+        # implicitly; the aggregate form must filter them explicitly
+        .filter(F.col(id_col).isNotNull() & F.col("bucket").isNotNull())
+    )
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids")
+    )
     pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select("_ids", F.posexplode("_ids").alias("_i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size(F.col("_ids")))
+            ).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ea = emb_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    eb = emb_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    ea = emb_df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    eb = emb_df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    if _emb_bytes_estimate(emb_df, dim) <= NEARDUP_BCAST_MAX_BYTES:
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
     return (
         pairs.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cos", cosine_sim(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "cos",
+            cosine_sim_precomputed_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("_na"), F.col("_nb")
+            ),
+        )
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+#: Above this estimated IN-MEMORY size of the (id, vec, norm) attach
+#: side, banded_embedding_neardup leaves the attach joins to the
+#: planner instead of forcing a broadcast. Broadcasting both sides at
+#: sf10 (~110 MB estimated) removed the pair re-shuffles entirely
+#: (42 -> 29 s same-window); a 100 TB embedding table blows any
+#: broadcast, so the gate fails closed to shuffle joins there. Sits
+#: well under Spark's 8 GB broadcast cap with room for the driver to
+#: hold two copies.
+NEARDUP_BCAST_MAX_BYTES = 256 << 20
+
+
+def _emb_bytes_estimate(emb_df: DataFrame, dim: int) -> int:
+    """Estimated in-memory bytes of an (id, vec, norm) projection of
+    ``emb_df``: plan-stats row count (on-disk bytes / packed float
+    width — no job, same gate style as ivf_assign) times a
+    schema-aware unsafe-row width (8B id + 8B norm + array header +
+    4B/element floats). Unknown stats estimate huge, which fails the
+    broadcast gate closed — the safe direction at scale."""
+    try:
+        size = int(emb_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        est_rows = size // max(1, dim * 4)
+    except Exception:  # non-JVM-backed frame: assume big
+        return 1 << 62
+    return est_rows * (dim * 4 + 48)
 
 
 #: Above this centroid count, ivf_assign ships centroids as broadcast

@@ -161,6 +161,56 @@ def test_sequence_funnel_maximal_null_ts_never_chains(spark):
     assert df.filter(F.col("ts").isNull()).count() == 2  # fixture sanity
 
 
+def test_sequence_funnel_maximal_window_form_matches_dp(spark):
+    """r16 optimization equivalence: the range-frame window form of
+    sequence_funnel_maximal must reproduce the original pandas DP
+    (kept as _sequence_funnel_maximal_dp) row-for-row on an
+    adversarial random event soup — dense same-instant ties, events
+    exactly AT the gap boundary (t' + gap, inclusive) and one past it,
+    interleaved step types, users missing arbitrary steps — for k=2,
+    k=3 and k=4 step chains and for gap=None (unbounded lookback)."""
+    import datetime as dt
+    import random
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.relational import (
+        _sequence_funnel_maximal_dp,
+        sequence_funnel_maximal,
+    )
+
+    rng = random.Random(16)
+    base = dt.datetime(2024, 1, 1)
+    types = ["a", "b", "c", "d", "zz"]  # step types + noise
+    rows = []
+    for u in range(60):
+        n = rng.randint(1, 24)
+        for _ in range(n):
+            # coarse second grid forces frequent exact ties, and
+            # offsets cluster near multiples of the gap (10 s) so
+            # boundary chains (t == t' + gap) occur organically
+            sec = rng.choice([0, 1, 3, 9, 10, 11, 19, 20, 21, 30, 40])
+            rows.append((u, base + dt.timedelta(seconds=sec), rng.choice(types)))
+    df = spark.createDataFrame(rows, ["u", "ts", "et"])
+
+    for steps, gap in (
+        (["a", "b"], 10),
+        (["a", "b", "c"], 10),
+        (["a", "b", "c", "d"], 10),
+        (["a", "b", "c"], None),
+    ):
+        cols = ["u"] + [f"t{i + 1}" for i in range(len(steps))]
+        got = {
+            r["u"]: tuple(r[c] for c in cols[1:])
+            for r in sequence_funnel_maximal(df, "u", "ts", "et", steps, gap).collect()
+        }
+        want = {
+            r["u"]: tuple(r[c] for c in cols[1:])
+            for r in _sequence_funnel_maximal_dp(
+                df, "u", "ts", "et", steps, gap
+            ).collect()
+        }
+        assert got == want, (steps, gap)
+
+
 def test_cohort_retention_matrix_and_null_ts(spark):
     """Hand-computed retention triangle: cohort = first-event month,
     offset-0 row per cohort equals cohort size, entities active in a

@@ -34,7 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from bench import HEADLINE, query_conf, sized_session, warm_up  # noqa: E402
+from bench import HEADLINE, sized_session, warm_up  # noqa: E402
 from tests.oracle_harness import duck_con  # noqa: E402
 
 
@@ -59,15 +59,16 @@ def main() -> None:
         # the same way; what the window then measures is steady-state
         # per-query cost, the quantity that extrapolates.
         s_best = d_best = float("inf")
-        with query_conf(spark, name):  # per-query landed confs (bench.PER_QUERY_CONF)
+        # per-query landed confs ride the queries themselves since r16
+        # (session.conf_pinned_session) — nothing to wrap here
+        fn(spark, sf_dir).toArrow()
+        if sql is not None:
+            con.sql(sql).arrow()
+        for _ in range(3):
+            t0 = time.perf_counter()
             fn(spark, sf_dir).toArrow()
+            s_best = min(s_best, time.perf_counter() - t0)
             if sql is not None:
-                con.sql(sql).arrow()
-            for _ in range(3):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).toArrow()
-                s_best = min(s_best, time.perf_counter() - t0)
-                if sql is not None:
                     t0 = time.perf_counter()
                     con.sql(sql).arrow()
                     d_best = min(d_best, time.perf_counter() - t0)

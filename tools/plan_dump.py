@@ -45,11 +45,12 @@ def main() -> None:
             print(f"SKIP unknown query {name}", file=sys.stderr)
             continue
         try:
-            with bench.query_conf(spark, name):
-                df = fn(spark, sf_dir)
-                buf = io.StringIO()
-                with redirect_stdout(buf):
-                    df.explain("formatted")
+            # per-query landed confs ride the queries themselves since
+            # r16 (session.conf_pinned_session) — nothing to wrap here
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
             text = buf.getvalue()
         except Exception as exc:  # capture the failure instead of dying
             text = f"ERROR building plan: {type(exc).__name__}: {exc}\n"
