@@ -4484,7 +4484,19 @@ def agg_approx_sketches(spark, sf_dir):
     rsd plumb-through, broken merge) flips the boolean and fails the
     hash compare. Deterministic per dataset: approx_count_distinct and
     percentile_approx are fixed-seed, so this is a stable gate, not a
-    flaky statistical test (VERDICT r9 task 3: was rows-only)."""
+    flaky statistical test (VERDICT r9 task 3: was rows-only).
+
+    The exact p49/p51 corridor is computed by HISTOGRAM SELECTION
+    (r16, guide §2.3): ``F.percentile`` buffers every value — its
+    partial aggregate ships ALL raw doubles into the 3 flag-group
+    reduce tasks, each sorting ~20M values single-threaded at sf10.
+    Instead: count per (flag, price) value, cumulative-rank the
+    distinct values with a per-flag window, and pick the two order
+    statistics straddling p*(n-1), interpolated with Percentile's own
+    weighted formula (v_floor*(ceil-pos) + v_ceil*(pos-floor)). Only
+    distinct (flag, price) rows ever shuffle. Interleaved
+    per-rep-rebuilt A/B at sf10: 39.6 -> 12.0 s (0.30x), identical
+    output (tools/r16_form_ab.py sketches_hist)."""
     li = _t(spark, sf_dir, "lineitem")
     # Exact distinct via two-level aggregation, NOT countDistinct in
     # the same agg as the sketches: mixing a distinct aggregate with
@@ -4502,20 +4514,66 @@ def agg_approx_sketches(spark, sf_dir):
         # cardinalities; 1% costs a few KB more sketch per group
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_nd"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
-        F.percentile("l_extendedprice", 0.49).alias("p49"),
-        F.percentile("l_extendedprice", 0.51).alias("p51"),
     )
-    return sk.join(F.broadcast(exact), "l_returnflag").select(
+    # exact percentiles from the value histogram: each distinct price
+    # covers 0-based ranks [_lo, _hi) within its flag
+    hist = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag", F.col("l_extendedprice").cast("double").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wp = Window.partitionBy("l_returnflag")
+    cum = (
+        hist.withColumn("_hi", F.sum("_c").over(wp.orderBy("_v")))
+        .withColumn("_lo", F.col("_hi") - F.col("_c"))
+        .withColumn("_n", F.sum("_c").over(wp))
+    )
+    pos49 = F.lit(0.49) * (F.col("_n") - 1).cast("double")
+    pos51 = F.lit(0.51) * (F.col("_n") - 1).cast("double")
+    agg = cum.groupBy("l_returnflag").agg(
+        *[
+            F.min(
+                F.when((F.col("_lo") <= ix) & (ix < F.col("_hi")), F.col("_v"))
+            ).alias(name)
+            for pos, tag in ((pos49, "49"), (pos51, "51"))
+            for ix, name in (
+                (F.floor(pos).cast("long"), f"_f{tag}"),
+                (F.ceil(pos).cast("long"), f"_c{tag}"),
+            )
+        ],
+        F.first(pos49).alias("_pos49"),
+        F.first(pos51).alias("_pos51"),
+    )
+
+    def _interp(f, c, pos):
+        # Percentile's exact interpolation: value at the fractional
+        # 0-based position pos between adjacent order statistics
+        fl = F.floor(pos).cast("double")
+        ce = F.ceil(pos).cast("double")
+        return F.when(fl == ce, F.col(f)).otherwise(
+            F.col(f) * (ce - pos) + F.col(c) * (pos - fl)
+        )
+
+    pct = agg.select(
         "l_returnflag",
-        "exact_nd",
-        (
-            F.abs(F.col("approx_nd") - F.col("exact_nd"))
-            <= 0.05 * F.col("exact_nd")
-        ).alias("nd_ok"),
-        (
-            (F.col("approx_p50") >= F.col("p49"))
-            & (F.col("approx_p50") <= F.col("p51"))
-        ).alias("p50_ok"),
+        _interp("_f49", "_c49", F.col("_pos49")).alias("p49"),
+        _interp("_f51", "_c51", F.col("_pos51")).alias("p51"),
+    )
+    return (
+        sk.join(F.broadcast(exact), "l_returnflag")
+        .join(F.broadcast(pct), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_nd",
+            (
+                F.abs(F.col("approx_nd") - F.col("exact_nd"))
+                <= 0.05 * F.col("exact_nd")
+            ).alias("nd_ok"),
+            (
+                (F.col("approx_p50") >= F.col("p49"))
+                & (F.col("approx_p50") <= F.col("p51"))
+            ).alias("p50_ok"),
+        )
     )
 
 

@@ -60,6 +60,25 @@ HEADLINE = [
     "pipeline_training_data",
 ]
 
+#: Headline queries whose sf10 timings are ADDED to the final JSON's
+#: "queries" dict as "<name>@sf10" entries (r16, VERDICT r15 task 4):
+#: the 10 headline members that run >=1 s at sf10, so a low-core
+#: re-run of the bench shows real core scaling on them instead of the
+#: sf0.1 dispatch floor. Kept to 10 so the final one-line JSON stays
+#: inside the driver's 2000-char stdout tail.
+SF10_SCALING_SET = [
+    "dedup_lsh_candidates",
+    "q5_region_revenue",
+    "dedup_minhash_signatures",
+    "q3_shipping_priority",
+    "dedup_simhash",
+    "pipeline_training_data",
+    "text_quality",
+    "window_rank_orders_per_customer",
+    "cdc_snapshot_latest",
+    "text_lang_id",
+]
+
 
 def scratch_dir(input_bytes: int) -> str | None:
     """Shuffle/spill scratch policy (r9): put ``spark.local.dir`` on
@@ -607,6 +626,20 @@ def main() -> None:
                 ),
             }
             detail["sf10"] = {"queries": t10, "duck_queries": d10}
+            # Scale-sensitive per-query entries ADDED to the top-level
+            # queries dict (r16, VERDICT r15 task 4): the driver's
+            # low-core/high-core scaling probe compares per-query
+            # timings between its c32 and c8 runs, and every sf0.1
+            # headline entry sits at a 0.1-0.4 s dispatch floor where
+            # 8-vs-32 threads read ≈1 (the r15 suspect_cpus_ignored
+            # false positive). These "<name>@sf10" keys carry the sf10
+            # timings of the queries that run >=1 s there — real
+            # parallel work, so their c8/c32 ratios track the core
+            # ratio. Additive only: no existing key is removed or
+            # renamed, and "value" stays the sf0.1 headline sum.
+            for n in SF10_SCALING_SET:
+                if n in t10:
+                    out["queries"][f"{n}@sf10"] = round(t10[n], 2)
 
             # Bucketed-arm A/B for the headline joins (VERDICT r11
             # task 3): q3/q5 over orderkey-co-bucketed lineitem/orders
@@ -644,16 +677,24 @@ def main() -> None:
                         t0 = time.time()
                         fn(spark, sf10_dir).toArrow()
                         bb[a] = min(bb[a], time.time() - t0)
+                # the final line keeps the ratios (the tracked claim);
+                # per-arm best_sec and ingest context move to the
+                # DETAIL sidecar (r16 — reclaiming final-line bytes for
+                # the @sf10 scaling entries above)
                 out["bucketed_facts"] = {
                     "sf_dir": "sf10",
-                    "ingest_s": round(ingest_s, 3),
-                    "ingest_reused": bool(pre_exists),
-                    "best_sec": {a: round(s, 3) for a, s in bb.items()},
                     "bucketed_over_plain": {
                         "q3": round(bb["q3_bucketed"] / bb["q3_plain"], 3),
                         "q5": round(bb["q5_bucketed"] / bb["q5_plain"], 3),
                         "q18": round(bb["q18_bucketed"] / bb["q18_plain"], 3),
                     },
+                }
+                detail["bucketed_facts"] = {
+                    "sf_dir": "sf10",
+                    "ingest_s": round(ingest_s, 3),
+                    "ingest_reused": bool(pre_exists),
+                    "best_sec": {a: round(s, 3) for a, s in bb.items()},
+                    "bucketed_over_plain": out["bucketed_facts"]["bucketed_over_plain"],
                 }
         except Exception as exc:
             errors["sf10"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -752,15 +793,15 @@ def main() -> None:
             # block records its own load averages so a noisy
             # recording is self-labeling.
             sc = _sc_mod.run_interleaved(spark, _sc_base, 5, "bench_sc")
+            # key semantics (ADVICE r13): `bucketed_over_plain` is the
+            # TOTAL-based ratio (r12-and-earlier protocol, artifact
+            # continuity); the min-of-cycle spike-robust headline gets
+            # its own explicit key. Per-arm totals moved to the DETAIL
+            # sidecar in r16 (final-line byte budget — see the @sf10
+            # scaling entries).
             out["snapshot_cycle"] = {
                 "cycles": 5,
                 "sf_dir": sc_dir.rsplit("/", 1)[-1],
-                "plain_total_s": sc["plain"]["total_s"],
-                "bucketed_total_s": sc["bucketed"]["total_s"],
-                # key semantics (ADVICE r13): `bucketed_over_plain` is the
-                # TOTAL-based ratio (r12-and-earlier protocol, artifact
-                # continuity); the min-of-cycle spike-robust headline gets
-                # its own explicit key.
                 "bucketed_over_plain": sc["bucketed_over_plain_total"],
                 "bucketed_over_plain_min": sc["bucketed_over_plain_min"],
                 "bucketed_over_plain_total": sc["bucketed_over_plain_total"],
@@ -798,10 +839,17 @@ def main() -> None:
         if "errors" in o:
             o["errors"] = f"{len(o['errors'])} errors: see BENCH_DETAIL.json"
 
+    def _prune_sf10_scaling(o):
+        # drop the additive @sf10 scaling entries before ever touching
+        # the contract entries (they survive in the sidecar's sf10 dict)
+        if isinstance(o.get("queries"), dict):
+            for k in [k for k in o["queries"] if k.endswith("@sf10")]:
+                o["queries"].pop(k)
+
     def _prune_queries(o):
         o["queries"] = "see BENCH_DETAIL.json"
 
-    for prune in (_prune_sf1_flags, _prune_errors, _prune_queries):
+    for prune in (_prune_sf1_flags, _prune_errors, _prune_sf10_scaling, _prune_queries):
         if len(json.dumps(out)) <= 1900:
             break
         prune(out)

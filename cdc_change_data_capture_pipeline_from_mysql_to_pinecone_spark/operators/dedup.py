@@ -220,31 +220,39 @@ def ngram_jaccard(df_pairs: DataFrame, text_a: str, text_b: str, n: int = 2) -> 
     consecutive-pairs consumer: **sf1 19.3 → 0.81 s (0.042x), sf10
     269.6 → 11.2 s (0.041x, same-window under load 34)** — a 24x win,
     results identical (the n=1 caller additionally rides the
-    word_shingles token-array short-circuit)."""
+    word_shingles token-array short-circuit).
+
+    The internal barrier column names are uniquified against
+    ``df_pairs.columns`` (ADVICE r15): a caller whose frame already
+    carries a ``_njs``/``_nju`` column must not collide with the
+    barriers."""
+    njs, nju = "_njs", "_nju"
+    while njs in df_pairs.columns or nju in df_pairs.columns:
+        njs, nju = njs + "_", nju + "_"
     sa = F.array_distinct(word_shingles(F.col(text_a), n))
     sb = F.array_distinct(word_shingles(F.col(text_b), n))
     sets = df_pairs.select(
         "*",
-        F.explode(F.array(F.struct(sa.alias("a"), sb.alias("b")))).alias("_njs"),
+        F.explode(F.array(F.struct(sa.alias("a"), sb.alias("b")))).alias(njs),
     )
     sizes = sets.select(
         "*",
         F.explode(
             F.array(
                 F.struct(
-                    F.size(F.array_intersect("_njs.a", "_njs.b")).alias("i"),
-                    F.size(F.array_union("_njs.a", "_njs.b")).alias("u"),
+                    F.size(F.array_intersect(f"{njs}.a", f"{njs}.b")).alias("i"),
+                    F.size(F.array_union(f"{njs}.a", f"{njs}.b")).alias("u"),
                 )
             )
-        ).alias("_nju"),
-    ).drop("_njs")
+        ).alias(nju),
+    ).drop(njs)
     return sizes.withColumn(
         "jaccard",
         F.when(
-            F.col("_nju.u") > 0,
-            F.col("_nju.i").cast("double") / F.col("_nju.u").cast("double"),
+            F.col(f"{nju}.u") > 0,
+            F.col(f"{nju}.i").cast("double") / F.col(f"{nju}.u").cast("double"),
         ).otherwise(F.lit(0.0)),
-    ).drop("_nju")
+    ).drop(nju)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:

@@ -289,23 +289,55 @@ def scrub_pii(text: Column) -> Column:
 def repetition_ratio(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
     """Boilerplate/degenerate-text signal: fraction of the document's
     word n-grams occupied by its single most frequent n-gram (1.0 =
-    pure repetition; ~1/count = diverse). Explode n-grams -> two
-    grouped aggs — shuffles only (id, ngram) pairs, map-side combined,
-    so the pass is linear and partitionable by document id.
-    """
+    pure repetition; ~1/count = diverse).
+
+    Row-local form (r16, guide §2.4 "remove shuffles outright"): every
+    n-gram of a document lives in that document's row, and the output
+    carries no gram strings — so the whole statistic computes per row
+    with ZERO exchanges. Sort the shingle array; the most frequent
+    gram's count is the longest run of equal neighbors (run starts =
+    positions where s[i] != s[i-1]; run lengths = deltas of
+    consecutive starts). Two Generate barriers (the r15 pattern)
+    materialize the sorted array and the run-start positions once so
+    CollapseProject cannot re-evaluate the sort or the filter chain
+    per reference. The pre-r16 form exploded (id, gram) pairs through
+    a grouped count plus a second per-id aggregate — two exchanges
+    whose payload was the gram STRINGS; interleaved per-rep-rebuilt
+    A/B at sf10: 31.6 -> 26.0 s (0.82x), identical 500k rows
+    (tools/r16_form_ab.py repetition_rowlocal). At sf0.1 the per-row
+    interpreted element ops read 1.13x — the win is the removed
+    at-scale shuffle, not small-frame CPU.
+
+    NULL-text documents are absent from the output (their shingle
+    array is NULL), matching the old form's explode semantics."""
     from ..functions.hashing import word_shingles
 
-    grams = df.select(
+    bar = df.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+        F.explode(F.array(F.array_sort(word_shingles(F.col(text_col), n)))).alias(
+            "_s"
+        ),
     )
-    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
-    return per_gram.groupBy(id_col).agg(
-        F.round(
-            F.max("_c").cast("double") / F.sum("_c").cast("double"), 4
-        ).alias("rep_ratio"),
-        F.max("_c").cast("long").alias("top_gram_count"),
-        F.sum("_c").cast("long").alias("total_grams"),
+    s = F.col("_s")
+    sz = F.size(s)
+    starts = F.filter(
+        F.sequence(F.lit(1), sz), lambda i: (i == 1) | (s[i - 1] != s[i - 2])
+    )
+    bar2 = bar.select(
+        F.col(id_col), sz.alias("_n"), F.explode(F.array(starts)).alias("_starts")
+    )
+    bounds = F.concat(
+        F.slice(F.col("_starts"), 2, F.size(F.col("_starts"))),
+        F.array(F.col("_n") + 1),
+    )
+    max_run = F.array_max(F.zip_with(bounds, F.col("_starts"), lambda b, a: b - a))
+    return bar2.filter(F.col("_n") > 0).select(
+        F.col(id_col),
+        F.round(max_run.cast("double") / F.col("_n").cast("double"), 4).alias(
+            "rep_ratio"
+        ),
+        max_run.cast("long").alias("top_gram_count"),
+        F.col("_n").cast("long").alias("total_grams"),
     )
 
 

@@ -489,9 +489,13 @@ def _ivf_assign_arrow(
                 schema=pa.schema(list(batch.schema) + [pa.field("cell", pa.int32())]),
             )
 
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in emb_df.schema.fields
-    ) + ", cell int"
+    # programmatic output schema (ADVICE r15): simpleString() does not
+    # round-trip all types/names (e.g. struct fields needing quoting)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(emb_df.schema.fields) + [StructField("cell", IntegerType())]
+    )
     return emb_df.mapInArrow(assign, out_schema)
 
 
@@ -543,7 +547,10 @@ def ivf_assign(
     # scale gate: estimated rows from plan stats (no job); the row
     # width estimate is the on-disk bytes per embedding row, so the
     # pair count is right within a small factor — plenty for a
-    # threshold two orders of magnitude wide
+    # threshold two orders of magnitude wide. Known slack (ADVICE
+    # r15): on-disk bytes are compressed and include non-vector
+    # columns, so est_rows can be off by the compression factor near
+    # the threshold — perf-only mis-routing, both paths value-equal.
     try:
         size = int(emb_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         dim_guess = max(1, len(centroids[0][1]))

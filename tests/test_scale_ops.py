@@ -350,3 +350,149 @@ def test_pack_sequences_matches_global_window_without_global_sort(spark, sf_dir)
     assert got == want
     seqs = sorted({v[1] for v in got.values()})
     assert seqs == list(range(seqs[-1] + 1))  # no skipped sequence ids
+
+
+def test_repetition_ratio_rowlocal_matches_explode_form(spark):
+    """r16 optimization equivalence: the zero-shuffle row-local form of
+    text.repetition_ratio (sorted shingle array -> longest equal run)
+    must reproduce the pre-r16 explode -> grouped-count form exactly —
+    including max-count ties, all-identical grams, short docs hitting
+    the k<n full-join shingle, empty text (one "" gram), and NULL text
+    (document absent from the output)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        word_shingles,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        repetition_ratio,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    rows = [
+        (1, "a b a b a b c"),          # "a b" x3 dominates
+        (2, "x y z w"),                # all bigrams distinct (tie at 1)
+        (3, "q q q q q"),              # single repeated bigram
+        (4, "one"),                    # k < n: one full-join gram
+        (5, ""),                       # one "" gram
+        (6, None),                     # NULL text: absent
+        (7, "p q p q r s r s"),        # two bigrams tied at 2
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    for n in (2, 3):
+        got = {r["doc_id"]: tuple(r)[1:] for r in repetition_ratio(df, "doc_id", "text", n=n).collect()}
+        grams = df.select(
+            F.col("doc_id"), F.explode(word_shingles(F.col("text"), n)).alias("_g")
+        )
+        per_gram = grams.groupBy("doc_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+        want = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in per_gram.groupBy("doc_id")
+            .agg(
+                F.round(F.max("_c").cast("double") / F.sum("_c").cast("double"), 4).alias("rep_ratio"),
+                F.max("_c").cast("long").alias("top_gram_count"),
+                F.sum("_c").cast("long").alias("total_grams"),
+            )
+            .collect()
+        }
+        assert got == want, n
+    assert 6 not in got
+
+
+def test_exact_percentile_histogram_selection_matches_buffered(spark):
+    """r16 optimization equivalence for agg_approx_sketches' corridor:
+    exact percentiles computed by histogram selection (distinct-value
+    counts + cumulative ranks + Percentile's weighted interpolation)
+    must match F.percentile on adversarial groups — heavy duplicate
+    values, a single-row group, fractional positions landing inside a
+    duplicate run, and positions on an exact integer boundary."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    rng = random.Random(16)
+    rows = [("a", float(rng.choice([1, 2, 2, 2, 3, 5, 8, 8, 13]))) for _ in range(101)]
+    rows += [("b", 42.0)]                                 # single-row group
+    rows += [("c", float(v)) for v in range(100)]         # all-distinct
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    ps = (0.49, 0.5, 0.51, 0.25)
+    want = {
+        r["g"]: tuple(r)[1:]
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", p).alias(f"p{i}") for i, p in enumerate(ps)])
+        .collect()
+    }
+
+    hist = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("_c"))
+    wp = W.partitionBy("g")
+    cum = (
+        hist.withColumn("_hi", F.sum("_c").over(wp.orderBy("v")))
+        .withColumn("_lo", F.col("_hi") - F.col("_c"))
+        .withColumn("_n", F.sum("_c").over(wp))
+    )
+    aggs, poss = [], []
+    for i, p in enumerate(ps):
+        pos = F.lit(p) * (F.col("_n") - 1).cast("double")
+        poss.append(F.first(pos).alias(f"_pos{i}"))
+        for ix, name in (
+            (F.floor(pos).cast("long"), f"_f{i}"),
+            (F.ceil(pos).cast("long"), f"_c{i}"),
+        ):
+            aggs.append(
+                F.min(F.when((F.col("_lo") <= ix) & (ix < F.col("_hi")), F.col("v"))).alias(name)
+            )
+    agg = cum.groupBy("g").agg(*aggs, *poss)
+
+    def interp(i):
+        pos = F.col(f"_pos{i}")
+        fl, ce = F.floor(pos).cast("double"), F.ceil(pos).cast("double")
+        return F.when(fl == ce, F.col(f"_f{i}")).otherwise(
+            F.col(f"_f{i}") * (ce - pos) + F.col(f"_c{i}") * (pos - fl)
+        )
+
+    got = {
+        r["g"]: tuple(r)[1:]
+        for r in agg.select("g", *[interp(i).alias(f"p{i}") for i in range(len(ps))]).collect()
+    }
+    assert got == want
+
+
+def test_word_shingles_zipwith_chain_matches_per_position_form(spark):
+    """r16 optimization equivalence: word_shingles' zip-with-chain
+    window build (n slices + element-wise concat) must reproduce the
+    pre-r16 per-position slice + concat_ws form for every n — short
+    docs hitting the k<n full-join branch, empty text ([""]), NULL
+    text (NULL array), ragged whitespace, and a long repeated doc."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        word_shingles,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "x y"),
+        (3, "one"),
+        (4, ""),
+        (5, None),
+        (6, "  padded   whitespace  text  here "),
+        (7, "t " * 200),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    def old_shingles(text, n):
+        toks = F.split(F.trim(text), r"\s+")
+        k = F.size(toks)
+        full = F.array(F.concat_ws(" ", toks))
+        windows = F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.when(k < n, full).otherwise(windows)
+
+    for n in (2, 3, 4, 8):
+        got = {r["id"]: r["s"] for r in df.select("id", word_shingles(F.col("text"), n).alias("s")).collect()}
+        want = {r["id"]: r["s"] for r in df.select("id", old_shingles(F.col("text"), n).alias("s")).collect()}
+        assert got == want, n

@@ -92,8 +92,9 @@ def _banded_pair(spark, sf_dir):
 
 
 def _repetition_rowlocal_pair(spark, sf_dir):
-    # OLD = explode bigrams -> groupBy(doc_id, gram) count -> groupBy
-    # (doc_id) max/sum (two gram-string exchanges). NEW = per-row form:
+    # OLD = the pre-r16 form: explode bigrams -> groupBy(doc_id, gram)
+    # count -> groupBy(doc_id) max/sum (two gram-string exchanges).
+    # NEW = the landed row-local form (operators.text.repetition_ratio):
     # sort the shingle array, longest equal run = top gram count —
     # zero exchanges, no gram ever leaves its row.
     from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
@@ -101,47 +102,27 @@ def _repetition_rowlocal_pair(spark, sf_dir):
     )
 
     d = em._t(spark, sf_dir, "documents").select("doc_id", "text")
-    old = em.queries()["text_repetition_ratio"](spark, sf_dir)
-
-    grams = word_shingles(F.col("text"), 2)
-    # barrier: materialize the sorted gram array once (r15 Generate-
-    # barrier pattern), then compute run stats from the materialized col
-    bar = d.select(
-        "doc_id", F.explode(F.array(F.array_sort(grams))).alias("_s")
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("_g")
     )
-    s = F.col("_s")
-    n = F.size(s)
-    starts = F.filter(
-        F.sequence(F.lit(1), n), lambda i: (i == 1) | (s[i - 1] != s[i - 2])
+    per_gram = grams.groupBy("doc_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    old = per_gram.groupBy("doc_id").agg(
+        F.round(
+            F.max("_c").cast("double") / F.sum("_c").cast("double"), 4
+        ).alias("rep_ratio"),
+        F.max("_c").cast("long").alias("top_gram_count"),
+        F.sum("_c").cast("long").alias("total_grams"),
     )
-    bar2 = bar.select(
-        "doc_id", n.alias("_n"), F.explode(F.array(starts)).alias("_starts")
-    )
-    bounds = F.concat(
-        F.slice(F.col("_starts"), 2, F.size(F.col("_starts"))),
-        F.array(F.col("_n") + 1),
-    )
-    max_run = F.array_max(F.zip_with(bounds, F.col("_starts"), lambda b, a: b - a))
-    new = bar2.filter(F.col("_n") > 0).select(
-        "doc_id",
-        F.round(max_run.cast("double") / F.col("_n").cast("double"), 4).alias(
-            "rep_ratio"
-        ),
-        max_run.cast("long").alias("top_gram_count"),
-        F.col("_n").cast("long").alias("total_grams"),
-    )
+    new = em.queries()["text_repetition_ratio"](spark, sf_dir)
     return old, new
 
 
 def _sketches_pair(spark, sf_dir):
-    # OLD = declared agg_approx_sketches (exact p49/p51 via
-    # buffer-everything percentile). NEW = exact percentiles from a
-    # value histogram: groupBy(flag, price) counts -> cumulative ranks
-    # -> Spark's interpolation formula on the two straddling order
-    # statistics; only distinct (flag, price) rows ever shuffle.
+    # OLD = the pre-r16 form: exact p49/p51 via buffer-everything
+    # F.percentile in the sketch agg. NEW = the landed declared query
+    # (exact percentiles by histogram selection — only distinct
+    # (flag, price) rows shuffle).
     li = em._t(spark, sf_dir, "lineitem")
-    old = em.queries()["agg_approx_sketches"](spark, sf_dir)
-
     exact = (
         li.groupBy("l_returnflag", "l_orderkey")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -151,69 +132,22 @@ def _sketches_pair(spark, sf_dir):
     sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_nd"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+        F.percentile("l_extendedprice", 0.49).alias("p49"),
+        F.percentile("l_extendedprice", 0.51).alias("p51"),
     )
-    hist = (
-        li.filter(F.col("l_extendedprice").isNotNull())
-        .groupBy("l_returnflag", F.col("l_extendedprice").cast("double").alias("_v"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    wp = W.partitionBy("l_returnflag")
-    wo = wp.orderBy("_v")
-    cum = (
-        hist.withColumn("_hi", F.sum("_c").over(wo))
-        .withColumn("_lo", F.col("_hi") - F.col("_c"))
-        .withColumn("_n", F.sum("_c").over(wp))
-    )
-
-    # Spark Percentile semantics: pos = p*(n-1) 0-based;
-    # v = v_floor*(ceil-pos) + v_ceil*(pos-floor) when floor!=ceil
-    pos49 = F.lit(0.49) * (F.col("_n") - 1).cast("double")
-    pos51 = F.lit(0.51) * (F.col("_n") - 1).cast("double")
-    agg = cum.groupBy("l_returnflag").agg(
-        *[
-            F.min(
-                F.when(
-                    (F.col("_lo") <= fn(pos)) & (fn(pos) < F.col("_hi")), F.col("_v")
-                )
-            ).alias(name)
-            for pos, tag in ((pos49, "49"), (pos51, "51"))
-            for fn, name in (
-                (lambda p: F.floor(p).cast("long"), f"_f{tag}"),
-                (lambda p: F.ceil(p).cast("long"), f"_c{tag}"),
-            )
-        ],
-        F.first(pos49).alias("_pos49"),
-        F.first(pos51).alias("_pos51"),
-    )
-
-    def interp(f, c, pos):
-        fl = F.floor(pos).cast("double")
-        ce = F.ceil(pos).cast("double")
-        return F.when(fl == ce, F.col(f)).otherwise(
-            F.col(f) * (ce - pos) + F.col(c) * (pos - fl)
-        )
-
-    pct = agg.select(
+    old = sk.join(F.broadcast(exact), "l_returnflag").select(
         "l_returnflag",
-        interp("_f49", "_c49", F.col("_pos49")).alias("p49"),
-        interp("_f51", "_c51", F.col("_pos51")).alias("p51"),
+        "exact_nd",
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            <= 0.05 * F.col("exact_nd")
+        ).alias("nd_ok"),
+        (
+            (F.col("approx_p50") >= F.col("p49"))
+            & (F.col("approx_p50") <= F.col("p51"))
+        ).alias("p50_ok"),
     )
-    new = (
-        sk.join(F.broadcast(exact), "l_returnflag")
-        .join(F.broadcast(pct), "l_returnflag")
-        .select(
-            "l_returnflag",
-            "exact_nd",
-            (
-                F.abs(F.col("approx_nd") - F.col("exact_nd"))
-                <= 0.05 * F.col("exact_nd")
-            ).alias("nd_ok"),
-            (
-                (F.col("approx_p50") >= F.col("p49"))
-                & (F.col("approx_p50") <= F.col("p51"))
-            ).alias("p50_ok"),
-        )
-    )
+    new = em.queries()["agg_approx_sketches"](spark, sf_dir)
     return old, new
 
 
