@@ -351,19 +351,39 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Near-duplicate vectors: cosine > threshold among pairs sharing
     an LSH bucket (bucketing from vectors.hyperplane_buckets). The
-    join key is the bucket — candidate set is linear-ish, not n²."""
-    from ..functions.vector import cosine_sim
+    join key is the bucket — candidate set is linear-ish, not n².
+
+    The l2 norms ride the join inputs (r16): inline ``cosine_sim``
+    evaluates five interpreted HOF folds PER CANDIDATE PAIR (dot once,
+    each norm twice — condition + division); computing each side's
+    norm once per VECTOR row in the pre-join projection leaves one
+    dot fold per pair (functions.vector.cosine_sim_precomputed_norms,
+    the same hoist that took vec_banded_neardup 108 -> 35 s).
+    Interleaved same-window A/B at sf10: see OPTIMIZATION_r16.md;
+    identical rows (NULL/zero-norm semantics preserved exactly)."""
+    from ..functions.vector import cosine_sim_precomputed_norms, l2_norm
 
     a = emb_df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col(bucket_col).alias("bkt")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col(bucket_col).alias("bkt"),
+        l2_norm(F.col(vec_col)).alias("_na"),
     )
     b = emb_df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col(bucket_col).alias("bkt")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col(bucket_col).alias("bkt"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
     )
     return (
         a.join(b, ["bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_sim(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "cos",
+            cosine_sim_precomputed_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("_na"), F.col("_nb")
+            ),
+        )
         .filter(F.col("cos") > threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -122,6 +122,7 @@ def salted_join(
     on: str,
     how: str = "inner",
     salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the big side's key into
     ``salt_buckets`` sub-keys and replicate the small side across all
@@ -141,15 +142,27 @@ def salted_join(
     row would surface ``salt_buckets`` times); those rows are recovered
     by a key anti-join against the big side's distinct keys — a second
     small shuffle on the same key, null-extended and unioned in.
+
+    ``salt_cols`` (r16, guide §2.3): the salt is a deterministic
+    per-row hash, and by default it hashes the WHOLE row — which
+    references every big-side column and therefore blocks column
+    pruning at the scan (join_salted_skew read all 16 lineitem columns
+    for a 2-column aggregate). The join result is salt-INVARIANT (any
+    deterministic row function spreads a hot key; the salt is dropped
+    before the caller sees a row), so callers that know a narrow
+    high-entropy column set — ideally a unique key like
+    (orderkey, linenumber) — should pass it and let pruning reach the
+    scan. Default stays all columns: generic safety over speed.
     """
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(
             f"salted_join supports inner/left/right/full, got {how!r}"
         )
-    # deterministic salt: hash of the whole row, stable across runs and
+    # deterministic salt: hash of the (sub)row, stable across runs and
     # repartitions (F.rand would depend on partition order)
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.hash(*big.columns), F.lit(salt_buckets)).cast("int")
+        "_salt",
+        F.pmod(F.hash(*(salt_cols or big.columns)), F.lit(salt_buckets)).cast("int"),
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
     salted_small = small.select("*", salts)

@@ -661,17 +661,20 @@ def bigram_surprisal(
 
     def _bigrams(frame, with_id):
         toks = tokens(F.col(text_col))
-        pairs = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
+        k = F.size(toks)
+        # zip-with over two shifted slices (r16, the word_shingles
+        # lesson): the old transform(sequence(1, k-1), i ->
+        # struct(element_at(i), element_at(i+1))) paid two interpreted
+        # element lookups per position; two slices + an element-wise
+        # struct build does the same with two array allocations per ROW.
+        pairs = F.zip_with(
+            F.slice(toks, 1, k - 1),
+            F.slice(toks, 2, k - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         )
         cols = [F.col(id_col)] if with_id else []
-        # size >= 2 guard: Spark's sequence(1, 0) is DESCENDING, so an
-        # unguarded 1-token doc would index element_at(toks, 0) (ANSI
-        # error), not produce zero bigrams
+        # size >= 2 guard: keeps slice lengths positive for 0/1-token
+        # docs (and preserves the old form's zero-bigram semantics)
         return (
             frame.filter(F.size(toks) >= 2)
             .select(*cols, F.explode(pairs).alias("_b"))

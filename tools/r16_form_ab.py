@@ -151,11 +151,114 @@ def _sketches_pair(spark, sf_dir):
     return old, new
 
 
+def _neardup_norms_pair(spark, sf_dir):
+    # OLD = pre-r16 embedding_near_dup: inline cosine_sim (five HOF
+    # folds per candidate pair). NEW = the landed form (norms computed
+    # once per vector in the join inputs).
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.vector import (
+        cosine_sim,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (
+        vectors as vec_ops,
+    )
+
+    e = em._t(spark, sf_dir, "embeddings")
+    planes = vec_ops.planes_for_corpus(em._table_rows(sf_dir, "embeddings"))
+    bkts = vec_ops.hyperplane_buckets(e, "embedding", dim=64, n_planes=planes)
+    a = bkts.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"),
+        F.col("bucket").alias("bkt"),
+    )
+    b = bkts.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"),
+        F.col("bucket").alias("bkt"),
+    )
+    old = (
+        a.join(b, ["bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_sim(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") > 0.6)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+    new = em.queries()["dedup_embedding_neardup"](spark, sf_dir)
+    return old, new
+
+
+def _bigram_surprisal_pair(spark, sf_dir):
+    # OLD = pre-r16 bigram_surprisal with per-position element_at
+    # struct builds. NEW = the landed zip-with-two-slices form.
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.text import (
+        tokens,
+    )
+
+    d = em._t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    train = d.filter(F.col("doc_id") % 10 < 8)
+    score = d  # mirror the declared query's frames loosely; identity is
+    # asserted between the two FORMS below, not against the query
+
+    def _old_bigrams(frame, with_id):
+        toks = tokens(F.col("text"))
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+        cols = [F.col("doc_id")] if with_id else []
+        return (
+            frame.filter(F.size(toks) >= 2)
+            .select(*cols, F.explode(pairs).alias("_b"))
+            .select(*cols, F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
+        )
+
+    alpha = 0.4
+    uni = train.select(F.explode(tokens(F.col("text"))).alias("_tok")).groupBy(
+        "_tok"
+    ).agg(F.count(F.lit(1)).alias("_uc"))
+    consts = uni.agg(F.sum("_uc").alias("_n"))
+    bi = _old_bigrams(train, with_id=False).groupBy(
+        F.col("_w1").alias("_bw1"), F.col("_w2").alias("_bw2")
+    ).agg(F.count(F.lit(1)).alias("_bc"))
+    sc = (
+        _old_bigrams(score, with_id=True)
+        .join(bi, (F.col("_w1") == F.col("_bw1")) & (F.col("_w2") == F.col("_bw2")), "left")
+        .join(uni.select(F.col("_tok").alias("_t1"), F.col("_uc").alias("_uc1")),
+              F.col("_w1") == F.col("_t1"), "left")
+        .join(uni.select(F.col("_tok").alias("_t2"), F.col("_uc").alias("_uc2")),
+              F.col("_w2") == F.col("_t2"), "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    s = (
+        F.when(F.col("_bc").isNotNull(), F.col("_bc") / F.col("_uc1"))
+        .when(F.col("_uc2").isNotNull(), F.lit(alpha) * F.col("_uc2") / F.col("_n"))
+        .otherwise(F.lit(alpha) * F.lit(alpha) / F.col("_n"))
+    )
+    old = (
+        sc.select(F.col("doc_id"), (-F.log(s)).alias("_nll"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(F.avg("_nll"), 6).alias("surprisal"))
+    )
+
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators import (
+        text as text_ops,
+    )
+
+    new_raw = text_ops.bigram_surprisal(score, "doc_id", "text", alpha=alpha, train_df=train)
+    new = new_raw.select(
+        "doc_id", "n_bigrams", F.round("surprisal", 6).alias("surprisal")
+    )
+    return old, new
+
+
 PAIRS = {
     "funnel_window": _funnel_pair,
     "banded_full": _banded_pair,
     "repetition_rowlocal": _repetition_rowlocal_pair,
     "sketches_hist": _sketches_pair,
+    "neardup_norms": _neardup_norms_pair,
+    "bigram_surprisal_zip": _bigram_surprisal_pair,
 }
 
 
