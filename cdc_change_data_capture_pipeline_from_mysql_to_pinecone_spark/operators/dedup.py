@@ -420,10 +420,21 @@ def winnow_fingerprints(
     # Generate barrier: _h becomes a real attribute, computed once
     hashed = df.select(F.col(id_col), F.explode(F.array(hashes)).alias("_h"))
     n_windows = F.greatest(F.size("_h") - F.lit(window - 1), F.lit(1))
-    minima = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice("_h", i, window)),
-    )
+    # sliding-window minima as a LEAST zip-with chain over `window`
+    # shifted slices (r16, the word_shingles lesson): the old
+    # transform(sequence(1, n_windows), i -> array_min(slice(_h, i,
+    # window))) allocated a window-sized array PER POSITION in
+    # interpreted eval. Values identical: a short tail slice yields
+    # fewer elements and zip_with NULL-pads, which `least` skips — the
+    # same truncation array_min saw; a NULL hash array stays NULL on
+    # both forms (textless docs emit no fingerprints either way).
+    minima = F.slice("_h", 1, n_windows)
+    for j in range(1, window):
+        minima = F.zip_with(
+            minima,
+            F.slice("_h", 1 + j, n_windows),
+            lambda a, b: F.least(a, b),
+        )
     # NULL/empty text produces a NULL shingle array, which flows through
     # the window-min transform as a single NULL fingerprint; left in,
     # candidate generation would bucket every textless doc together and

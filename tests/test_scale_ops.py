@@ -496,3 +496,48 @@ def test_word_shingles_zipwith_chain_matches_per_position_form(spark):
         got = {r["id"]: r["s"] for r in df.select("id", word_shingles(F.col("text"), n).alias("s")).collect()}
         want = {r["id"]: r["s"] for r in df.select("id", old_shingles(F.col("text"), n).alias("s")).collect()}
         assert got == want, n
+
+
+def test_winnow_least_chain_matches_per_position_window_min(spark):
+    """r16 optimization equivalence: winnow_fingerprints' sliding
+    window minima as a least() zip-with chain must reproduce the
+    pre-r16 per-position slice + array_min form — short docs (fewer
+    k-grams than the window), all-identical grams, empty text, NULL
+    text (no fingerprints), and a long doc with repeating vocabulary —
+    for several (k, window) shapes."""
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.functions.hashing import (
+        base_hash31,
+        word_shingles,
+    )
+    from cdc_change_data_capture_pipeline_from_mysql_to_pinecone_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j k l m n"),
+        (2, "x y"),
+        (3, "one"),
+        (4, ""),
+        (5, None),
+        (6, "r r r r r r r r r r"),
+        (7, " ".join(f"w{i % 5}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    def old_winnow(df, text_col, id_col, k, window):
+        hashes = F.transform(word_shingles(F.col(text_col), k), lambda s: base_hash31(s))
+        hashed = df.select(F.col(id_col), F.explode(F.array(hashes)).alias("_h"))
+        n_windows = F.greatest(F.size("_h") - F.lit(window - 1), F.lit(1))
+        minima = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice("_h", i, window)),
+        )
+        return (
+            hashed.select(F.col(id_col), F.explode(F.array_distinct(minima)).alias("fingerprint"))
+            .filter(F.col("fingerprint").isNotNull())
+        )
+
+    for k, w in ((4, 8), (2, 3), (1, 2)):
+        got = sorted(map(tuple, winnow_fingerprints(df, "text", "id", k=k, window=w).collect()))
+        want = sorted(map(tuple, old_winnow(df, "text", "id", k, w).collect()))
+        assert got == want, (k, w)
